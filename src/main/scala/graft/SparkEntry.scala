@@ -1,13 +1,54 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one implemented operator family from
+  * SURVEY.md §2; [[oracleSql]] holds the DuckDB-equivalent SQL the driver
+  * hash-compares against at sf0.01.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q5RegionRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q3_top_orders" -> (Relational.q3TopOrders _),
+    "q5_region_revenue" -> (Relational.q5RegionRevenue _),
+    "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
+    "w_topk_per_group" -> (Windows.topkPerGroup _),
+    "w_lag_diff" -> (Windows.lagDiff _),
+    "w_rolling_mean" -> (Windows.rollingMean _),
+    "w_last_per_group" -> (Windows.lastPerGroup _),
+    "e_daily_rollup" -> (Events.dailyRollup _),
+    "e_value_histogram" -> (Events.valueHistogram _),
+    "e_active_users" -> (Events.activeUsers _),
+    "t_dedup_exact" -> (TextOps.dedupExact _),
+    "t_token_stats" -> (TextOps.tokenStats _),
+    "t_quality_score" -> (TextOps.qualityScore _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> Relational.q1Sql,
+    "q3_top_orders" -> Relational.q3Sql,
+    "q5_region_revenue" -> Relational.q5Sql,
+    "q6_forecast_revenue" -> Relational.q6Sql,
+    "w_topk_per_group" -> Windows.topkSql,
+    "w_lag_diff" -> Windows.lagDiffSql,
+    "w_rolling_mean" -> Windows.rollingMeanSql,
+    "w_last_per_group" -> Windows.lastPerGroupSql,
+    "e_daily_rollup" -> Events.dailyRollupSql,
+    "e_value_histogram" -> Events.valueHistogramSql,
+    "e_active_users" -> Events.activeUsersSql,
+    "t_dedup_exact" -> TextOps.dedupExactSql,
+    "t_token_stats" -> TextOps.tokenStatsSql,
+    "t_quality_score" -> TextOps.qualityScoreSql,
+  )
 }

@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic-aggregation helpers.
+  *
+  * Oracle parity requires bit-identical results between Spark and DuckDB.
+  * Per-row scalar IEEE-754 expressions are bit-identical across engines, but
+  * floating-point SUM is order-dependent, and shuffle/partition order differs.
+  * Fix: quantize per-row to integer micro-units (exact in both engines),
+  * aggregate as BIGINT (order-independent exact integer arithmetic), convert
+  * back once at the end. This also survives AQE re-partitioning at any scale —
+  * the same property that makes results reproducible on a 1000-executor
+  * cluster.
+  */
+object Num {
+  private val Scale = 1e6
+
+  /** Per-row exact quantization to integer micros. */
+  def micros(c: Column): Column = round(c * Scale).cast("long")
+
+  /** Order-independent exact sum of a double expression, as a double. */
+  def exactSum(c: Column): Column = sum(micros(c)) / Scale
+
+  /** Order-independent exact average of a double expression. */
+  def exactAvg(c: Column): Column = (sum(micros(c)) / Scale) / count(lit(1))
+
+  /** DuckDB-side equivalents, for building oracle SQL strings. */
+  def sqlMicros(e: String): String = s"CAST(round(($e) * 1000000.0) AS BIGINT)"
+  def sqlExactSum(e: String): String = s"(sum(${sqlMicros(e)}) / 1000000.0)"
+  def sqlExactAvg(e: String): String =
+    s"((sum(${sqlMicros(e)}) / 1000000.0) / count(*))"
+}

@@ -1,0 +1,157 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Num._
+
+/** Core relational queries over the driver test tables.
+  *
+  * Covers SURVEY.md §2 operators on TPC-H-ish data: scans with pruning
+  * (S1-S3), projections/filters (P1-P5), broadcast + composite-key joins
+  * (J1-J2, J4), multi-aggregates (A3), sort/limit (O1).
+  *
+  * Scale notes (100 TB design): filters appear before joins so Catalyst
+  * pushes them into the parquet scan; dimension tables get explicit
+  * `broadcast()` hints; fact-fact joins shuffle on their natural keys and
+  * benefit from AQE; every aggregate is map-side combinable.
+  */
+object Relational {
+
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
+
+  /** TPC-H Q1: pricing summary report. Ref: named multi-agg pattern
+    * (eppa_analysis_all_plays.ipynb cells 4-5 — SURVEY §2.4 A3). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= ts("1998-09-02 00:00:00"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        exactSum($"l_extendedprice").as("sum_base_price"),
+        exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        (sum($"l_quantity").cast("double") / count(lit(1))).as("avg_qty"),
+        exactAvg($"l_extendedprice").as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       |  ${sqlExactSum("l_extendedprice")} AS sum_base_price,
+       |  ${sqlExactSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${sqlExactSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  (CAST(sum(l_quantity) AS DOUBLE) / count(*)) AS avg_qty,
+       |  ${sqlExactAvg("l_extendedprice")} AS avg_price,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-ish: top-10 orders by revenue for one market segment.
+    * Join shape J2 (composite keys), topk O1. The customer→orders join
+    * broadcasts the filtered customer side; orders→lineitem shuffles on
+    * orderkey (both already hash-partitionable on the key at scale). */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < ts("1998-03-15 00:00:00"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > ts("1995-03-15 00:00:00"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .select($"l_orderkey", $"revenue",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT l_orderkey,
+       |  ${sqlExactSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-ish: revenue per nation via a 6-way join (region, nation
+    * broadcast; customer/supplier co-partitioned on nationkey; the
+    * orders⋈lineitem fact join shuffles on orderkey). J1/J2/J4 shapes. */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.region(spark, dir).filter($"r_name" =!= "EUROPE")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= ts("1996-01-01 00:00:00") &&
+              $"o_orderdate" < ts("1998-01-01 00:00:00"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey")
+      .join(cust, $"o_custkey" === $"c_custkey" &&
+                  $"s_nationkey" === $"c_nationkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+           count(lit(1)).as("n_lineitems"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q5Sql: String =
+    s"""SELECT n_name,
+       |  ${sqlExactSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  count(*) AS n_lineitems
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name <> 'EUROPE'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q6: forecast revenue change — pure scan+filter+agg, the shape
+    * where predicate pushdown matters most (P4 range predicates).
+    * `.explain` must show PushedFilters on shipdate/discount/quantity. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= ts("1996-01-01 00:00:00") &&
+              $"l_shipdate" < ts("1997-01-01 00:00:00") &&
+              $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+              $"l_quantity" < 24)
+      .agg(exactSum($"l_extendedprice" * $"l_discount").as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  val q6Sql: String =
+    s"""SELECT ${sqlExactSum("l_extendedprice * l_discount")} AS revenue,
+       |  count(*) AS n_rows
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07
+       |  AND l_quantity < 24""".stripMargin
+}

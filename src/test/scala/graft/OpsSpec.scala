@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantic specs for the batch-1 operators at sf0.001. */
+class OpsSpec extends SparkTestBase {
+
+  test("every declared query runs and returns rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("q1 aggregates are consistent") {
+    val r = SparkEntry.queries("q1_pricing_summary")(spark, sfDir).collect()
+    r.foreach { row =>
+      val sumBase = row.getAs[Double]("sum_base_price")
+      val sumDisc = row.getAs[Double]("sum_disc_price")
+      val n = row.getAs[Long]("count_order")
+      assert(sumDisc <= sumBase, "discounted <= base")
+      assert(n > 0)
+      val avgPrice = row.getAs[Double]("avg_price")
+      assert(math.abs(avgPrice - sumBase / n) < 0.01)
+    }
+  }
+
+  test("topk per group emits at most 3 per nation, descending") {
+    val rows = SparkEntry.queries("w_topk_per_group")(spark, sfDir)
+      .collect().groupBy(_.getAs[Int]("c_nationkey"))
+    rows.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val bals = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("c_acctbal"))
+      assert(bals.zip(bals.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("dedup keeps one row per distinct text") {
+    val docs = Tables.documents(spark, sfDir)
+    val distinctTexts = docs.select("text").distinct().count()
+    val dedup = SparkEntry.queries("t_dedup_exact")(spark, sfDir)
+    assert(dedup.count() == distinctTexts)
+    assert(dedup.agg(sum("n_copies")).head.getLong(0) == docs.count())
+  }
+
+  test("rolling mean window is bounded by min/max of value") {
+    val ev = Tables.events(spark, sfDir)
+    val mn = ev.agg(min("value")).head.getDouble(0)
+    val mx = ev.agg(max("value")).head.getDouble(0)
+    val bad = SparkEntry.queries("w_rolling_mean")(spark, sfDir)
+      .filter(col("rolling_avg") < mn - 1e-6 || col("rolling_avg") > mx + 1e-6)
+    assert(bad.count() == 0)
+  }
+}
