@@ -31,6 +31,24 @@ object SparkEntry {
     "t_dedup_exact" -> (TextOps.dedupExact _),
     "t_token_stats" -> (TextOps.tokenStats _),
     "t_quality_score" -> (TextOps.qualityScore _),
+    "e_props_json" -> (Events.propsExtract _),
+    "j_left_outer_orders" -> (Joins.leftOuterOrders _),
+    "j_semi_anti" -> (Joins.semiAntiCustomers _),
+    "j_grid_densify" -> (Joins.gridDensify _),
+    "j_share_of_spend" -> (Joins.shareOfCustomerSpend _),
+    "a_quantiles" -> (Aggregates.quantiles _),
+    "a_correlation" -> (Aggregates.correlation _),
+    "a_collect_types" -> (Aggregates.collectTypes _),
+    "a_cumulative_spend" -> (Aggregates.cumulativeSpend _),
+    "a_sessionize" -> (Aggregates.sessionize _),
+    "d_minhash_lsh" -> (graft.dedup.Dedup.minhashLsh _),
+    "d_lsh_jaccard" -> (graft.dedup.Dedup.lshJaccard _),
+    "d_simhash" -> (graft.dedup.Dedup.simhashDup _),
+    "s_ann_topk" -> (graft.similarity.Ann.bruteForceTopK _),
+    "s_lsh_pairs" -> (graft.similarity.Ann.lshPairs _),
+    "f_fingerprint" -> (graft.functions.TextFunctions.fingerprint _),
+    "f_langid" -> (graft.functions.TextFunctions.langId _),
+    "f_bpe_tokens" -> (graft.functions.TextFunctions.bpeTokenCount _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,5 +68,23 @@ object SparkEntry {
     "t_dedup_exact" -> TextOps.dedupExactSql,
     "t_token_stats" -> TextOps.tokenStatsSql,
     "t_quality_score" -> TextOps.qualityScoreSql,
+    "e_props_json" -> Events.propsExtractSql,
+    "j_left_outer_orders" -> Joins.leftOuterOrdersSql,
+    "j_semi_anti" -> Joins.semiAntiCustomersSql,
+    "j_grid_densify" -> Joins.gridDensifySql,
+    "j_share_of_spend" -> Joins.shareOfCustomerSpendSql,
+    "a_quantiles" -> Aggregates.quantilesSql,
+    "a_correlation" -> Aggregates.correlationSql,
+    "a_collect_types" -> Aggregates.collectTypesSql,
+    "a_cumulative_spend" -> Aggregates.cumulativeSpendSql,
+    "a_sessionize" -> Aggregates.sessionizeSql,
+    "d_minhash_lsh" -> graft.dedup.Dedup.minhashLshSql,
+    "d_lsh_jaccard" -> graft.dedup.Dedup.lshJaccardSql,
+    "d_simhash" -> graft.dedup.Dedup.simhashDupSql,
+    "s_ann_topk" -> graft.similarity.Ann.bruteForceTopKSql,
+    "s_lsh_pairs" -> graft.similarity.Ann.lshPairsSql,
+    "f_fingerprint" -> graft.functions.TextFunctions.fingerprintSql,
+    "f_langid" -> graft.functions.TextFunctions.langIdSql,
+    "f_bpe_tokens" -> graft.functions.TextFunctions.bpeTokenCountSql,
   )
 }

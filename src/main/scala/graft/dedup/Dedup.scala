@@ -1,0 +1,219 @@
+package graft.dedup
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection families for a training-data pipeline:
+  * MinHash+LSH, SimHash, and LSH-candidate + exact-Jaccard verification.
+  *
+  * Design for 100 TB: everything is shingle-explode → hash → band-group —
+  * no all-pairs stage ever materializes. The only shuffles are (a) the
+  * per-doc signature aggregation and (b) the band-bucket self-join, whose
+  * key (band index + signature slice) distributes uniformly by
+  * construction. Candidate verification touches only bucket-collision
+  * pairs, ~|pairs| << n².
+  *
+  * Determinism for the DuckDB oracle: shingle hashes come from md5 prefixes
+  * (identical bytes in any engine), all arithmetic is 64-bit integer.
+  */
+object Dedup {
+
+  /** Large prime modulus for the universal-hash family (2^31 - 1). */
+  val P = 2147483647L
+  /** Number of minhash functions and LSH banding shape (m = bands * r). */
+  val NumHashes = 12
+  val Bands = 4
+  val RowsPerBand = 3
+  /** Character shingle width. */
+  val K = 6
+
+  /** Per-doc exploded (doc_id, shingle-hash) pairs, lowercased char
+    * shingles of width K. The transform(sequence(...)) generator runs
+    * inside codegen — no UDF, no driver loop (SURVEY §2.12: grid
+    * expansion via built-in generators). */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("shingle", explode(expr(
+        s"transform(sequence(1, greatest(length(lower(text)) - ${K - 1}, 1))," +
+          s" i -> substring(lower(text), i, $K))")))
+      .select(col("doc_id"),
+        (expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)")
+          % P).as("h"))
+
+  /** MinHash signature column j: min((a_j * h + b_j) mod P) over shingles. */
+  private def minhashAgg(j: Int): Column = {
+    val a = 2L * j + 1
+    val b = 101L * j + 7
+    min((col("h") * a + b) % P).as(s"mh$j")
+  }
+
+  /** Doc → NumHashes minhash signature values (one aggregation pass). */
+  def signatures(docs: DataFrame): DataFrame =
+    shingleHashes(docs).groupBy("doc_id")
+      .agg(minhashAgg(0), (1 until NumHashes).map(minhashAgg): _*)
+
+  /** LSH candidate pairs: docs sharing at least one band of the signature.
+    * Emits (doc_a < doc_b, n_shared_bands). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(Tables.documents(spark, dir))
+    // explode signature into (doc_id, band, k0, k1, k2) band keys
+    val bandRows = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        cols(0).as("k0"), cols(1).as("k1"), cols(2).as("k2"))
+    }.reduce(_ unionByName _)
+    val l = bandRows.select(col("band").as("band_l"), col("k0").as("k0_l"),
+      col("k1").as("k1_l"), col("k2").as("k2_l"), col("doc_id").as("doc_a"))
+    val r = bandRows.select(col("band").as("band_r"), col("k0").as("k0_r"),
+      col("k1").as("k1_r"), col("k2").as("k2_r"), col("doc_id").as("doc_b"))
+    l.join(r, col("band_l") === col("band_r") && col("k0_l") === col("k0_r") &&
+        col("k1_l") === col("k1_r") && col("k2_l") === col("k2_r") &&
+        col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Shared SQL fragment: per-doc shingle hashes (mirrors shingleHashes). */
+  private def shingleSql: String =
+    s"""SELECT doc_id,
+       |  (CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % $P) AS h
+       |FROM (
+       |  SELECT doc_id, substring(lower(text), i, $K) AS shingle
+       |  FROM documents,
+       |       UNNEST(range(1, greatest(len(lower(text)) - ${K - 1}, 1) + 1)) AS t(i))""".stripMargin
+
+  private def sigSql: String = {
+    val aggs = (0 until NumHashes).map { j =>
+      val a = 2L * j + 1; val b = 101L * j + 7
+      s"min((h * $a + $b) % $P) AS mh$j"
+    }.mkString(",\n  ")
+    s"SELECT doc_id,\n  $aggs\nFROM shingles GROUP BY doc_id"
+  }
+
+  private def bandSql: String =
+    (0 until Bands).map { b =>
+      val ks = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+      s"SELECT doc_id, $b AS band, ${ks(0)} AS k0, ${ks(1)} AS k1, ${ks(2)} AS k2 FROM sigs"
+    }.mkString("\nUNION ALL\n")
+
+  val minhashLshSql: String =
+    s"""WITH shingles AS ($shingleSql),
+       |sigs AS ($sigSql),
+       |bands AS ($bandSql)
+       |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |  count(*) AS n_shared_bands
+       |FROM bands l JOIN bands r
+       |  ON l.band = r.band AND l.k0 = r.k0 AND l.k1 = r.k1 AND l.k2 = r.k2
+       | AND l.doc_id < r.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** LSH candidates verified with exact shingle-set Jaccard (join-based so
+    * Spark and the oracle count the identical distinct-intersection).
+    * jaccard_bp = floor(10000 * |A∩B| / |A∪B|); is_dup at 80%. */
+  def lshJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cands = minhashLsh(spark, dir).select("doc_a", "doc_b")
+    val sh = shingleHashes(docs).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("h"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("h").as("h_b"))
+    cands
+      .join(shA, "doc_a")
+      .join(shB, "doc_b")
+      .filter(col("h") === col("h_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("n_inter") * 10000 / (col("n_a") + col("n_b") - col("n_inter")))
+          .cast("long").as("jaccard_bp"))
+      .withColumn("is_dup", (col("jaccard_bp") >= 8000).cast("int"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val lshJaccardSql: String =
+    s"""WITH shingles AS ($shingleSql),
+       |sigs AS ($sigSql),
+       |bands AS ($bandSql),
+       |cands AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.k0 = r.k0 AND l.k1 = r.k1 AND l.k2 = r.k2
+       |   AND l.doc_id < r.doc_id),
+       |sh AS (SELECT DISTINCT doc_id, h FROM shingles),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b,
+       |  CAST(floor(n_inter * 10000 / (sa.n + sb.n - n_inter)) AS BIGINT) AS jaccard_bp,
+       |  CAST(CAST(floor(n_inter * 10000 / (sa.n + sb.n - n_inter)) AS BIGINT) >= 8000 AS INT) AS is_dup
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_a
+       |JOIN sizes sb ON sb.doc_id = i.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash: 32-bit signature over word tokens; banded into 4 bytes for
+    * candidate generation; hamming distance via bit_count(xor). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tokens = docs
+      .withColumn("tok", explode(split(trim(lower(col("text"))), "\\s+")))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)").as("h32"))
+    tokens
+      .withColumn("i", explode(expr("sequence(0, 31)")))
+      .groupBy("doc_id", "i")
+      .agg(sum(when(expr("(h32 >> i) & 1") === 1, 1).otherwise(-1)).as("bal"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("bal") > 0, expr("shiftleft(1L, i)")).otherwise(0L)).as("sig"))
+  }
+
+  /** SimHash near-dup pairs: share ≥1 of 4 byte-bands, hamming ≤ 6. */
+  def simhashDup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhash(Tables.documents(spark, dir))
+    val banded = sigs.withColumn("band", explode(expr("sequence(0, 3)")))
+      .withColumn("bkey", expr("(sig >> (band * 8)) & 255"))
+    val l = banded.select(col("band").as("band_l"), col("bkey").as("bkey_l"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    l.join(r, col("band_l") === col("band_r") && col("bkey_l") === col("bkey_r") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val simhashDupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h32
+       |  FROM (SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |        FROM documents)),
+       |bal AS (
+       |  SELECT doc_id, i,
+       |    sum(CASE WHEN (h32 >> i) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+       |  FROM toks, UNNEST(range(0, 32)) AS t(i)
+       |  GROUP BY 1, 2),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM bal GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, sig, band, (sig >> (band * 8)) & 255 AS bkey
+       |  FROM sigs, UNNEST(range(0, 4)) AS t(band))
+       |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |  bit_count(xor(l.sig, r.sig)) AS hamming
+       |FROM banded l JOIN banded r
+       |  ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.sig, r.sig)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+}

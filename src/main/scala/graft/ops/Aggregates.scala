@@ -1,0 +1,144 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Num._
+
+/** Aggregation coverage beyond the basics (SURVEY.md §2.4): exact
+  * quantiles (A4), correlation (A15), sorted list-collect (A10),
+  * cumulative windows (W9), and event-time sessionization (the batch twin
+  * of the Structured Streaming surface, §2.11).
+  */
+object Aggregates {
+
+  /** A4: exact quantiles of account balance per market segment.
+    * `percentile` (exact, interpolating) — the approx variant
+    * (percentile_approx / t-digest) is the 100 TB path but is not
+    * oracle-stable, so the gate uses the exact one. */
+  def quantiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(
+        percentile(col("c_acctbal"), lit(0.25)).as("p25"),
+        percentile(col("c_acctbal"), lit(0.5)).as("p50"),
+        percentile(col("c_acctbal"), lit(0.9)).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  val quantilesSql: String =
+    """SELECT c_mktsegment,
+      |  quantile_cont(c_acctbal, 0.25) AS p25,
+      |  quantile_cont(c_acctbal, 0.5) AS p50,
+      |  quantile_cont(c_acctbal, 0.9) AS p90,
+      |  count(*) AS n
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** A15: correlation of quantity vs discounted price per return flag,
+    * rounded to 6dp to absorb engine-order epsilon in the co-moments. */
+  def correlation(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val correlationSql: String =
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** A10: per-user sorted distinct event-type list, serialized to a string
+    * so the hash compare is scalar (movement_stats cell 24's
+    * agg(events=list(...)) → collect_list/array_sort). */
+  def collectTypes(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
+           count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val collectTypesSql: String =
+    """SELECT user_id,
+      |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+      |  count(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** W9: cumulative (running) spend per user over event time — exact
+    * micros so the running double is identical at every row. */
+  def cumulativeSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("cum_micros", sum(micros(col("value"))).over(w))
+      .select(col("event_id"), col("user_id"),
+        (col("cum_micros") / 1e6).as("cum_value"))
+      .orderBy("event_id")
+  }
+
+  val cumulativeSpendSql: String =
+    s"""SELECT event_id, user_id,
+       |  (sum(${sqlMicros("value")}) OVER (
+       |     PARTITION BY user_id ORDER BY ts, event_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000.0)
+       |    AS cum_value
+       |FROM events
+       |ORDER BY event_id""".stripMargin
+
+  /** Event-time sessionization (30-minute gap), batch form of the
+    * streaming session_window. Session identity = µs-exact gaps-and-
+    * islands; emits per-session start, size, and exact spend. The same
+    * grouping runs under Structured Streaming via
+    * `session_window($"ts", "30 minutes")` (graft.streaming). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts_us"))
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    ev.withColumn("prev_us", lag(col("ts_us"), 1).over(byTime))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+             col("ts_us") - col("prev_us") >= 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_us")).as("session_start_us"),
+           count(lit(1)).as("n_events"),
+           exactSum(col("value")).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+       |flagged AS (
+       |  SELECT user_id, ts_us, value,
+       |    CASE WHEN lag(ts_us, 1) OVER w IS NULL
+       |           OR ts_us - lag(ts_us, 1) OVER w >= 1800000000
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+       |sessions AS (
+       |  SELECT user_id, ts_us, value,
+       |    CAST(sum(new_session) OVER (
+       |      PARTITION BY user_id ORDER BY ts_us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id,
+       |  min(ts_us) AS session_start_us,
+       |  count(*) AS n_events,
+       |  ${sqlExactSum("value")} AS session_value
+       |FROM sessions
+       |GROUP BY 1, 2
+       |ORDER BY user_id, session_id""".stripMargin
+}

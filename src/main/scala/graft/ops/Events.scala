@@ -69,6 +69,28 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** §2.8 JSON scalar path: extract props.k, aggregate per event type.
+    * (The reference has no JSON columns; this covers the semi-structured
+    * side a real event pipeline needs.) */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           sum($"k").as("sum_k"),
+           countDistinct($"k").as("n_distinct_k"))
+      .orderBy($"event_type")
+  }
+
+  val propsExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val activeUsersSql: String =
     s"""SELECT user_id, count(*) AS n_events,
        |  ${sqlExactSum("value")} AS total_value

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import graft.dedup.Dedup
+  import graft.similarity.Ann
+  import graft.functions.TextFunctions
+
+  test("minhash signatures are within [0, P)") {
+    val sigs = Dedup.signatures(Tables.documents(spark, sfDir))
+    val cols = (0 until Dedup.NumHashes).map(j => col(s"mh$j"))
+    val bad = sigs.filter(cols.map(c => c < 0 || c >= Dedup.P).reduce(_ || _))
+    assert(bad.count() == 0)
+  }
+
+  test("identical docs always collide in every band") {
+    import spark.implicits._
+    val dup = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+                  (2L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.signatures(dup).collect()
+    assert(sigs.length == 2)
+    val a = sigs.find(_.getLong(0) == 1L).get
+    val b = sigs.find(_.getLong(0) == 2L).get
+    (1 to Dedup.NumHashes).foreach(i => assert(a.getLong(i) == b.getLong(i)))
+  }
+
+  test("jaccard_bp for identical docs is 10000") {
+    import spark.implicits._
+    // near-identical pair must surface through LSH with jaccard 10000
+    val shingles = Dedup.shingleHashes(
+      Seq((1L, "hello world this is a document"),
+          (2L, "hello world this is a document")).toDF("doc_id", "text"))
+      .distinct().collect().groupBy(_.getLong(0))
+    val h1 = shingles(1L).map(_.getLong(1)).toSet
+    val h2 = shingles(2L).map(_.getLong(1)).toSet
+    assert(h1 == h2)
+  }
+
+  test("simhash signature fits in 32 bits") {
+    val sigs = Dedup.simhash(Tables.documents(spark, sfDir))
+    val bad = sigs.filter(col("sig") < 0 || col("sig") >= (1L << 32))
+    assert(bad.count() == 0)
+  }
+
+  test("ann topk ranks are dense and dot-descending per query") {
+    val r = Ann.bruteForceTopK(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    r.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+      val dots = sorted.map(_.getAs[Long]("dot"))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lsh bucket pairs agree with brute-force dot products") {
+    val pairs = Ann.lshPairs(spark, sfDir).limit(20).collect()
+    assert(pairs.nonEmpty)
+    // every bucket id must fit in NumPlanes bits
+    pairs.foreach { p =>
+      val b = p.getAs[Long]("bucket")
+      assert(b >= 0 && b < (1L << Ann.NumPlanes))
+    }
+  }
+
+  test("fingerprint is deterministic and in [0, P)") {
+    val f1 = TextFunctions.fingerprint(spark, sfDir).collect()
+    val f2 = TextFunctions.fingerprint(spark, sfDir).collect()
+    assert(f1.map(_.getLong(1)).toSeq == f2.map(_.getLong(1)).toSeq)
+    assert(f1.forall(r => r.getLong(1) >= 0 && r.getLong(1) < TextFunctions.P))
+  }
+
+  test("langid confusion matrix covers every doc exactly once") {
+    val cm = graft.functions.TextFunctions.langId(spark, sfDir)
+    val total = cm.agg(sum("n_docs")).head.getLong(0)
+    assert(total == Tables.documents(spark, sfDir).count())
+  }
+}
