@@ -1,0 +1,110 @@
+package graft.nfl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed driver for the frame-EPPA kernel (SURVEY §3.2):
+  * normalized tracking → `groupByKey((gameId, playId, frameId))` →
+  * `flatMapGroups(kernel)` → pass/player/field outputs.
+  *
+  * The reference loops plays in a Python process pool
+  * (`comb_model_big_run_cpu.py:29-41`); here every frame is one Spark task
+  * — embarrassingly parallel after a single shuffle on the group key. Per-
+  * play EPA tables and priors ride as broadcast values. At 100 TB: ~17k
+  * plays × ~34 frames = ~580k tasks of ~50 MB peak each; AQE coalesces the
+  * small shuffle, and output is written partitioned by (gameId, playId)
+  * mirroring the reference's output tree (S8).
+  */
+object EppaJob {
+
+  /** Frame window processed per play: snap+14 .. min(throw, snap+47)
+    * (`play_eppa_cpu.py:651`, `play_eppa_gpu.py:46-47`). */
+  val MinFramesAfterSnap = 14
+  val MaxFramesAfterSnap = 47
+
+  /** Normalized tracking → kernel inputs: one FrameInput per
+    * (gameId, playId, frameId) inside the model window. */
+  def frameInputs(norm: DataFrame): Dataset[FrameEppa.FrameInput] = {
+    val spark = norm.sparkSession
+    import spark.implicits._
+    val wPlay = Window.partitionBy("gameId", "playId")
+    val annotated = norm
+      .withColumn("snap_frame",
+        min(when(col("event") === "ball_snap", col("frameId"))).over(wPlay))
+      .withColumn("throw_frame",
+        min(when(col("event") === "pass_forward", col("frameId"))).over(wPlay))
+      .withColumn("fss", col("frameId") - col("snap_frame"))
+      .filter(col("snap_frame").isNotNull && col("throw_frame").isNotNull &&
+        col("fss") >= MinFramesAfterSnap &&
+        col("fss") <= MaxFramesAfterSnap &&
+        col("frameId") <= col("throw_frame"))
+      .select("gameId", "playId", "frameId", "fss", "nflId", "displayName",
+        "team_pos", "position", "x", "y", "v_x", "v_y", "a_x", "a_y")
+
+    annotated
+      .groupByKey(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .flatMapGroups { (key: (Long, Long, Int), rows: Iterator[org.apache.spark.sql.Row]) =>
+        val (g, p, fr) = key
+        val rs = rows.toArray
+        val qb = rs.find(r => r.getAs[String]("position") == "QB")
+        if (qb.isEmpty) Iterator.empty
+        else {
+          val players = rs.iterator
+            .filter(r => r.getLong(4) != 0L &&
+              r.getAs[String]("position") != "QB")
+            // dedup + stable order (play_eppa_cpu.py:232)
+            .toSeq.groupBy(_.getLong(4)).map(_._2.head).toSeq
+            .sortBy(_.getLong(4))
+            .map { r =>
+              FrameEppa.Player(r.getLong(4), r.getAs[String]("displayName"),
+                r.getAs[String]("team_pos") == "OFF",
+                r.getAs[Double]("x"), r.getAs[Double]("y"),
+                r.getAs[Double]("v_x"), r.getAs[Double]("v_y"),
+                r.getAs[Double]("a_x"), r.getAs[Double]("a_y"))
+            }.toArray
+          val fss = rs.head.getAs[Int]("fss")
+          Iterator.single(FrameEppa.FrameInput(g, p, fr, fss,
+            qb.get.getAs[Double]("x"), qb.get.getAs[Double]("y"), players))
+        }
+      }
+  }
+
+  /** Run the kernel over every in-window frame. `epaTables` maps
+    * (gameId, playId) → (xepa_comp per endpoint, xepa_inc); plays without
+    * an EPA table are skipped (reference skips error plays — S9). */
+  def run(inputs: Dataset[FrameEppa.FrameInput],
+          epaTables: Map[(Long, Long), (Array[Double], Double)],
+          params: FrameEppa.Params = FrameEppa.Params(),
+          priors: FrameEppa.Priors = FrameEppa.Priors.synthetic(),
+          xyacScore: Array[Double] => Double = _ => 5.0)
+      : Dataset[FrameEppa.FrameOutput] = {
+    val spark = inputs.sparkSession
+    import spark.implicits._
+    val bEpa = spark.sparkContext.broadcast(epaTables)
+    val bPriors = spark.sparkContext.broadcast(priors)
+    inputs.flatMap { in =>
+      bEpa.value.get((in.gameId, in.playId)) match {
+        case Some((comp, inc)) =>
+          val kernel = new FrameEppa.Kernel(params, bPriors.value, xyacScore)
+          Iterator.single(kernel.compute(in, comp, inc))
+        case None => Iterator.empty
+      }
+    }
+  }
+
+  /** Write the three output tables partitioned like the reference's
+    * output/{game}/{play} tree (S8 → dynamic partition overwrite). */
+  def writeOutputs(out: Dataset[FrameEppa.FrameOutput], dir: String): Unit = {
+    val spark = out.sparkSession
+    import spark.implicits._
+    val cached = out.cache()
+    cached.map(_.pass).toDF()
+      .write.mode("overwrite").partitionBy("gameId").parquet(s"$dir/passes")
+    cached.flatMap(_.players).toDF()
+      .write.mode("overwrite").partitionBy("gameId").parquet(s"$dir/player_stats")
+    cached.flatMap(_.field).toDF()
+      .write.mode("overwrite").partitionBy("gameId").parquet(s"$dir/field_viz")
+    cached.unpersist()
+  }
+}

@@ -36,6 +36,18 @@ object NflDemo {
     epa.filter($"play_endpoint_x".isin(0.5, 60.5, 110.5)).orderBy("playId", "play_endpoint_x")
       .show(10, false)
 
+    // frame-EPPA kernel over the toy plays (stub xyac + synthetic priors)
+    val epaTables = Seq((1L, 100L), (1L, 200L), (2L, 100L), (2L, 300L))
+      .map(k => k -> (Array.tabulate(120)(i => i / 60.0), -0.5)).toMap
+    val inputs = EppaJob.frameInputs(norm)
+    println(s"KERNEL_INPUT_FRAMES=${inputs.count()}")
+    val t0 = System.nanoTime()
+    val out = EppaJob.run(inputs, epaTables).cache()
+    val passes = out.map(_.pass).toDF()
+    println(s"KERNEL_FRAMES_DONE=${passes.count()} in ${(System.nanoTime() - t0) / 1e9}%s sec")
+    passes.select("gameId", "playId", "frameId", "eppa1Tot", "maxEppa1",
+      "maxX", "maxY", "maxT", "maxPpcOff").show(6, false)
+
     spark.stop()
   }
 }
