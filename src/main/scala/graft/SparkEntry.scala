@@ -49,6 +49,7 @@ object SparkEntry {
     "f_fingerprint" -> (graft.functions.TextFunctions.fingerprint _),
     "f_langid" -> (graft.functions.TextFunctions.langId _),
     "f_bpe_tokens" -> (graft.functions.TextFunctions.bpeTokenCount _),
+    "m_payload_stats" -> (graft.multimodal.Multimodal.payloadStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -86,5 +87,6 @@ object SparkEntry {
     "f_fingerprint" -> graft.functions.TextFunctions.fingerprintSql,
     "f_langid" -> graft.functions.TextFunctions.langIdSql,
     "f_bpe_tokens" -> graft.functions.TextFunctions.bpeTokenCountSql,
+    "m_payload_stats" -> graft.multimodal.Multimodal.payloadStatsSql,
   )
 }

@@ -1,0 +1,131 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: opaque binary payloads + typed metadata,
+  * with decode / feature-extract / resize / frame-sample stages.
+  *
+  * The Spark-side plumbing is real (schemas, partition-preserving
+  * mapPartitions batch transforms, explode-based frame sampling); the
+  * actual codec calls are STUBBED with a deterministic byte-level fake —
+  * image/audio libraries are deliberately absent here, and at production
+  * scale the stub body is the only thing that changes (swap
+  * `decodeBytesStub` for a JNI/codec call; everything around it is the
+  * distributed shape).
+  *
+  * At 100 TB: payloads live in parquet binary columns, read lazily; decode
+  * runs partition-local with zero shuffle; per-item fan-out (frames)
+  * explodes to rows co-partitioned with the parent item.
+  */
+object Multimodal {
+
+  final case class MediaMeta(width: Int, height: Int, channels: Int,
+                             sampleRate: Int, durationMs: Int, mime: String)
+  final case class MediaItem(mediaId: Long, kind: String,
+                             payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(mediaId: Long, kind: String, nBytes: Int,
+                                 meanByte: Double, entropyMilli: Long,
+                                 histogram: Array[Long])
+
+  /** STUB — deterministic fake decode. A real build replaces this body
+    * with an image/audio codec; signature and batch shape stay. */
+  private[multimodal] def decodeBytesStub(payload: Array[Byte]): Array[Int] =
+    payload.map(b => (b & 0xff)) // "pixels" = raw bytes
+
+  /** Feature extraction: partition-local batch transform, no shuffle.
+    * (The mapInPandas analogue — one JVM call per batch of rows.) */
+  def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions { it =>
+      // per-partition reusable buffers — the "batch" shape that matters
+      val hist = new Array[Long](16)
+      it.map { m =>
+        java.util.Arrays.fill(hist, 0L)
+        val px = decodeBytesStub(m.payload)
+        var s = 0L
+        px.foreach { v => s += v; hist(v >> 4) += 1 }
+        val n = math.max(px.length, 1)
+        var ent = 0.0
+        hist.foreach { c =>
+          if (c > 0) { val p = c.toDouble / n; ent -= p * math.log(p) / math.log(2) }
+        }
+        MediaFeatures(m.mediaId, m.kind, px.length, s.toDouble / n,
+          math.round(ent * 1000), hist.clone())
+      }
+    }
+  }
+
+  /** STUB resize: real implementation would rescale pixels; the fake keeps
+    * determinism by truncating/padding the byte plane. */
+  def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.map { m =>
+      val want = w * h * math.max(m.meta.channels, 1)
+      val p = java.util.Arrays.copyOf(m.payload, want)
+      m.copy(payload = p, meta = m.meta.copy(width = w, height = h))
+    }
+  }
+
+  /** Frame sampling for video-kind items: one row per sampled frame
+    * (explode-based fan-out; frames stay co-partitioned with the item). */
+  def sampleFrames(items: Dataset[MediaItem], everyMs: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.filter(_.kind == "video").toDF()
+      .withColumn("frame_ms", explode(expr(
+        s"sequence(0, meta.durationMs - 1, $everyMs)")))
+      .select(col("mediaId"), col("frame_ms"),
+        // STUB frame fingerprint: hash of payload + offset
+        xxhash64(col("payload"), col("frame_ms")).as("frame_hash"))
+  }
+
+  /** Deterministic synthetic media over the documents table: payload =
+    * md5 bytes of the text (repeated), metadata derived from doc stats.
+    * Gives the binary-column plumbing something real to chew on. */
+  def synthesize(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        unhex(md5(col("text"))).as("payload"))
+      .map { r =>
+        val docId = r.getLong(0)
+        val nChars = r.getLong(2).toInt
+        val digest = r.getAs[Array[Byte]]("payload")
+        val reps = 1 + (nChars % 8)
+        val payload = Array.fill(reps)(digest).flatten
+        val kind = docId % 3 match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        MediaItem(docId, kind, payload,
+          MediaMeta(width = 4, height = 4, channels = reps,
+            sampleRate = 16000, durationMs = 40 * reps, mime = s"x-fake/$kind"))
+      }
+  }
+
+  /** Oracle-able plumbing query: per-source payload byte stats computed
+    * from the same md5 derivation in pure column space. */
+  def payloadStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.documents(spark, dir)
+      .select(col("source"),
+        length(unhex(md5(col("text")))).as("n_bytes"),
+        expr("CAST(conv(substring(md5(text), 1, 2), 16, 10) AS BIGINT)").as("first_byte"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("n_bytes")).as("total_bytes"),
+           sum(col("first_byte")).as("sum_first_byte"),
+           countDistinct(col("first_byte")).as("n_distinct_first"))
+      .orderBy("source")
+  }
+
+  val payloadStatsSql: String =
+    """SELECT source, count(*) AS n_items,
+      |  CAST(sum(octet_length(unhex(md5(text)))) AS BIGINT) AS total_bytes,
+      |  CAST(sum(CAST(('0x' || substring(md5(text), 1, 2)) AS BIGINT)) AS BIGINT) AS sum_first_byte,
+      |  count(DISTINCT CAST(('0x' || substring(md5(text), 1, 2)) AS BIGINT)) AS n_distinct_first
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.multimodal.Multimodal
+
+class StreamingMultimodalSpec extends SparkTestBase {
+
+  // FileStreamSource requires a directory: stage the single parquet file
+  lazy val eventsPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming windowed counts match the batch equivalent") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    val got = EventStreams.drainToMemory(
+      EventStreams.windowedCounts(stream), "win_counts")
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+    // append-mode emits only watermark-closed windows; every emitted row
+    // must match its batch twin exactly
+    val joined = got.alias("s").join(batch.alias("b"),
+      Seq("window_start", "event_type"))
+    assert(got.count() > 0)
+    assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() == 0)
+  }
+
+  test("streaming session windows agree with batch gaps-and-islands") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    val got = EventStreams.drainToMemory(
+      EventStreams.sessionCounts(stream), "sess_counts")
+    val batch = ops.Aggregates.sessionize(spark, sfDir)
+    // append mode emits only watermark-closed sessions: every emitted
+    // session must match its batch twin EXACTLY; the unemitted remainder
+    // is the still-open tail (≤ a handful per user)
+    val gotKeyed = got.select(col("user_id"),
+      unix_micros(col("session_start")).as("session_start_us"),
+      col("n_events").as("s_n"), col("session_value").as("s_v"))
+    val j = gotKeyed.join(batch, Seq("user_id", "session_start_us"), "left")
+    assert(j.filter(col("n_events").isNull).count() == 0,
+      "streamed session missing from batch")
+    assert(j.filter(col("s_n") =!= col("n_events") ||
+      abs(col("s_v") - col("session_value")) > 1e-9).count() == 0)
+    val nGot = got.count(); val nBatch = batch.count()
+    assert(nGot > 0.9 * nBatch && nGot <= nBatch,
+      s"emitted $nGot of $nBatch sessions")
+  }
+
+  test("flatMapGroupsWithState accumulates running user totals") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    val updates = EventStreams.runningUserTotals(spark, stream)
+    val got = EventStreams.drainToMemory(updates.toDF(), "user_totals",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    // final state per user == batch totals
+    val finals = got.groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("total_value").as("total_value"))
+    val batch = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val j = finals.alias("f").join(batch.alias("b"), "user_id")
+    assert(j.filter(col("f.n_events") =!= col("b.n_events")).count() == 0)
+  }
+
+  test("multimodal synthesize → extract → resize keeps shapes and determinism") {
+    val items = Multimodal.synthesize(spark, sfDir).cache()
+    assert(items.count() == Tables.documents(spark, sfDir).count())
+    val feats = Multimodal.extractFeatures(items).cache()
+    val f1 = feats.collect().map(f => f.mediaId -> f.meanByte).toMap
+    val f2 = Multimodal.extractFeatures(items).collect()
+      .map(f => f.mediaId -> f.meanByte).toMap
+    assert(f1 == f2, "decode stub must be deterministic")
+    feats.collect().foreach { f =>
+      assert(f.nBytes % 16 == 0) // md5 multiples
+      assert(f.meanByte >= 0 && f.meanByte <= 255)
+      assert(f.histogram.sum == f.nBytes)
+      assert(f.entropyMilli >= 0 && f.entropyMilli <= 4000) // ≤ log2(16)*1000
+    }
+    val resized = Multimodal.resize(items, 2, 2).collect()
+    resized.foreach { m =>
+      assert(m.payload.length == 2 * 2 * m.meta.channels)
+      assert(m.meta.width == 2 && m.meta.height == 2)
+    }
+  }
+
+  test("frame sampling fans out by duration") {
+    val items = Multimodal.synthesize(spark, sfDir)
+    val frames = Multimodal.sampleFrames(items, everyMs = 40)
+    val vids = items.filter(_.kind == "video").collect()
+    val expected = vids.map(v => 1 + (v.meta.durationMs - 1) / 40).sum
+    assert(frames.count() == expected)
+  }
+}
