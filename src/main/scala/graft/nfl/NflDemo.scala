@@ -48,6 +48,12 @@ object NflDemo {
     passes.select("gameId", "playId", "frameId", "eppa1Tot", "maxEppa1",
       "maxX", "maxY", "maxT", "maxPpcOff").show(6, false)
 
+    // rankings over kernel outputs (§3.3)
+    val summary = Rankings.playSummary(passes)
+    val joined = Rankings.withPlayMeta(summary, ToyData.plays(spark))
+    println(s"RANKINGS_PLAYS=${joined.count()}")
+    Rankings.teamRanking(out.flatMap(_.players).toDF()).show(false)
+
     spark.stop()
   }
 }
