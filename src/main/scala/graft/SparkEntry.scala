@@ -50,6 +50,12 @@ object SparkEntry {
     "f_langid" -> (graft.functions.TextFunctions.langId _),
     "f_bpe_tokens" -> (graft.functions.TextFunctions.bpeTokenCount _),
     "m_payload_stats" -> (graft.multimodal.Multimodal.payloadStats _),
+    "s_math_funcs" -> (Scalars.mathFuncs _),
+    "s_string_funcs" -> (Scalars.stringFuncs _),
+    "s_date_funcs" -> (Scalars.dateFuncs _),
+    "s_conditional_update" -> (Scalars.conditionalUpdate _),
+    "a_weighted_mean" -> (Scalars.weightedMean _),
+    "w_centered_rolling" -> (Scalars.centeredRolling _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -88,5 +94,11 @@ object SparkEntry {
     "f_langid" -> graft.functions.TextFunctions.langIdSql,
     "f_bpe_tokens" -> graft.functions.TextFunctions.bpeTokenCountSql,
     "m_payload_stats" -> graft.multimodal.Multimodal.payloadStatsSql,
+    "s_math_funcs" -> Scalars.mathFuncsSql,
+    "s_string_funcs" -> Scalars.stringFuncsSql,
+    "s_date_funcs" -> Scalars.dateFuncsSql,
+    "s_conditional_update" -> Scalars.conditionalUpdateSql,
+    "a_weighted_mean" -> Scalars.weightedMeanSql,
+    "w_centered_rolling" -> Scalars.centeredRollingSql,
   )
 }
