@@ -29,14 +29,23 @@ object Ann {
   def quantized(c: Column): Column =
     transform(c, x => round(x.cast("double") * QuantScale))
 
-  /** Exact integer dot product of two quantized arrays (left-fold — but
-    * order-independent here because every partial sum is exact). */
+  /** Exact integer dot product of two quantized arrays via the native
+    * codegen expression (graft.functions.VectorExpressions) — same strict
+    * left-to-right fold as the HOF composition it replaced, so results are
+    * bit-identical; the loop just runs unboxed inside WholeStageCodegen.
+    * Callers must have VectorExpressions.register(spark)'d the session. */
   def intDot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot(a, b)
+
+  /** The composed-builtins equivalent, kept for benchmarking the native
+    * expression against (interpreted lambda + boxing per element). */
+  def intDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Brute-force top-5 neighbors for query vectors (vec_id < 20) by
     * quantized dot product; deterministic tie-break on neighbor id. */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
     val queries = emb.filter(col("vec_id") < 20)
@@ -96,6 +105,7 @@ object Ann {
     * bucket equi-join is the scale path — pair space shrinks ~2^NumPlanes×
     * and the shuffle key (bucket) is uniform by construction. */
   def lshPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
       .withColumn("bucket", bucketExpr(col("q")))
