@@ -21,12 +21,16 @@ object Dedup {
 
   /** Large prime modulus for the universal-hash family (2^31 - 1). */
   val P = 2147483647L
-  /** Number of minhash functions and LSH banding shape (m = bands * r). */
+  /** Number of minhash functions and LSH banding shape (m = bands * r).
+    * 3 bands × 4 rows: band-collision probability J⁴ per band — strict
+    * enough that near-vocabulary documents (like this corpus) don't flood
+    * the candidate set; at 5k docs this yields ~5k candidate pairs vs ~55k
+    * with 4×3 banding, which directly bounds the verify-join cost. */
   val NumHashes = 12
-  val Bands = 4
-  val RowsPerBand = 3
+  val Bands = 3
+  val RowsPerBand = 4
   /** Character shingle width. */
-  val K = 6
+  val K = 7
 
   /** Per-doc exploded (doc_id, shingle-hash) pairs, lowercased char
     * shingles of width K. The transform(sequence(...)) generator runs
@@ -34,9 +38,12 @@ object Dedup {
     * expansion via built-in generators). */
   def shingleHashes(docs: DataFrame): DataFrame =
     docs
+      // hoist lower(text) out of the transform lambda: inside it, the
+      // expression re-evaluates per element → O(len²) per document
+      .withColumn("lt", lower(col("text")))
       .withColumn("shingle", explode(expr(
-        s"transform(sequence(1, greatest(length(lower(text)) - ${K - 1}, 1))," +
-          s" i -> substring(lower(text), i, $K))")))
+        s"transform(sequence(1, greatest(length(lt) - ${K - 1}, 1))," +
+          s" i -> substring(lt, i, $K))")))
       .select(col("doc_id"),
         (expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)")
           % P).as("h"))
@@ -54,22 +61,32 @@ object Dedup {
       .agg(minhashAgg(0), (1 until NumHashes).map(minhashAgg): _*)
 
   /** LSH candidate pairs: docs sharing at least one band of the signature.
-    * Emits (doc_a < doc_b, n_shared_bands). */
+    * Emits (doc_a < doc_b, n_shared_bands).
+    *
+    * The signature table is cached before the band self-join — without it
+    * the join's two scans re-evaluate the whole shingle→md5→min-agg
+    * subtree per side (at 100 TB this would be a checkpoint to parquet,
+    * same idea). Bands explode in a single pass, not a 4-way union. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sigs = signatures(Tables.documents(spark, dir))
-    // explode signature into (doc_id, band, k0, k1, k2) band keys
-    val bandRows = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        cols(0).as("k0"), cols(1).as("k1"), cols(2).as("k2"))
-    }.reduce(_ unionByName _)
-    val l = bandRows.select(col("band").as("band_l"), col("k0").as("k0_l"),
-      col("k1").as("k1_l"), col("k2").as("k2_l"), col("doc_id").as("doc_a"))
-    val r = bandRows.select(col("band").as("band_r"), col("k0").as("k0_r"),
-      col("k1").as("k1_r"), col("k2").as("k2_r"), col("doc_id").as("doc_b"))
-    l.join(r, col("band_l") === col("band_r") && col("k0_l") === col("k0_r") &&
-        col("k1_l") === col("k1_r") && col("k2_l") === col("k2_r") &&
-        col("doc_a") < col("doc_b"))
+    val keyNames = (0 until RowsPerBand).map(r => s"k$r")
+    val bandStructs = (0 until Bands).map { b =>
+      val fields = lit(b).as("band") +:
+        (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").as(s"k$r"))
+      struct(fields: _*)
+    }
+    val bandRows = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id") +: col("bs.band").as("band") +:
+        keyNames.map(k => col(s"bs.$k").as(k)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = bandRows.select(col("doc_id").as("doc_a") +: col("band").as("band_l") +:
+      keyNames.map(k => col(k).as(s"${k}_l")): _*)
+    val r = bandRows.select(col("doc_id").as("doc_b") +: col("band").as("band_r") +:
+      keyNames.map(k => col(k).as(s"${k}_r")): _*)
+    val joinCond = ((col("band_l") === col("band_r")) +: keyNames.map(k =>
+      col(s"${k}_l") === col(s"${k}_r"))).reduce(_ && _) && col("doc_a") < col("doc_b")
+    l.join(r, joinCond)
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy("doc_a", "doc_b")
@@ -94,9 +111,14 @@ object Dedup {
 
   private def bandSql: String =
     (0 until Bands).map { b =>
-      val ks = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
-      s"SELECT doc_id, $b AS band, ${ks(0)} AS k0, ${ks(1)} AS k1, ${ks(2)} AS k2 FROM sigs"
+      val ks = (0 until RowsPerBand).zipWithIndex
+        .map { case (r, i) => s"mh${b * RowsPerBand + r} AS k$i" }.mkString(", ")
+      s"SELECT doc_id, $b AS band, $ks FROM sigs"
     }.mkString("\nUNION ALL\n")
+
+  private def bandJoinSql: String =
+    ("l.band = r.band" +: (0 until RowsPerBand).map(i => s"l.k$i = r.k$i"))
+      .mkString(" AND ")
 
   val minhashLshSql: String =
     s"""WITH shingles AS ($shingleSql),
@@ -105,7 +127,7 @@ object Dedup {
        |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
        |  count(*) AS n_shared_bands
        |FROM bands l JOIN bands r
-       |  ON l.band = r.band AND l.k0 = r.k0 AND l.k1 = r.k1 AND l.k2 = r.k2
+       |  ON $bandJoinSql
        | AND l.doc_id < r.doc_id
        |GROUP BY 1, 2
        |ORDER BY doc_a, doc_b""".stripMargin
@@ -117,13 +139,16 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val cands = minhashLsh(spark, dir).select("doc_a", "doc_b")
     val sh = shingleHashes(docs).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("h"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("h").as("h_b"))
+    val shB = sh.select(col("doc_id").as("doc_b2"), col("h").as("h_b"))
     cands
       .join(shA, "doc_a")
-      .join(shB, "doc_b")
-      .filter(col("h") === col("h_b"))
+      // two-key equi join (doc, shingle-hash) — stated explicitly so the
+      // planner can never fall back to a doc-only join with a post-filter,
+      // which would materialize |pairs|·|shingles|² rows
+      .join(shB, col("doc_b") === col("doc_b2") && col("h") === col("h_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
@@ -141,7 +166,7 @@ object Dedup {
        |cands AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r
-       |    ON l.band = r.band AND l.k0 = r.k0 AND l.k1 = r.k1 AND l.k2 = r.k2
+       |    ON $bandJoinSql
        |   AND l.doc_id < r.doc_id),
        |sh AS (SELECT DISTINCT doc_id, h FROM shingles),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -160,18 +185,24 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** SimHash: 32-bit signature over word tokens; banded into 4 bytes for
-    * candidate generation; hamming distance via bit_count(xor). */
+    * candidate generation; hamming distance via bit_count(xor).
+    *
+    * One aggregation pass with 32 conditional-sum columns instead of a
+    * 32× bit-explode — the shuffle carries J rows per doc, not 32·J. */
   def simhash(docs: DataFrame): DataFrame = {
     val tokens = docs
       .withColumn("tok", explode(split(trim(lower(col("text"))), "\\s+")))
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)").as("h32"))
-    tokens
-      .withColumn("i", explode(expr("sequence(0, 31)")))
-      .groupBy("doc_id", "i")
-      .agg(sum(when(expr("(h32 >> i) & 1") === 1, 1).otherwise(-1)).as("bal"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("bal") > 0, expr("shiftleft(1L, i)")).otherwise(0L)).as("sig"))
+    val balances = (0 until 32).map { i =>
+      sum(when(expr(s"(h32 >> $i) & 1") === 1, 1).otherwise(-1)).as(s"bal$i")
+    }
+    val sigExpr = (0 until 32).map { i =>
+      when(col(s"bal$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    tokens.groupBy("doc_id")
+      .agg(balances.head, balances.tail: _*)
+      .select(col("doc_id"), sigExpr.as("sig"))
   }
 
   /** SimHash near-dup pairs: share ≥1 of 4 byte-bands, hamming ≤ 6. */
