@@ -1,0 +1,36 @@
+package graft.nfl
+
+import graft.SparkTestBase
+
+class CompProbFitSpec extends SparkTestBase {
+
+  test("grid search recovers the generating tti_sigma") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val trueSigma = 0.31; val aMax = 7.67; val sMax = 9.42
+    val k = math.Pi / math.sqrt(3.0) / trueSigma
+    val obs = (1 to 8000).map { _ =>
+      val d = 1.0 + rng.nextDouble() * 15.0
+      val tof = 0.5 + rng.nextDouble() * 3.0
+      val dLt = sMax * sMax / (2 * aMax)
+      val tTot = if (d <= dLt) math.sqrt(2 * d / aMax)
+                 else sMax / aMax + (d - dLt) / sMax
+      val pInt = 1.0 / (1.0 + math.exp(-k * (tof - tTot)))
+      val completed = if (rng.nextDouble() < 1.0 - pInt) 1 else 0
+      (d, tof, completed)
+    }.toDF("def_dist", "tof", "completed")
+
+    val fitted = CompProbFit.fit(obs, CompProbFit.defaultGrid)
+    assert(fitted.n == 8000)
+    assert(fitted.ttiSigma == trueSigma,
+      s"expected $trueSigma, got ${fitted.ttiSigma} (bce=${fitted.bce})")
+    assert(fitted.aMax == aMax && fitted.sMax == sMax)
+  }
+
+  test("degenerate observations still return a finite loss") {
+    import spark.implicits._
+    val obs = Seq((5.0, 2.0, 1), (5.0, 2.0, 0)).toDF("def_dist", "tof", "completed")
+    val r = CompProbFit.fit(obs, CompProbFit.defaultGrid.take(5))
+    assert(!r.bce.isNaN && !r.bce.isInfinite)
+  }
+}
