@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the properties that make these queries
+  * survive a 100× scale-up are checked explicitly, not assumed —
+  * predicate pushdown into the parquet scan, column pruning, broadcast
+  * joins for dims, whole-stage codegen coverage, and partial (map-side)
+  * aggregation.
+  */
+class PlanSpec extends SparkTestBase {
+
+  def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q6: filters are pushed into the parquet scan") {
+    val p = plan(SparkEntry.queries("q6_forecast_revenue")(spark, sfDir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), "shipdate filter must reach the scan")
+    assert(p.contains("l_discount"), "discount filter must reach the scan")
+  }
+
+  test("q6: scan reads only the referenced columns") {
+    val p = plan(SparkEntry.queries("q6_forecast_revenue")(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"over-wide scan: $readSchema")
+  }
+
+  test("q5: dimension joins broadcast, fact join shuffles") {
+    val p = plan(SparkEntry.queries("q5_region_revenue")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "nation/region must broadcast")
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("q1: aggregation is partial then final (map-side combine)") {
+    val p = plan(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, plan:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan→filter→project spine") {
+    // AQE finalizes the plan only on execution; inspect the executed one
+    val df = SparkEntry.queries("t_quality_score")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(N)" prefixes mark WholeStageCodegen spans in the compact form
+    assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(p).isDefined,
+      p.take(800))
+  }
+
+  test("windows over the same keys need at most one hash exchange") {
+    val p = plan(SparkEntry.queries("w_last_per_group")(spark, sfDir))
+    assert(p.contains("Window"), p)
+    // both window functions partition by user_id: exactly one
+    // hashpartitioning(user_id) exchange may appear
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(hashExchanges <= 1, s"redundant shuffle for same-key windows:\n$p")
+  }
+
+  test("ann top-k: the quantized dot runs inside codegen (no UDF)") {
+    val p = plan(graft.similarity.Ann.bruteForceTopK(spark, sfDir))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "dot product must not be a UDF")
+    assert(p.contains("graft_dot") || p.contains("WholeStageCodegen"), p)
+  }
+
+  test("entry flagship plan has no cartesian product") {
+    val p = plan(SparkEntry.entry(spark))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
