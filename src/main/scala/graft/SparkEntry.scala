@@ -46,6 +46,8 @@ object SparkEntry {
     "d_simhash" -> (graft.dedup.Dedup.simhashDup _),
     "s_ann_topk" -> (graft.similarity.Ann.bruteForceTopK _),
     "s_lsh_pairs" -> (graft.similarity.Ann.lshPairs _),
+    "s_ivf_topk" -> (graft.similarity.Ann.ivfTopK _),
+    "d_embedding_dup" -> (graft.similarity.Ann.embeddingDup _),
     "f_fingerprint" -> (graft.functions.TextFunctions.fingerprint _),
     "f_langid" -> (graft.functions.TextFunctions.langId _),
     "f_bpe_tokens" -> (graft.functions.TextFunctions.bpeTokenCount _),
@@ -90,6 +92,8 @@ object SparkEntry {
     "d_simhash" -> graft.dedup.Dedup.simhashDupSql,
     "s_ann_topk" -> graft.similarity.Ann.bruteForceTopKSql,
     "s_lsh_pairs" -> graft.similarity.Ann.lshPairsSql,
+    "s_ivf_topk" -> graft.similarity.Ann.ivfTopKSql,
+    "d_embedding_dup" -> graft.similarity.Ann.embeddingDupSql,
     "f_fingerprint" -> graft.functions.TextFunctions.fingerprintSql,
     "f_langid" -> graft.functions.TextFunctions.langIdSql,
     "f_bpe_tokens" -> graft.functions.TextFunctions.bpeTokenCountSql,

@@ -117,6 +117,143 @@ object Ann {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Embedding-cosine near-duplicate pairs. Candidates come from the LSH
+    * buckets; the cosine test is the exact rational comparison
+    * cos²(a,b) ≥ 0.9 ⇔ 10·(a·b)² ≥ 9·‖a‖²·‖b‖² on integer-quantized
+    * vectors (scale 100 keeps 10·dot⁴-order products inside int64), so
+    * no floating sqrt ever happens — bit-stable in any engine. */
+  def embeddingDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 100)).as("q"))
+      .withColumn("bucket", bucketExpr(col("q")))
+      .withColumn("norm2", intDot(col("q"), col("q")).cast("long"))
+    val l = emb.select(col("bucket").as("bkt"), col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("norm2").as("na"))
+    val r = emb.select(col("bucket").as("bkt_r"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("norm2").as("nb"))
+    l.join(r, col("bkt") === col("bkt_r") && col("vec_a") < col("vec_b"))
+      .withColumn("dot", intDot(col("qa"), col("qb")).cast("long"))
+      // exact rational cosine tests: cos ≥ t ⇔ dot > 0 ∧ dot²/t² ≥ na·nb
+      .withColumn("is_dup", (col("dot") > 0 &&
+        col("dot") * col("dot") * 10 >= col("na") * col("nb") * 9).cast("int"))
+      .withColumn("is_similar", (col("dot") > 0 &&
+        col("dot") * col("dot") * 25 >= col("na") * col("nb")).cast("int"))
+      .select(col("vec_a"), col("vec_b"), col("dot"), col("is_dup"), col("is_similar"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val embeddingDupSql: String = {
+    val q100 = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 100.0))"
+    s"""WITH qv AS (
+       |  SELECT vec_id, $q100 AS q,
+       |    CAST(list_dot_product($q100, $q100) AS BIGINT) AS norm2
+       |  FROM embeddings),
+       |coords AS (
+       |  SELECT vec_id, i, q[i + 1] AS x
+       |  FROM qv, UNNEST(range(0, $Dim)) AS t(i)),
+       |proj AS (
+       |  SELECT c.vec_id, p.p,
+       |    sum(c.x * (CASE WHEN strpos('89abcdef',
+       |        substring(md5(CAST(p.p AS VARCHAR) || '_' || CAST(c.i AS VARCHAR)), 1, 1)) > 0
+       |      THEN 1.0 ELSE -1.0 END)) AS dot_p
+       |  FROM coords c, UNNEST(range(0, $NumPlanes)) AS p(p)
+       |  GROUP BY 1, 2),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN dot_p > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id)
+       |SELECT vec_a, vec_b, dot,
+       |  CAST(dot > 0 AND dot * dot * 10 >= na * nb * 9 AS INT) AS is_dup,
+       |  CAST(dot > 0 AND dot * dot * 25 >= na * nb AS INT) AS is_similar
+       |FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+       |    a.norm2 AS na, b.norm2 AS nb
+       |  FROM qv a JOIN buckets ba ON a.vec_id = ba.vec_id
+       |  JOIN buckets bb ON ba.bucket = bb.bucket
+       |  JOIN qv b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id) t
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** IVF-style ANN: coarse cells = the embeddings' label partitions with
+    * floor-integer centroids (sum DIV n per coordinate — deterministic);
+    * each query probes only its nearest centroid's inverted list. The
+    * scale path: the fine search shuffles one cell, not the corpus.
+    * Exact integer arithmetic end-to-end (L2-to-centroid compared via
+    * n²-scaled expansion — no division). */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), quantized(col("embedding")).as("q"))
+    // integer centroids per label cell: per-coordinate sum DIV count
+    val cents = emb
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      // floor (not truncate): DuckDB's // truncates toward zero, so both
+      // sides spell out floor(sum / n) explicitly
+      .agg(floor(sum(col("x").cast("long")) / count(lit(1))).as("cx"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
+      .select(col("label").as("c_label"),
+        expr("transform(pairs, p -> CAST(p.cx AS DOUBLE))").as("centroid"))
+    // nearest centroid per query: argmin ‖q − c‖² = argmin(‖c‖² − 2 q·c)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    val assign = queries.crossJoin(broadcast(cents))
+      .withColumn("score",
+        intDot(col("centroid"), col("centroid")) - intDot(col("qv"), col("centroid")) * 2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score"), col("c_label"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("qv"), col("c_label").as("probe_label"))
+    // fine search inside the probed cell only
+    val scored = assign.join(emb, col("probe_label") === col("label") &&
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("probe_label"), col("vec_id").as("neighbor_id"),
+        intDot(col("qv"), col("q")).cast("long").as("dot"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 3)
+      .select("query_id", "probe_label", "rank", "neighbor_id", "dot")
+      .orderBy("query_id", "rank")
+  }
+
+  val ivfTopKSql: String =
+    s"""WITH qv AS (SELECT vec_id, label, $qListSql AS q FROM embeddings),
+       |coords AS (
+       |  SELECT vec_id, label, i, q[i + 1] AS x
+       |  FROM qv, UNNEST(range(0, $Dim)) AS t(i)),
+       |cents AS (
+       |  SELECT label, i,
+       |    floor(CAST(sum(x) AS DOUBLE) / count(*)) AS cx
+       |  FROM coords GROUP BY 1, 2),
+       |cent_norm AS (
+       |  SELECT label, sum(cx * cx) AS cc FROM cents GROUP BY label),
+       |assign AS (
+       |  SELECT query_id, probe_label FROM (
+       |    SELECT qc.vec_id AS query_id, qc.label AS probe_label,
+       |      row_number() OVER (PARTITION BY qc.vec_id
+       |        ORDER BY (cn.cc - 2 * qc.qdot), qc.label) AS rn
+       |    FROM (
+       |      SELECT co.vec_id, ce.label, sum(co.x * ce.cx) AS qdot
+       |      FROM coords co JOIN cents ce ON co.i = ce.i
+       |      WHERE co.vec_id < 20
+       |      GROUP BY 1, 2) qc
+       |    JOIN cent_norm cn ON cn.label = qc.label) t
+       |  WHERE rn = 1)
+       |SELECT query_id, probe_label, rank, neighbor_id, dot FROM (
+       |  SELECT a.query_id, a.probe_label, b.vec_id AS neighbor_id,
+       |    CAST(list_dot_product(q.q, b.q) AS BIGINT) AS dot,
+       |    row_number() OVER (PARTITION BY a.query_id
+       |      ORDER BY CAST(list_dot_product(q.q, b.q) AS BIGINT) DESC, b.vec_id) AS rank
+       |  FROM assign a
+       |  JOIN qv q ON q.vec_id = a.query_id
+       |  JOIN qv b ON b.label = a.probe_label AND b.vec_id <> a.query_id) t
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   val lshPairsSql: String = {
     // plane sign replicated inline: md5('p_i') first hex digit >= '8'
     s"""WITH qv AS (SELECT vec_id, $qListSql AS q FROM embeddings),
