@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources and sinks (SURVEY §2.1 S1–S9), with the two layout tools that
+  * matter at 100 TB:
+  *
+  *  - '''partitioned''' parquet (coarse pruning by e.g. week/gameId —
+  *    replaces the reference's output/{week}/{game}/{play} directory
+  *    scheme, `play_eppa_cpu.py:543-545`), written with DYNAMIC partition
+  *    overwrite so re-running a slice is idempotent (S9's skip-if-exists
+  *    without the bookkeeping);
+  *  - '''bucketed''' tables (hash-clustered by join key): two tables
+  *    bucketed the same way join with NO exchange on either side — the
+  *    co-located-join story for repeated fact-fact joins.
+  */
+object Store {
+
+  /** S1/S2: schema'd CSV scan — header'd, never inference in production. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** S7/S8: partitioned parquet sink with dynamic overwrite: writing a
+    * subset of partitions replaces only those partitions. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** S9: resumable batch — drop input rows whose partition key already
+    * exists in the output (the reference's skip-if-exists dir check,
+    * `comb_model_big_run_cpu.py:30-45`, as an anti-join). */
+  def skipExisting(input: DataFrame, outPath: String,
+                   keyCols: Seq[String]): DataFrame = {
+    val spark = input.sparkSession
+    val existing = try {
+      spark.read.parquet(outPath).select(keyCols.map(col): _*).distinct()
+    } catch {
+      case _: Exception => return input // no output yet → nothing to skip
+    }
+    input.join(broadcast(existing), keyCols, "left_anti")
+  }
+
+  /** Bucketed managed table: hash-clustered and sorted by the join key.
+    * Requires a warehouse-backed catalog (default in-memory catalog
+    * works locally; external metastore on a cluster). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a crashed prior run can leave the managed location behind with no
+    // catalog entry — clear it or CTAS refuses (LOCATION_ALREADY_EXISTS)
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Join two same-bucketed tables on the bucket key — planner should
+    * produce a sort-merge join with zero Exchange operators. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

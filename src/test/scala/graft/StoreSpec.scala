@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Store
+
+class StoreSpec extends SparkTestBase {
+
+  def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_store").toString
+
+  test("partitioned write + dynamic overwrite is idempotent per partition") {
+    val out = tmp()
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Store.writePartitioned(ev, out, Seq("day"))
+    val total = spark.read.parquet(out).count()
+    assert(total == ev.count())
+    // overwrite ONE day: total unchanged (that partition replaced, not appended)
+    val oneDay = ev.filter(col("day") === "2024-01-05")
+    Store.writePartitioned(oneDay, out, Seq("day"))
+    assert(spark.read.parquet(out).count() == total)
+  }
+
+  test("skipExisting anti-joins away already-written keys") {
+    val out = tmp()
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val firstHalf = ev.filter(col("day") < "2024-01-15")
+    Store.writePartitioned(firstHalf, out, Seq("day"))
+    val remaining = Store.skipExisting(ev, out, Seq("day"))
+    assert(remaining.count() == ev.count() - firstHalf.count())
+    // and against a nonexistent path, everything passes through
+    assert(Store.skipExisting(ev, tmp() + "/nope", Seq("day")).count() == ev.count())
+  }
+
+  test("same-bucketed join plans with zero exchanges") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    Store.writeBucketed(li, "li_b", "l_orderkey", 8)
+    Store.writeBucketed(ord, "ord_b", "l_orderkey", 8)
+    // disable auto-broadcast so the small test tables take the same
+    // sort-merge path a 100 TB fact-fact join would
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Store.bucketedJoin(spark, "li_b", "ord_b", "l_orderkey")
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${plan.take(1200)}")
+      assert(plan.contains("Bucketed: true"), plan.take(1200))
+      // the un-bucketed equivalent of the same join DOES shuffle — the
+      // bucketing removed the exchanges, not the data size
+      val unbucketed = li.join(ord, "l_orderkey")
+      unbucketed.count()
+      val planU = unbucketed.queryExecution.executedPlan.toString
+      assert(planU.contains("Exchange"), planU.take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
