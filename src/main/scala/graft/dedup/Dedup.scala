@@ -57,7 +57,11 @@ object Dedup {
 
   /** Doc → NumHashes minhash signature values (one aggregation pass). */
   def signatures(docs: DataFrame): DataFrame =
-    shingleHashes(docs).groupBy("doc_id")
+    signaturesFromHashes(shingleHashes(docs))
+
+  /** Same, over a pre-computed (and possibly cached) shingle-hash table. */
+  def signaturesFromHashes(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
       .agg(minhashAgg(0), (1 until NumHashes).map(minhashAgg): _*)
 
   /** LSH candidate pairs: docs sharing at least one band of the signature.
@@ -67,8 +71,11 @@ object Dedup {
     * the join's two scans re-evaluate the whole shingle→md5→min-agg
     * subtree per side (at 100 TB this would be a checkpoint to parquet,
     * same idea). Bands explode in a single pass, not a 4-way union. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(Tables.documents(spark, dir))
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    bandCandidates(signatures(Tables.documents(spark, dir)))
+
+  /** Band-bucket self-join over a signature table → candidate pairs. */
+  def bandCandidates(sigs: DataFrame): DataFrame = {
     val keyNames = (0 until RowsPerBand).map(r => s"k$r")
     val bandStructs = (0 until Bands).map { b =>
       val fields = lit(b).as("band") +:
@@ -137,9 +144,12 @@ object Dedup {
     * jaccard_bp = floor(10000 * |A∩B| / |A∪B|); is_dup at 80%. */
   def lshJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val cands = minhashLsh(spark, dir).select("doc_a", "doc_b")
+    // ONE shingle→md5 pass feeds both the signatures and the verification
+    // join: minhash-of-distinct equals minhash-of-multiset, so the cached
+    // distinct table serves both
     val sh = shingleHashes(docs).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = bandCandidates(signaturesFromHashes(sh)).select("doc_a", "doc_b")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("h"))
     val shB = sh.select(col("doc_id").as("doc_b2"), col("h").as("h_b"))

@@ -168,7 +168,13 @@ object FrameEppa {
           var prodDef = 1.0
           j = 0
           while (j < J) {
-            val p = 1.0 / (1.0 + math.exp(-sigK * (tt - tTot(f * J + j))))
+            // saturated-sigmoid guard: beyond |36/σk| the exp under/overflows
+            // to an exact 0/1 anyway — skip the transcendental (most field
+            // cells are far from most players, so this is the common case)
+            val a = sigK * (tt - tTot(f * J + j))
+            val p = if (a > 36.0) 1.0
+                    else if (a < -36.0) 0.0
+                    else 1.0 / (1.0 + math.exp(-a))
             pAdj((f * NT + k) * J + j) = p
             if (!ps(j).isOff) prodDef *= (1.0 - p)
             j += 1
