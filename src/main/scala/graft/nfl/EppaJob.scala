@@ -34,13 +34,22 @@ object EppaJob {
         min(when(col("event") === "ball_snap", col("frameId"))).over(wPlay))
       .withColumn("throw_frame",
         min(when(col("event") === "pass_forward", col("frameId"))).over(wPlay))
+      .withColumn("arrive_frame",
+        min(when(col("event") === "pass_arrived", col("frameId"))).over(wPlay))
+      // actual landing spot = ball position at pass_arrived → true-pass
+      // backtest indices (play_eppa_cpu.py:105-119)
+      .withColumn("true_bx", max(when(
+        col("nflId") === 0 && col("event") === "pass_arrived", col("x"))).over(wPlay))
+      .withColumn("true_by", max(when(
+        col("nflId") === 0 && col("event") === "pass_arrived", col("y"))).over(wPlay))
       .withColumn("fss", col("frameId") - col("snap_frame"))
       .filter(col("snap_frame").isNotNull && col("throw_frame").isNotNull &&
         col("fss") >= MinFramesAfterSnap &&
         col("fss") <= MaxFramesAfterSnap &&
         col("frameId") <= col("throw_frame"))
       .select("gameId", "playId", "frameId", "fss", "nflId", "displayName",
-        "team_pos", "position", "x", "y", "v_x", "v_y", "a_x", "a_y")
+        "team_pos", "position", "x", "y", "v_x", "v_y", "a_x", "a_y",
+        "throw_frame", "arrive_frame", "true_bx", "true_by")
 
     annotated
       .groupByKey(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
@@ -64,8 +73,22 @@ object EppaJob {
                 r.getAs[Double]("a_x"), r.getAs[Double]("a_y"))
             }.toArray
           val fss = rs.head.getAs[Int]("fss")
+          val head = rs.head
+          // true pass: landing cell + flight-time index (clipped to grid)
+          val (tf, tt) = (Option(head.getAs[Any]("arrive_frame")),
+              Option(head.getAs[Any]("true_bx"))) match {
+            case (Some(arr), Some(_)) =>
+              val bx = head.getAs[Double]("true_bx")
+              val by = head.getAs[Double]("true_by")
+              val cx = math.rint(math.max(0.0, math.min(FrameEppa.Nx - 1.0, bx - 0.5))).toInt
+              val cy = math.rint(math.max(0.0, math.min(FrameEppa.Ny - 1.0, by + 0.5))).toInt
+              val tofFrames = arr.asInstanceOf[Int] - head.getAs[Int]("throw_frame")
+              val tIdx = math.max(0, math.min(FrameEppa.NT - 1, tofFrames - 1))
+              (cy * FrameEppa.Nx + cx, tIdx)
+            case _ => (-1, -1)
+          }
           Iterator.single(FrameEppa.FrameInput(g, p, fr, fss,
-            qb.get.getAs[Double]("x"), qb.get.getAs[Double]("y"), players))
+            qb.get.getAs[Double]("x"), qb.get.getAs[Double]("y"), players, tf, tt))
         }
       }
   }

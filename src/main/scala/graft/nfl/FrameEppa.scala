@@ -47,15 +47,23 @@ object FrameEppa {
                           x: Double, y: Double, vx: Double, vy: Double,
                           ax: Double, ay: Double)
 
-  /** One frame of one play, ready for the kernel. */
+  /** One frame of one play, ready for the kernel. trueFIdx/trueTIdx index
+    * the play's ACTUAL pass (landing cell, flight time) when known —
+    * the back-testing hook (`play_eppa_cpu.py:105-119`); −1 = unknown. */
   final case class FrameInput(gameId: Long, playId: Long, frameId: Int,
                               framesSinceSnap: Int, ballX: Double, ballY: Double,
-                              players: Array[Player])
+                              players: Array[Player],
+                              trueFIdx: Int = -1, trueTIdx: Int = -1)
 
   final case class PassSummary(gameId: Long, playId: Long, frameId: Int,
       framesSinceSnap: Int, eppa1Tot: Double, maxEppa1: Double,
       maxX: Double, maxY: Double, maxT: Double, maxPpcOff: Double,
-      maxXepaComp: Double, maxTrans: Double)
+      maxXepaComp: Double, maxTrans: Double,
+      // true-pass backtest (play_eppa_cpu.py:593-612): model surface
+      // sampled at the play's actual throw; NaN when unknown
+      trueX: Double = Double.NaN, trueY: Double = Double.NaN,
+      trueT: Double = Double.NaN, truePpcOff: Double = Double.NaN,
+      trueEppa1: Double = Double.NaN, trueTrans: Double = Double.NaN)
 
   final case class PlayerStat(gameId: Long, playId: Long, frameId: Int,
       nflId: Long, displayName: String, teamPos: String,
@@ -386,8 +394,16 @@ object FrameEppa {
         i += 1
       }
       val bf = best / NT; val bk = best % NT
-      val pass = PassSummary(in.gameId, in.playId, in.frameId, in.framesSinceSnap,
+      val pass0 = PassSummary(in.gameId, in.playId, in.frameId, in.framesSinceSnap,
         tot, bestV, gx(bf), gy(bf), tOf(bk), ppcOff(best), xepaComp(best), trans(best))
+      val pass =
+        if (in.trueFIdx >= 0 && in.trueFIdx < F &&
+            in.trueTIdx >= 0 && in.trueTIdx < NT) {
+          val ti = in.trueFIdx * NT + in.trueTIdx
+          pass0.copy(trueX = gx(in.trueFIdx), trueY = gy(in.trueFIdx),
+            trueT = tOf(in.trueTIdx), truePpcOff = ppcOff(ti),
+            trueEppa1 = eppa1(ti), trueTrans = trans(ti))
+        } else pass0
 
       val stats = Array.tabulate(J) { jj =>
         var sV = 0.0; var sW = 0.0

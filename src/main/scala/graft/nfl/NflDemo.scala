@@ -46,7 +46,8 @@ object NflDemo {
     val passes = out.map(_.pass).toDF()
     println(s"KERNEL_FRAMES_DONE=${passes.count()} in ${(System.nanoTime() - t0) / 1e9}%s sec")
     passes.select("gameId", "playId", "frameId", "eppa1Tot", "maxEppa1",
-      "maxX", "maxY", "maxT", "maxPpcOff").show(6, false)
+      "maxX", "maxY", "maxT", "maxPpcOff", "trueX", "trueY", "trueT",
+      "truePpcOff").show(6, false)
 
     // rankings over kernel outputs (§3.3)
     val summary = Rankings.playSummary(passes)

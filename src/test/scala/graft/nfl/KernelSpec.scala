@@ -103,6 +103,20 @@ class KernelSpec extends SparkTestBase {
     assert(cell.ppcDefMax == 0.0)
   }
 
+  test("true-pass backtest samples the surface at the actual throw") {
+    val in = frame(Array(
+      mkPlayer(1, off = true, 45, 26),
+      mkPlayer(2, off = false, 50, 30)))
+      .copy(trueFIdx = 26 * F / (55 * 1) / 120 * 120 + 50, trueTIdx = 19)
+    val out2 = kernel().compute(in, flatEpa, 0.0)
+    assert(!out2.pass.truePpcOff.isNaN)
+    assert(out2.pass.truePpcOff >= 0 && out2.pass.truePpcOff <= 1 + 1e-9)
+    assert(out2.pass.trueT == 2.0)
+    assert(!out2.pass.trueEppa1.isNaN)
+    // and without true indices the fields stay NaN
+    assert(out.pass.truePpcOff.isNaN)
+  }
+
   test("spark job end-to-end over toy play") {
     val norm = Normalize(ToyData.tracking(spark), ToyData.games(spark),
       ToyData.plays(spark))
