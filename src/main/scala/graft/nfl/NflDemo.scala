@@ -41,8 +41,13 @@ object NflDemo {
       .map(k => k -> (Array.tabulate(120)(i => i / 60.0), -0.5)).toMap
     val inputs = EppaJob.frameInputs(norm)
     println(s"KERNEL_INPUT_FRAMES=${inputs.count()}")
+    // priors fitted from this corpus's own observed passes (synthetic
+    // fallback fills distances the 4 toy plays never threw)
+    val obs = Priors.observedPasses(norm)
+    println(s"OBSERVED_PASSES=${obs.count()}")
+    val priors = Priors.fitFromTracking(norm)
     val t0 = System.nanoTime()
-    val out = EppaJob.run(inputs, epaTables).cache()
+    val out = EppaJob.run(inputs, epaTables, priors = priors).cache()
     val passes = out.map(_.pass).toDF()
     println(s"KERNEL_FRAMES_DONE=${passes.count()} in ${(System.nanoTime() - t0) / 1e9}%s sec")
     passes.select("gameId", "playId", "frameId", "eppa1Tot", "maxEppa1",

@@ -129,6 +129,41 @@ object Priors {
     FrameEppa.Priors(table)
   }
 
+  /** Observed passes from normalized tracking: one row per play with the
+    * throw→arrival ball displacement and flight time — the input
+    * `fitTGivenL` fits (reference `historical-L-T.ipynb` cells 2-6 derive
+    * the same pairs from `pass_forward`/`pass_arrived` ball rows). */
+  def observedPasses(norm: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPlay = Window.partitionBy("gameId", "playId")
+    def ballAt(event: String, c: String) =
+      max(when(col("nflId") === 0 && col("event") === event, col(c))).over(wPlay)
+    norm
+      .withColumn("tx", ballAt("pass_forward", "x"))
+      .withColumn("ty", ballAt("pass_forward", "y"))
+      .withColumn("ax", ballAt("pass_arrived", "x"))
+      .withColumn("ay", ballAt("pass_arrived", "y"))
+      .withColumn("tf", max(when(col("event") === "pass_forward", col("frameId"))).over(wPlay))
+      .withColumn("af", max(when(col("event") === "pass_arrived", col("frameId"))).over(wPlay))
+      .filter(col("tx").isNotNull && col("ax").isNotNull && col("af") > col("tf"))
+      .select(col("gameId"), col("playId"),
+        hypot(col("ax") - col("tx"), col("ay") - col("ty")).as("dist"),
+        ((col("af") - col("tf")) * 0.1).as("tof"))
+      .distinct()
+  }
+
+  /** End-to-end prior build: tracking → observed passes → fitted T|L
+    * table, falling back to the synthetic prior for unobserved distances
+    * (sparse corpora must not zero out the transition model). */
+  def fitFromTracking(norm: DataFrame): FrameEppa.Priors = {
+    val fitted = fitTGivenL(observedPasses(norm))
+    val synth = FrameEppa.Priors.synthetic()
+    val merged = fitted.tGivenL.zip(synth.tGivenL).map { case (f, s) =>
+      if (f.sum > 0) f else s
+    }
+    fitted.copy(tGivenL = merged)
+  }
+
   /** 2-D binned density + separable Gaussian smoothing (A9): counts from
     * the cluster, blur on the driver (grid is 80×80). */
   def smoothedDensity2D(points: DataFrame, xCol: String, yCol: String,
