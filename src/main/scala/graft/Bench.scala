@@ -12,15 +12,39 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    // Free any cached/persisted intermediates a query left behind (the
+    // dedup family persists its shingle table) so run 2 measures the same
+    // work as run 1 and 82 executions don't accumulate storage memory.
+    def clearPersisted(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // toRdd.count() executes the FULL physical plan (a plain .count()
       // lets the optimizer drop final sorts and projections)
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        System.err.println(s"[bench] failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      clearPersisted()
+      dt
+    }
+
+    // JVM/codegen warm-up: one untimed scan+agg so the first timed query
+    // doesn't book classloading + codegen compiler start-up (~6 s in r01).
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().queryExecution.toRdd.count()
+    } catch { case _: Throwable => () }
+
+    // Best-of-2 per query: run-to-run variance on this box is ±40%; min of
+    // two executions is the stable statistic for round-over-round deltas.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> math.min(runOnce(fn), runOnce(fn))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

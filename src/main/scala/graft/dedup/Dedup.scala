@@ -35,8 +35,13 @@ object Dedup {
   /** Per-doc exploded (doc_id, shingle-hash) pairs, lowercased char
     * shingles of width K. The transform(sequence(...)) generator runs
     * inside codegen — no UDF, no driver loop (SURVEY §2.12: grid
-    * expansion via built-in generators). */
-  def shingleHashes(docs: DataFrame): DataFrame =
+    * expansion via built-in generators). Hashing is the codegen
+    * graft_md5_prefix64 expression — identical value to
+    * `conv(substring(md5(x),1,15),16,10)` (the oracle-side SQL) without
+    * the per-shingle hex-string materialization and base-16 parse that
+    * made this the round-1 bench hotspot. */
+  def shingleHashes(docs: DataFrame): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
     docs
       // hoist lower(text) out of the transform lambda: inside it, the
       // expression re-evaluates per element → O(len²) per document
@@ -45,8 +50,9 @@ object Dedup {
         s"transform(sequence(1, greatest(length(lt) - ${K - 1}, 1))," +
           s" i -> substring(lt, i, $K))")))
       .select(col("doc_id"),
-        (expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)")
+        (graft.functions.HashExpressions.md5Prefix64(col("shingle"), 15)
           % P).as("h"))
+  }
 
   /** MinHash signature column j: min((a_j * h + b_j) mod P) over shingles. */
   private def minhashAgg(j: Int): Column = {
@@ -200,10 +206,11 @@ object Dedup {
     * One aggregation pass with 32 conditional-sum columns instead of a
     * 32× bit-explode — the shuffle carries J rows per doc, not 32·J. */
   def simhash(docs: DataFrame): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
     val tokens = docs
       .withColumn("tok", explode(split(trim(lower(col("text"))), "\\s+")))
       .select(col("doc_id"),
-        expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)").as("h32"))
+        graft.functions.HashExpressions.md5Prefix64(col("tok"), 8).as("h32"))
     val balances = (0 until 32).map { i =>
       sum(when(expr(s"(h32 >> $i) & 1") === 1, 1).otherwise(-1)).as(s"bal$i")
     }

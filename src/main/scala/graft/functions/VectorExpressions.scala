@@ -162,5 +162,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[VectorExpressions.CosineSimilarity].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => VectorExpressions.CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_md5_prefix64"),
+      new ExpressionInfo(classOf[HashExpressions.Md5Prefix64].getName, "graft_md5_prefix64"),
+      (exprs: Seq[Expression]) => HashExpressions.fromExprs(exprs)))
   }
 }
