@@ -40,13 +40,37 @@ object GbdtScorer {
     }
   }
 
+  /** `treeClass(i)` = class tree i contributes to. Text dumps don't carry
+    * it → round-robin `i % numClasses` (XGBoost's layout); the binary
+    * format stores it explicitly (`tree_info`). */
   final case class Model(trees: Array[Tree], numClasses: Int,
-                         featureIndex: Map[String, Int]) {
-    def margins(x: Array[Double]): Array[Double] = {
+                         featureIndex: Map[String, Int],
+                         treeClass: Array[Int] = null) {
+    private def classOf(i: Int): Int =
+      if (treeClass == null) i % numClasses else treeClass(i)
+    // Constant-fold single-leaf boosters into a per-class base margin: a
+    // converged multiclass dump is mostly pure-leaf trees (89% of the
+    // reference xyac raw dump's boosters), so scoring walks only the
+    // real trees. Exact — addition is the same, just reordered per class.
+    private val baseMargin: Array[Double] = {
       val m = new Array[Double](numClasses)
       var i = 0
       while (i < trees.length) {
-        m(i % numClasses) += trees(i).score(x)
+        if (trees(i).feat(0) < 0) m(classOf(i)) += trees(i).leaf(0)
+        i += 1
+      }
+      m
+    }
+    private val activeIdx: Array[Int] =
+      trees.indices.filter(i => trees(i).feat(0) >= 0).toArray
+    private val activeTrees: Array[Tree] = activeIdx.map(trees(_))
+    private val activeClass: Array[Int] = activeIdx.map(classOf)
+
+    def margins(x: Array[Double]): Array[Double] = {
+      val m = java.util.Arrays.copyOf(baseMargin, numClasses)
+      var i = 0
+      while (i < activeTrees.length) {
+        m(activeClass(i)) += activeTrees(i).score(x)
         i += 1
       }
       m

@@ -303,6 +303,13 @@ object FrameEppa {
         val fx = gx(f); val fy = gy(f)
         var k = 0
         while (k < NT) {
+          // prior == 0 ⇒ trans == 0 ⇒ eppa1 == 0 and every xyac-derived
+          // quantity is weighted by trans — skipping the GBDT walk (and the
+          // defender projections feeding it) is exact, and with the real
+          // 30k-tree model it is the difference between ~all and ~half the
+          // kernel's work (the L-window + dist ≤ 60 mask zeroes most cells)
+          if (prior(f * NT + k) == 0.0) { k += 1 }
+          else {
           val T = tOf(k)
           var di = 0
           while (di < nDef) {
@@ -353,6 +360,7 @@ object FrameEppa {
           feats(24) = fy
           xyac(f * NT + k) = xyacScore(feats)
           k += 1
+          }
         }
         f += 1
       }

@@ -46,8 +46,14 @@ object NflDemo {
     val obs = Priors.observedPasses(norm)
     println(s"OBSERVED_PASSES=${obs.count()}")
     val priors = Priors.fitFromTracking(norm)
+    // real trained xyac GBDT when the reference checkout is present
+    // (play_eppa_cpu.py:80,456-459); flat-yac stub otherwise
+    val xyacModel = XyacModel.loadReferenceIfPresent()
+    val xyac = xyacModel.map(XyacModel.kernelScorer)
+      .getOrElse((_: Array[Double]) => 5.0)
+    println(s"XYAC_MODEL=${xyacModel.map(m => s"reference-${m.trees.length}-trees").getOrElse("stub")}")
     val t0 = System.nanoTime()
-    val out = EppaJob.run(inputs, epaTables, priors = priors).cache()
+    val out = EppaJob.run(inputs, epaTables, priors = priors, xyacScore = xyac).cache()
     val passes = out.map(_.pass).toDF()
     println(s"KERNEL_FRAMES_DONE=${passes.count()} in ${(System.nanoTime() - t0) / 1e9}%s sec")
     passes.select("gameId", "playId", "frameId", "eppa1Tot", "maxEppa1",
