@@ -29,9 +29,8 @@ object NflDemo {
 
     val pre = Seq((1L, 100L, 1, 60.0, 10.0), (1L, 200L, 3, 40.0, 5.0))
       .toDF("gameId", "playId", "down_x", "yardline_100", "ydstogo")
-    val stubEp: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-      df => df.withColumn("xep", (lit(100.0) - col("yardline_100_post")) / 20.0)
-    val epa = EpaModel.epaTable(pre, stubEp)
+    // 7-class EP GBDT (fixture ensemble; EpModel.load(path) for a real dump)
+    val epa = EpaModel.epaTable(pre, EpModel.fixtureScorer)
     println(s"EPA_ROWS=${epa.count()}")
     epa.filter($"play_endpoint_x".isin(0.5, 60.5, 110.5)).orderBy("playId", "play_endpoint_x")
       .show(10, false)
