@@ -116,8 +116,9 @@ object EppaJob {
     }
   }
 
-  /** Write the three output tables partitioned like the reference's
-    * output/{game}/{play} tree (S8 → dynamic partition overwrite). */
+  /** Write the four output tables partitioned like the reference's
+    * output/{game}/{play} tree (S8 → dynamic partition overwrite; the 4th
+    * mirrors `true_pass_player_proj.pkl`, play_eppa_cpu.py:675). */
   def writeOutputs(out: Dataset[FrameEppa.FrameOutput], dir: String): Unit = {
     val spark = out.sparkSession
     import spark.implicits._
@@ -128,6 +129,8 @@ object EppaJob {
       .write.mode("overwrite").partitionBy("gameId").parquet(s"$dir/player_stats")
     cached.flatMap(_.field).toDF()
       .write.mode("overwrite").partitionBy("gameId").parquet(s"$dir/field_viz")
+    cached.flatMap(_.proj).toDF()
+      .write.mode("overwrite").partitionBy("gameId").parquet(s"$dir/player_proj")
     cached.unpersist()
   }
 }

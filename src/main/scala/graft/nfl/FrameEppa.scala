@@ -73,8 +73,24 @@ object FrameEppa {
       x: Double, y: Double, eppa1Max: Double, eppa1Sum: Double,
       ppcOffMax: Double, ppcDefMax: Double, transSum: Double)
 
+  /** Per-player projection snapshot at the play's TRUE pass cell
+    * (`play_eppa_cpu.py:507-540`, written as `true_pass_player_proj.pkl`,
+    * merged back onto tracking at `:668`): reaction state, intercept
+    * geometry, motion-phase decomposition, arrival probabilities, and the
+    * projected (x, y, v) along the actual trajectory. One row per player
+    * per frame; only frames of plays with a known true pass emit rows. */
+  final case class PlayerProj(gameId: Long, playId: Long, frameId: Int,
+      nflId: Long,
+      reaxX: Double, reaxY: Double, reaxVx: Double, reaxVy: Double,
+      dVecX: Double, dVecY: Double, dMag: Double, intS0: Double,
+      tLtSmax: Double, dLtSmax: Double, tAtSmax: Double, dAtSmax: Double,
+      tTot: Double, intDT: Double, pInt: Double, pIntAdj: Double,
+      dProj: Double, sProj: Double, projX: Double, projY: Double,
+      projVx: Double, projVy: Double, ppcInd: Double)
+
   final case class FrameOutput(pass: PassSummary, players: Array[PlayerStat],
-                               field: Array[FieldCell])
+                               field: Array[FieldCell],
+                               proj: Array[PlayerProj] = Array.empty)
 
   /** xyac feature vector layout fed to the injected GBDT scorer:
     * 0 pass_x, 1 pass_y, 2 frame_thrown, 3 tof, 4-8 d1..d5, 9-13 x1..x5,
@@ -444,7 +460,48 @@ object FrameEppa {
         FieldCell(in.gameId, in.playId, in.frameId, gx(ff), gy(ff), m, s, po, pd, tr)
       }
 
-      FrameOutput(pass, stats, field)
+      // ---- F10 proj: per-player snapshot at the true pass cell
+      // (play_eppa_cpu.py:507-540; same piecewise motion model as the
+      // xyac block above, here for every player at one (f,T))
+      val proj: Array[PlayerProj] =
+        if (in.trueFIdx >= 0 && in.trueFIdx < F &&
+            in.trueTIdx >= 0 && in.trueTIdx < NT) {
+          val tfI = in.trueFIdx; val tkI = in.trueTIdx
+          val T = tOf(tkI)
+          Array.tabulate(J) { jj =>
+            val idx = tfI * J + jj
+            val dAt = dMagA(idx) - dLtA(idx)
+            val tAt = dAt / params.sMax
+            val tPastReax = T - params.reaxT
+            var dProj = 0.0; var sProj = s0A(idx)
+            if (tPastReax > 0) {
+              if (tPastReax <= tLtA(idx)) {
+                dProj = s0A(idx) * tPastReax + 0.5 * params.aMax * tPastReax * tPastReax
+                sProj = s0A(idx) + params.aMax * tPastReax
+              } else {
+                dProj = dLtA(idx) + params.sMax * (tPastReax - tLtA(idx))
+                sProj = params.sMax
+              }
+            }
+            if (dProj > dMagA(idx)) dProj = dMagA(idx)
+            val cellIdx = (tfI * NT + tkI) * J + jj
+            val dT = T - tTot(idx)
+            val a = sigK * dT
+            val pRaw = if (a > 36.0) 1.0
+                       else if (a < -36.0) 0.0
+                       else 1.0 / (1.0 + math.exp(-a))
+            PlayerProj(in.gameId, in.playId, in.frameId, ps(jj).nflId,
+              xr(jj), yr(jj), vxr(jj), vyr(jj),
+              gx(tfI) - xr(jj), gy(tfI) - yr(jj), dMagA(idx), s0A(idx),
+              tLtA(idx), dLtA(idx), tAt, dAt, tTot(idx), dT,
+              pRaw, pAdj(cellIdx),
+              dProj, sProj,
+              xr(jj) + dProj * cosTh(idx), yr(jj) + dProj * sinTh(idx),
+              sProj * cosTh(idx), sProj * sinTh(idx), ppcInd(cellIdx))
+          }
+        } else Array.empty[PlayerProj]
+
+      FrameOutput(pass, stats, field, proj)
     }
   }
 }

@@ -117,6 +117,45 @@ class KernelSpec extends SparkTestBase {
     assert(out.pass.truePpcOff.isNaN)
   }
 
+  test("proj output: one row per player at the true cell, physics consistent") {
+    val tf = 26 * Nx + 50 // cell (x=50.5, y=25.5)
+    val in = frame(Array(
+      mkPlayer(1, off = true, 45, 26),
+      mkPlayer(2, off = false, 50, 30, vx = 1, vy = -2)))
+      .copy(trueFIdx = tf, trueTIdx = 19)
+    val res = kernel().compute(in, flatEpa, 0.0)
+    assert(res.proj.length == 2)
+    val byId = res.proj.map(p => p.nflId -> p).toMap
+    // reaction state equals raw state at reaxT = 0
+    assert(byId(1L).reaxX === 45.0)
+    assert(byId(2L).reaxY === 30.0)
+    def close(a: Double, b: Double, tol: Double = 1e-9) =
+      assert(math.abs(a - b) < tol, s"$a vs $b")
+    res.proj.foreach { p =>
+      close(p.dMag, math.hypot(p.dVecX, p.dVecY), 1e-12)
+      close(p.dVecX, 50.5 - p.reaxX, 1e-12)
+      close(p.dVecY, 25.5 - p.reaxY, 1e-12)
+      // phase decomposition reassembles total time and distance
+      close(p.tTot, p.tLtSmax + p.tAtSmax + params.reaxT)
+      close(p.dLtSmax + p.dAtSmax, p.dMag)
+      close(p.intDT, 2.0 - p.tTot)
+      // projection never overshoots the target and lands on the reach ray
+      assert(p.dProj >= 0 && p.dProj <= p.dMag + 1e-9)
+      close(math.hypot(p.projX - p.reaxX, p.projY - p.reaxY), p.dProj)
+      close(math.hypot(p.projVx, p.projVy), math.abs(p.sProj))
+      assert(p.pInt >= 0 && p.pInt <= 1)
+      assert(p.pIntAdj >= 0 && p.pIntAdj <= p.pInt + 1e-12)
+      assert(p.ppcInd >= 0 && p.ppcInd <= 1 + 1e-9)
+    }
+    // defender 2 starts 4.6 yd from the cell; with T = 2.0 s it arrives:
+    // its raw p_int should be near 1 and d_proj capped at d_mag
+    val d = byId(2L)
+    assert(d.pInt > 0.95)
+    close(d.dProj, d.dMag)
+    // no true cell → no proj rows
+    assert(out.proj.isEmpty)
+  }
+
   test("spark job end-to-end over toy play") {
     val norm = Normalize(ToyData.tracking(spark), ToyData.games(spark),
       ToyData.plays(spark))
