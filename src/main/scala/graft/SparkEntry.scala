@@ -38,11 +38,16 @@ object SparkEntry {
     "j_share_of_spend" -> (Joins.shareOfCustomerSpend _),
     "a_quantiles" -> (Aggregates.quantiles _),
     "a_correlation" -> (Aggregates.correlation _),
+    "a_gamma_moments" -> (Aggregates.gammaMoments _),
     "a_collect_types" -> (Aggregates.collectTypes _),
     "a_cumulative_spend" -> (Aggregates.cumulativeSpend _),
     "a_sessionize" -> (Aggregates.sessionize _),
     "d_minhash_lsh" -> (graft.dedup.Dedup.minhashLsh _),
     "d_lsh_jaccard" -> (graft.dedup.Dedup.lshJaccard _),
+    // xxhash64 production fast paths: no DuckDB twin (rows-only check);
+    // benched alongside the md5-parity forms as the documented 100 TB path
+    "d_minhash_lsh_fast" -> (graft.dedup.Dedup.minhashLshFast _),
+    "d_lsh_jaccard_fast" -> (graft.dedup.Dedup.lshJaccardFast _),
     "d_simhash" -> (graft.dedup.Dedup.simhashDup _),
     "s_ann_topk" -> (graft.similarity.Ann.bruteForceTopK _),
     "s_lsh_pairs" -> (graft.similarity.Ann.lshPairs _),
@@ -84,6 +89,7 @@ object SparkEntry {
     "j_share_of_spend" -> Joins.shareOfCustomerSpendSql,
     "a_quantiles" -> Aggregates.quantilesSql,
     "a_correlation" -> Aggregates.correlationSql,
+    "a_gamma_moments" -> Aggregates.gammaMomentsSql,
     "a_collect_types" -> Aggregates.collectTypesSql,
     "a_cumulative_spend" -> Aggregates.cumulativeSpendSql,
     "a_sessionize" -> Aggregates.sessionizeSql,

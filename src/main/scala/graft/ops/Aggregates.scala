@@ -56,6 +56,33 @@ object Aggregates {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** A8 (oracle-gated form): per-group gamma fit by method of moments —
+    * α̂ = mean²/var, θ̂ = var/mean over positive prices. The kernel path
+    * keeps the Newton-MLE `Aggregator` (Priors.gammaFit, tighter fit);
+    * this variant is expressible in ANSI SQL so prior fitting has a
+    * CORRECTNESS row. Rounded to 6dp to absorb engine-order epsilon in
+    * the co-moments (same rule as `correlation`). */
+  def gammaMoments(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(pow(avg(col("l_extendedprice")), 2) / var_samp(col("l_extendedprice")), 6)
+          .as("alpha_hat"),
+        round(var_samp(col("l_extendedprice")) / avg(col("l_extendedprice")), 6)
+          .as("theta_hat"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val gammaMomentsSql: String =
+    """SELECT l_returnflag,
+      |  round(pow(avg(l_extendedprice), 2) / var_samp(l_extendedprice), 6) AS alpha_hat,
+      |  round(var_samp(l_extendedprice) / avg(l_extendedprice), 6) AS theta_hat,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** A10: per-user sorted distinct event-type list, serialized to a string
     * so the hash compare is scalar (movement_stats cell 24's
     * agg(events=list(...)) → collect_list/array_sort). */
