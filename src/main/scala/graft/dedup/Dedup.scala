@@ -42,6 +42,19 @@ object Dedup {
     * made this the round-1 bench hotspot. */
   def shingleHashes(docs: DataFrame): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)
+    shingleTable(docs,
+      sh => graft.functions.HashExpressions.md5Prefix64(sh, 15) % P)
+  }
+
+  /** Production fast path: xxhash64 (Spark-native, codegen, ~an order of
+    * magnitude cheaper than any md5 form) — NOT oracle-comparable (DuckDB
+    * has no xxhash64), so it ships as a rows-only-checked query and the
+    * documented 100 TB configuration; the md5 form exists for cross-engine
+    * hash parity. pmod because xxhash64 is signed. */
+  def shingleHashesFast(docs: DataFrame): DataFrame =
+    shingleTable(docs, sh => pmod(xxhash64(sh), lit(P)))
+
+  private def shingleTable(docs: DataFrame, hasher: Column => Column): DataFrame =
     docs
       // hoist lower(text) out of the transform lambda: inside it, the
       // expression re-evaluates per element → O(len²) per document
@@ -49,10 +62,7 @@ object Dedup {
       .withColumn("shingle", explode(expr(
         s"transform(sequence(1, greatest(length(lt) - ${K - 1}, 1))," +
           s" i -> substring(lt, i, $K))")))
-      .select(col("doc_id"),
-        (graft.functions.HashExpressions.md5Prefix64(col("shingle"), 15)
-          % P).as("h"))
-  }
+      .select(col("doc_id"), hasher(col("shingle")).as("h"))
 
   /** MinHash signature column j: min((a_j * h + b_j) mod P) over shingles. */
   private def minhashAgg(j: Int): Column = {
@@ -79,6 +89,11 @@ object Dedup {
     * same idea). Bands explode in a single pass, not a 4-way union. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     bandCandidates(signatures(Tables.documents(spark, dir)))
+
+  /** xxhash64 fast-path twin of [[minhashLsh]] (rows-only check). */
+  def minhashLshFast(spark: SparkSession, dir: String): DataFrame =
+    bandCandidates(signaturesFromHashes(
+      shingleHashesFast(Tables.documents(spark, dir))))
 
   /** Band-bucket self-join over a signature table → candidate pairs. */
   def bandCandidates(sigs: DataFrame): DataFrame = {
@@ -148,12 +163,18 @@ object Dedup {
   /** LSH candidates verified with exact shingle-set Jaccard (join-based so
     * Spark and the oracle count the identical distinct-intersection).
     * jaccard_bp = floor(10000 * |A∩B| / |A∪B|); is_dup at 80%. */
-  def lshJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    // ONE shingle→md5 pass feeds both the signatures and the verification
+  def lshJaccard(spark: SparkSession, dir: String): DataFrame =
+    lshJaccardOver(shingleHashes(Tables.documents(spark, dir)))
+
+  /** xxhash64 fast-path twin of [[lshJaccard]] (rows-only check). */
+  def lshJaccardFast(spark: SparkSession, dir: String): DataFrame =
+    lshJaccardOver(shingleHashesFast(Tables.documents(spark, dir)))
+
+  private def lshJaccardOver(shingles: DataFrame): DataFrame = {
+    // ONE shingle-hash pass feeds both the signatures and the verification
     // join: minhash-of-distinct equals minhash-of-multiset, so the cached
     // distinct table serves both
-    val sh = shingleHashes(docs).distinct()
+    val sh = shingles.distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = bandCandidates(signaturesFromHashes(sh)).select("doc_a", "doc_b")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

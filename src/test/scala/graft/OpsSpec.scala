@@ -12,9 +12,26 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
-  test("every query has an oracle") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+  test("every query has an oracle (except declared rows-only fast paths)") {
+    // xxhash64 production variants have no DuckDB twin by design — the
+    // driver records a rows-only check for them; their md5-parity twins
+    // carry the hash gate
+    val rowsOnly = Set("d_minhash_lsh_fast", "d_lsh_jaccard_fast")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
+    assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty)
+  }
+
+  test("fast-path dedup finds the same duplicate pairs as the md5 form") {
+    // different hash family, same banding: the confirmed-dup set (high
+    // Jaccard) must agree even though candidate sets may differ slightly
+    val slow = SparkEntry.queries("d_lsh_jaccard")(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("is_dup") === 1)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = SparkEntry.queries("d_lsh_jaccard_fast")(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("is_dup") === 1)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(slow == fast, s"only-md5=${slow -- fast} only-fast=${fast -- slow}")
   }
 
   test("q1 aggregates are consistent") {
