@@ -1,6 +1,6 @@
 package graft.nfl
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Greedy defensive-positioning optimizer (M5, reference
   * `analysis/optimize_def.py:52-139`): per defender, enumerate kinematically
@@ -9,11 +9,14 @@ import org.apache.spark.sql.SparkSession
   * defender.
   *
   * The greedy outer loop is inherently sequential (SURVEY §7.4 — don't
-  * force it into dataflow); each step's candidate evaluation is the
-  * parallel part: candidates become a Dataset, the frame-EPPA kernel maps
-  * over them as one Spark job (the reference shards this across CUDA
-  * devices, `optimize_def.py:188-190`). Defenders are processed
-  * line-of-scrimmage → backfield (`optimize_def.py:101-103`).
+  * force it into dataflow). Parallelism comes from sharding PLAYS, the
+  * reference's own shape (`optimize_def.py:188-190` shards plays across
+  * CUDA devices): [[optimizeJob]] is ONE Spark job mapping over frames,
+  * the greedy loop and every candidate kernel running in-process inside
+  * the task. No per-step driver jobs, no collect — at season scale this
+  * is thousands of frames × one task each, not thousands of tiny jobs.
+  * Defenders are processed line-of-scrimmage → backfield
+  * (`optimize_def.py:101-103`).
   *
   * Objective modes mirror `reduce_eppa` (`optimize_def.py:40-49`):
   * sum | max over the (F,T) surface.
@@ -54,34 +57,23 @@ object OptimizeDef {
     cells
   }
 
-  /** Greedy pass over every defender of one frame. Returns the applied
-    * moves and the final (improved) frame. */
-  def optimizeFrame(spark: SparkSession, in: FrameEppa.FrameInput,
-                    epaComp: Array[Double], epaInc: Double,
-                    params: FrameEppa.Params = FrameEppa.Params(),
-                    priors: FrameEppa.Priors = FrameEppa.Priors.synthetic(),
-                    xyacScore: Array[Double] => Double = _ => 5.0,
-                    mode: Mode = SumMode,
-                    tHorizon: Double = 1.0,
-                    step: Double = 3.0): (Seq[Move], FrameEppa.FrameInput) = {
-    import spark.implicits._
-    val bPriors = spark.sparkContext.broadcast(priors)
-    val bEpa = spark.sparkContext.broadcast((epaComp, epaInc))
-
-    def evalFrames(frames: Seq[FrameEppa.FrameInput], labels: Seq[Int]): Seq[(Int, Double)] = {
-      val data = frames.zip(labels)
-      spark.createDataset(data)
-        .map { case (fi, label) =>
-          val k = new FrameEppa.Kernel(params, bPriors.value, xyacScore)
-          val out = k.compute(fi, bEpa.value._1, bEpa.value._2)
-          (label, mode match {
-            case SumMode => out.pass.eppa1Tot
-            case MaxMode => out.pass.maxEppa1
-          })
-        }.collect().toSeq
-    }
+  /** Pure in-process greedy pass over every defender of one frame — the
+    * unit of work [[optimizeJob]] runs inside each Spark task. Returns the
+    * applied moves and the final (improved) frame. */
+  def optimizeFrameLocal(in: FrameEppa.FrameInput,
+                         epaComp: Array[Double], epaInc: Double,
+                         params: FrameEppa.Params = FrameEppa.Params(),
+                         priors: FrameEppa.Priors = FrameEppa.Priors.synthetic(),
+                         xyacScore: Array[Double] => Double = _ => 5.0,
+                         mode: Mode = SumMode,
+                         tHorizon: Double = 1.0,
+                         step: Double = 3.0): (Seq[Move], FrameEppa.FrameInput) = {
+    val kernel = new FrameEppa.Kernel(params, priors, xyacScore)
+    def score(fi: FrameEppa.FrameInput): Double =
+      objective(kernel.compute(fi, epaComp, epaInc).pass, mode)
 
     var current = in
+    var currentObj = score(current)
     val moves = scala.collection.mutable.ArrayBuffer.empty[Move]
     // LoS → backfield order: defenders sorted by x descending
     val defOrder = current.players.zipWithIndex
@@ -90,26 +82,75 @@ object OptimizeDef {
     defOrder.foreach { jIdx =>
       val p = current.players(jIdx)
       val speed = math.sqrt(p.vx * p.vx + p.vy * p.vy)
-      val cands = (p.x, p.y) +: reachableCells(p.x, p.y, speed, params, tHorizon, step)
+      val cands = reachableCells(p.x, p.y, speed, params, tHorizon, step)
         .filterNot { case (x, y) => x == p.x && y == p.y }
-      val frames = cands.map { case (x, y) =>
+      var bestObj = currentObj
+      var bestX = p.x; var bestY = p.y
+      cands.foreach { case (x, y) =>
         val moved = current.players.clone()
         moved(jIdx) = p.copy(x = x, y = y)
-        current.copy(players = moved)
+        val v = score(current.copy(players = moved))
+        if (v < bestObj - 1e-12) { bestObj = v; bestX = x; bestY = y }
       }
-      val scored = evalFrames(frames, cands.indices)
-      val baseline = scored.find(_._1 == 0).get._2
-      val (bestIdx, bestObj) = scored.minBy { case (i, v) => (v, i) }
-      if (bestObj < baseline - 1e-12 && bestIdx != 0) {
-        val (bx, by) = cands(bestIdx)
-        moves += Move(p.nflId, p.x, p.y, bx, by, baseline, bestObj)
+      if (bestX != p.x || bestY != p.y) {
+        moves += Move(p.nflId, p.x, p.y, bestX, bestY, currentObj, bestObj)
         val moved = current.players.clone()
-        moved(jIdx) = p.copy(x = bx, y = by)
+        moved(jIdx) = p.copy(x = bestX, y = bestY)
         current = current.copy(players = moved)
+        currentObj = bestObj
       } else {
-        moves += Move(p.nflId, p.x, p.y, p.x, p.y, baseline, baseline)
+        moves += Move(p.nflId, p.x, p.y, p.x, p.y, currentObj, currentObj)
       }
     }
     (moves.toSeq, current)
+  }
+
+  /** Back-compat single-frame entry (demo/interactive use): same local
+    * greedy; SparkSession kept in the signature for source compatibility. */
+  def optimizeFrame(spark: SparkSession, in: FrameEppa.FrameInput,
+                    epaComp: Array[Double], epaInc: Double,
+                    params: FrameEppa.Params = FrameEppa.Params(),
+                    priors: FrameEppa.Priors = FrameEppa.Priors.synthetic(),
+                    xyacScore: Array[Double] => Double = _ => 5.0,
+                    mode: Mode = SumMode,
+                    tHorizon: Double = 1.0,
+                    step: Double = 3.0): (Seq[Move], FrameEppa.FrameInput) =
+    optimizeFrameLocal(in, epaComp, epaInc, params, priors, xyacScore,
+      mode, tHorizon, step)
+
+  /** One optimized frame: the moves applied plus before/after objective. */
+  final case class FrameOpt(gameId: Long, playId: Long, frameId: Int,
+                            objBefore: Double, objAfter: Double,
+                            moves: Seq[Move])
+
+  /** Season-scale shape: ONE Spark job over many frames, the greedy loop
+    * and all candidate kernels running inside each task (mirrors
+    * `optimize_def.py:188-190` sharding plays across devices). EPA tables
+    * and priors ride as broadcasts; frames without an EPA table are
+    * dropped (reference skips error plays). */
+  def optimizeJob(inputs: Dataset[FrameEppa.FrameInput],
+                  epaTables: Map[(Long, Long), (Array[Double], Double)],
+                  params: FrameEppa.Params = FrameEppa.Params(),
+                  priors: FrameEppa.Priors = FrameEppa.Priors.synthetic(),
+                  xyacScore: Array[Double] => Double = _ => 5.0,
+                  mode: Mode = SumMode,
+                  tHorizon: Double = 1.0,
+                  step: Double = 3.0): Dataset[FrameOpt] = {
+    val spark = inputs.sparkSession
+    import spark.implicits._
+    val bEpa = spark.sparkContext.broadcast(epaTables)
+    val bPriors = spark.sparkContext.broadcast(priors)
+    inputs.flatMap { in =>
+      bEpa.value.get((in.gameId, in.playId)) match {
+        case Some((comp, inc)) =>
+          val (moves, _) = optimizeFrameLocal(in, comp, inc, params,
+            bPriors.value, xyacScore, mode, tHorizon, step)
+          val before = moves.headOption.map(_.objBefore).getOrElse(0.0)
+          val after = moves.lastOption.map(_.objAfter).getOrElse(before)
+          Iterator.single(FrameOpt(in.gameId, in.playId, in.frameId,
+            before, after, moves))
+        case None => Iterator.empty
+      }
+    }
   }
 }

@@ -42,4 +42,32 @@ class OptimizeDefSpec extends SparkTestBase {
       assert(math.hypot(m.toX - m.fromX, m.toY - m.fromY) <= 10.0)
     }
   }
+
+  test("optimizeJob: one job over many plays, greedy in-task") {
+    val sparkS = this.spark
+    import sparkS.implicits._
+    def mkFrame(g: Long, p: Long) = FrameInput(g, p, 20, 15, 30, 26, Array(
+      Player(1, "WR1", isOff = true, 45, 20, 3, 0, 0, 0),
+      Player(2, "WR2", isOff = true, 45, 32, 3, 0, 0, 0),
+      Player(3, "CB1", isOff = false, 50, 10, 0, 0, 0, 0),
+      Player(4, "CB2", isOff = false, 50, 42, 0, 0, 0, 0)))
+    val inputs = sparkS.createDataset(Seq(
+      mkFrame(1, 100), mkFrame(1, 200), mkFrame(2, 300)))
+    // play (2, 300) has no EPA table → dropped like the reference's skips
+    val epa = Map((1L, 100L) -> (flatEpa, -0.5), (1L, 200L) -> (flatEpa, -0.5))
+    val res = OptimizeDef.optimizeJob(inputs, epa, step = 6.0).collect()
+    assert(res.length == 2)
+    res.foreach { fo =>
+      assert(fo.objAfter <= fo.objBefore + 1e-12)
+      assert(fo.moves.length == 2)
+      // the greedy chain is internally consistent: each step starts from
+      // the previous step's outcome
+      fo.moves.sliding(2).foreach {
+        case Seq(a, b) => assert(b.objBefore == a.objAfter)
+        case _ =>
+      }
+    }
+    // identical inputs → identical optimization on both plays
+    assert(res.map(r => (r.objBefore, r.objAfter)).distinct.length == 1)
+  }
 }
