@@ -100,7 +100,8 @@ object EppaJob {
           epaTables: Map[(Long, Long), (Array[Double], Double)],
           params: FrameEppa.Params = FrameEppa.Params(),
           priors: FrameEppa.Priors = FrameEppa.Priors.synthetic(),
-          xyacScore: Array[Double] => Double = _ => 5.0)
+          xyacScore: Array[Double] => Double = _ => 5.0,
+          xyacBatch: FrameEppa.XyacBatchScorer = null)
       : Dataset[FrameEppa.FrameOutput] = {
     val spark = inputs.sparkSession
     import spark.implicits._
@@ -109,7 +110,8 @@ object EppaJob {
     inputs.flatMap { in =>
       bEpa.value.get((in.gameId, in.playId)) match {
         case Some((comp, inc)) =>
-          val kernel = new FrameEppa.Kernel(params, bPriors.value, xyacScore)
+          val kernel = new FrameEppa.Kernel(params, bPriors.value,
+            xyacScore, xyacBatch)
           Iterator.single(kernel.compute(in, comp, inc))
         case None => Iterator.empty
       }

@@ -31,7 +31,15 @@ object FrameEppa {
       ttiSigma: Double = 0.31,
       alpha: Double = 1.2,
       zMin: Double = 1.0,
-      zMax: Double = 3.0)
+      zMax: Double = 3.0,
+      /** Relative prior floor: cells with prior < priorEps·max(prior) are
+        * zeroed before the xyac/EPPA stages. A fitted gamma T|L pdf is
+        * mathematically nonzero at every flight time, so without a floor
+        * EVERY in-window cell pays the GBDT walk; tails at 1e-12 of the
+        * peak contribute less than float32 epsilon to trans (the
+        * reference's own GPU path computes in float32, where they flush
+        * to zero anyway). 0.0 = exact. */
+      priorEps: Double = 1e-12)
 
   // grid (consts.py:5-11): x 0.5..119.5 ×120, y −0.5..53.5 ×55, T 0.1..4.0 ×40
   val Nx = 120
@@ -116,8 +124,16 @@ object FrameEppa {
     })
   }
 
+  /** Batch xyac scorer over rows in the kernel's 25-slot layout — the
+    * fast path for real GBDT models (tree-outer, cell-interleaved walks;
+    * see GbdtScorer.expectationBatch). */
+  trait XyacBatchScorer extends Serializable {
+    def scoreBatch(x: Array[Double], n: Int, out: Array[Double]): Unit
+  }
+
   final class Kernel(params: Params, priors: Priors,
-                     xyacScore: Array[Double] => Double) {
+                     xyacScore: Array[Double] => Double,
+                     xyacBatch: XyacBatchScorer = null) {
 
     /** F1–F10 for one frame. epaComp(i) = xepa if the play ends at
       * x = i + 0.5 (120 entries); epaInc = incompletion xepa. */
@@ -304,6 +320,14 @@ object FrameEppa {
         f += 1
       }
       if (priorSum > 0) { var i = 0; while (i < prior.length) { prior(i) /= priorSum; i += 1 } }
+      if (params.priorEps > 0) {
+        var maxP = 0.0
+        var i = 0
+        while (i < prior.length) { if (prior(i) > maxP) maxP = prior(i); i += 1 }
+        val floor = params.priorEps * maxP
+        i = 0
+        while (i < prior.length) { if (prior(i) < floor) prior(i) = 0.0; i += 1 }
+      }
 
       // ---- F5+F8 xyac features (top-5 defenders at projected positions)
       val defIdx = (0 until J).filter(i => !ps(i).isOff).toArray
@@ -314,6 +338,21 @@ object FrameEppa {
       val dxp = new Array[Double](math.max(nDef, 5))
       val dyp = new Array[Double](math.max(nDef, 5))
       val dvp = new Array[Double](math.max(nDef, 5))
+      // batch mode: features of every in-prior cell gathered first, one
+      // scoreBatch call, then scatter — the GBDT walk throughput triples
+      // when the walks of adjacent cells overlap (independent load chains)
+      var nPriorCells = 0
+      if (xyacBatch != null) {
+        var pi = 0
+        while (pi < prior.length) {
+          if (prior(pi) != 0.0) nPriorCells += 1
+          pi += 1
+        }
+      }
+      val featBuf = if (xyacBatch != null)
+        new Array[Double](nPriorCells * XyacNumFeatures) else null
+      val cellIdx = if (xyacBatch != null) new Array[Int](nPriorCells) else null
+      var nGathered = 0
       f = 0
       while (f < F) {
         val fx = gx(f); val fy = gy(f)
@@ -374,11 +413,24 @@ object FrameEppa {
             r += 1
           }
           feats(24) = fy
-          xyac(f * NT + k) = xyacScore(feats)
+          if (xyacBatch == null) xyac(f * NT + k) = xyacScore(feats)
+          else {
+            System.arraycopy(feats, 0, featBuf,
+              nGathered * XyacNumFeatures, XyacNumFeatures)
+            cellIdx(nGathered) = f * NT + k
+            nGathered += 1
+          }
           k += 1
           }
         }
         f += 1
+      }
+
+      if (xyacBatch != null && nGathered > 0) {
+        val scored = new Array[Double](nGathered)
+        xyacBatch.scoreBatch(featBuf, nGathered, scored)
+        var ci = 0
+        while (ci < nGathered) { xyac(cellIdx(ci)) = scored(ci); ci += 1 }
       }
 
       // ---- F9 EPA join + EPPA assembly

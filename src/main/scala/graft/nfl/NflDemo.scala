@@ -50,9 +50,11 @@ object NflDemo {
     val xyacModel = XyacModel.loadReferenceIfPresent()
     val xyac = xyacModel.map(XyacModel.kernelScorer)
       .getOrElse((_: Array[Double]) => 5.0)
+    val xyacBatch = xyacModel.map(XyacModel.kernelBatchScorer).orNull
     println(s"XYAC_MODEL=${xyacModel.map(m => s"reference-${m.trees.length}-trees").getOrElse("stub")}")
     val t0 = System.nanoTime()
-    val out = EppaJob.run(inputs, epaTables, priors = priors, xyacScore = xyac).cache()
+    val out = EppaJob.run(inputs, epaTables, priors = priors,
+      xyacScore = xyac, xyacBatch = xyacBatch).cache()
     val passes = out.map(_.pass).toDF()
     println(s"KERNEL_FRAMES_DONE=${passes.count()} in ${(System.nanoTime() - t0) / 1e9}%s sec")
     passes.select("gameId", "playId", "frameId", "eppa1Tot", "maxEppa1",

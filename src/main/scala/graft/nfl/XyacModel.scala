@@ -81,6 +81,19 @@ object XyacModel {
   def kernelScorer(model: GbdtScorer.Model): Array[Double] => Double =
     new KernelScorer(model)
 
+  /** Batch scorer (the kernel's fast path): rows arrive in the kernel's
+    * 25-slot layout; KernelSlots maps each model feature to its column, so
+    * no per-row remap copy is needed. */
+  final class KernelBatchScorer(model: GbdtScorer.Model)
+      extends FrameEppa.XyacBatchScorer {
+    def scoreBatch(x: Array[Double], n: Int, out: Array[Double]): Unit =
+      model.expectationBatch(x, n, FrameEppa.XyacNumFeatures,
+        KernelSlots, Values, out)
+  }
+
+  def kernelBatchScorer(model: GbdtScorer.Model): FrameEppa.XyacBatchScorer =
+    new KernelBatchScorer(model)
+
   /** Reference model location when the reference checkout is present (demo
     * and spec convenience — callers pass their own path in production). */
   val ReferenceModelPath = "/root/reference/analysis/models/in/xyac_model.model"

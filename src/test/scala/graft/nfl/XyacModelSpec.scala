@@ -82,6 +82,48 @@ class XyacModelSpec extends SparkTestBase {
     }
   }
 
+  test("batch scorer agrees with the per-call scorer bit for bit") {
+    assume(refAvailable)
+    val perCall = XyacModel.kernelScorer(model)
+    val batch = XyacModel.kernelBatchScorer(model)
+    val n = 500
+    val x = new Array[Double](n * FrameEppa.XyacNumFeatures)
+    val rng = new scala.util.Random(42)
+    var i = 0
+    while (i < x.length) { x(i) = rng.nextDouble() * 40 - 10; i += 1 }
+    val out = new Array[Double](n)
+    batch.scoreBatch(x, n, out)
+    val row = new Array[Double](FrameEppa.XyacNumFeatures)
+    i = 0
+    while (i < n) {
+      System.arraycopy(x, i * FrameEppa.XyacNumFeatures, row, 0,
+        FrameEppa.XyacNumFeatures)
+      assert(out(i) == perCall(row), s"row $i")
+      i += 1
+    }
+  }
+
+  test("kernel with batch scorer matches kernel with per-call scorer") {
+    assume(refAvailable)
+    val players = Array.tabulate(14) { i =>
+      FrameEppa.Player(i + 1, s"P$i", i < 7, 25.0 + i * 4,
+        6.0 + (i % 7) * 6, 1.5, -0.5, 0.1, 0.0)
+    }
+    val in = FrameEppa.FrameInput(1, 1, 20, 15, 30, 26, players)
+    val epa = Array.tabulate(120)(_ / 60.0)
+    val p = FrameEppa.Params()
+    val k1 = new FrameEppa.Kernel(p, FrameEppa.Priors.synthetic(),
+      XyacModel.kernelScorer(model))
+    val k2 = new FrameEppa.Kernel(p, FrameEppa.Priors.synthetic(),
+      XyacModel.kernelScorer(model), XyacModel.kernelBatchScorer(model))
+    val o1 = k1.compute(in, epa, -0.5)
+    val o2 = k2.compute(in, epa, -0.5)
+    // toString compare: the true-pass fields are NaN here and NaN != NaN
+    // under case-class equality
+    assert(o1.pass.toString == o2.pass.toString)
+    assert(o1.players.toSeq == o2.players.toSeq)
+  }
+
   test("scoring throughput supports per-frame use") {
     assume(refAvailable)
     val scorer = XyacModel.kernelScorer(model)
