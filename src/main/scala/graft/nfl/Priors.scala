@@ -19,6 +19,35 @@ import org.apache.spark.sql.functions._
   */
 object Priors {
 
+  /** Load the reference's shipped T|L prior table directly
+    * (`analysis/models/in/T_given_L.csv`: rows (T, p, dist), T = flight
+    * frames 1..40, dist = 1..60 — written by the completion-probability
+    * notebook and consumed at `play_eppa_cpu.py:75-77`). The fitted-from-
+    * data path (fitTGivenL/fitFromTracking) remains the no-artifact
+    * production route; this loader is byte-faithful S4. */
+  def loadTGivenL(path: String): FrameEppa.Priors = {
+    val table = Array.ofDim[Double](60, FrameEppa.NT)
+    val src = scala.io.Source.fromFile(path)
+    try {
+      src.getLines().drop(1).foreach { line =>
+        val parts = line.split(",")
+        val t = parts(0).toDouble.toInt - 1
+        val d = parts(2).toInt - 1
+        if (d >= 0 && d < 60 && t >= 0 && t < FrameEppa.NT)
+          table(d)(t) = parts(1).toDouble
+      }
+    } finally src.close()
+    FrameEppa.Priors(table)
+  }
+
+  val ReferenceTGivenLPath = "/root/reference/analysis/models/in/T_given_L.csv"
+
+  def loadReferenceTGivenL(): Option[FrameEppa.Priors] = {
+    val f = new java.io.File(ReferenceTGivenLPath)
+    if (f.isFile) Some(loadTGivenL(ReferenceTGivenLPath)) else None
+  }
+
+
   final case class GammaBuf(n: Long, sumX: Double, sumLnX: Double)
   final case class GammaParams(shape: Double, scale: Double, n: Long)
 

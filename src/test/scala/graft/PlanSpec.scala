@@ -72,4 +72,28 @@ class PlanSpec extends SparkTestBase {
     val p = plan(SparkEntry.entry(spark))
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("target-prob field: grid side broadcasts, pdf sum is partial-agg") {
+    val norm = graft.nfl.Normalize(graft.nfl.ToyData.tracking(spark),
+      graft.nfl.ToyData.games(spark), graft.nfl.ToyData.plays(spark))
+    val pl = plan(graft.nfl.TargetProb.targetProbability(norm, nT = 4))
+    // 6,600-cell grid must ride a broadcast (nested-loop by construction:
+    // the cross join has no equi key), never a shuffled cartesian
+    assert(pl.contains("BroadcastNestedLoopJoin"), pl.take(1200))
+    assert(!pl.contains("CartesianProduct"), "grid join degraded to cartesian")
+    // receiver-sum is map-side combinable before the frame-key exchange
+    val hashAggs = pl.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate")
+  }
+
+  test("gamma moments: one exchange, partial aggregation") {
+    val pl = plan(SparkEntry.queries("a_gamma_moments")(spark, sfDir))
+    val hashAggs = pl.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate")
+    // formatted mode lists Exchange arguments separately: one hash
+    // exchange (group-by) + one range exchange (final order) and no more
+    val hashParts = pl.linesIterator
+      .count(l => l.contains("Arguments: hashpartitioning"))
+    assert(hashParts == 1, s"expected a single group-by exchange, got $hashParts:\n$pl")
+  }
 }

@@ -89,4 +89,20 @@ class PriorsRankingsSpec extends SparkTestBase {
     val teams = Rankings.teamRanking(stats).collect()
     assert(teams.map(_.getAs[String]("teamPos")).toSet == Set("OFF", "DEF"))
   }
+
+  test("loads the reference's shipped T|L prior table (S4)") {
+    assume(new java.io.File(Priors.ReferenceTGivenLPath).isFile)
+    val p = Priors.loadReferenceTGivenL().get
+    assert(p.tGivenL.length == 60)
+    assert(p.tGivenL.forall(_.length == FrameEppa.NT))
+    // every distance row is a (possibly unnormalized) distribution with
+    // mass, and longer distances shift mass to longer flight times
+    assert(p.tGivenL.forall(_.sum > 0))
+    def meanT(d: Int) = {
+      val row = p.tGivenL(d)
+      val m = row.zipWithIndex.map { case (v, k) => v * (k + 1) }.sum / row.sum
+      m
+    }
+    assert(meanT(50) > meanT(5))
+  }
 }
