@@ -32,8 +32,10 @@ object EppaJob {
     val annotated = norm
       .withColumn("snap_frame",
         min(when(col("event") === "ball_snap", col("frameId"))).over(wPlay))
+      // pass_shovel counts as the throw too (play_eppa_cpu.py:101-102)
       .withColumn("throw_frame",
-        min(when(col("event") === "pass_forward", col("frameId"))).over(wPlay))
+        min(when(col("event").isin("pass_forward", "pass_shovel"),
+          col("frameId"))).over(wPlay))
       .withColumn("arrive_frame",
         min(when(col("event") === "pass_arrived", col("frameId"))).over(wPlay))
       // actual landing spot = ball position at pass_arrived → true-pass

@@ -99,7 +99,9 @@ object EppaStream {
                   if (r.event == "ball_snap" &&
                     (st.snapFrame < 0 || r.frameId < st.snapFrame))
                     st = st.copy(snapFrame = r.frameId)
-                  if (r.event == "pass_forward" && r.frameId < st.throwFrame)
+                  // pass_shovel counts as the throw too (play_eppa_cpu.py:101)
+                  if ((r.event == "pass_forward" || r.event == "pass_shovel") &&
+                    r.frameId < st.throwFrame)
                     st = st.copy(throwFrame = r.frameId)
                   if (r.event == "pass_arrived") st = st.copy(done = true)
                   if (r.frameId > st.maxSeenFrame)
