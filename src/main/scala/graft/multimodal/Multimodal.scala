@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * with decode / feature-extract / resize / frame-sample stages.
   *
   * The Spark-side plumbing is real (schemas, partition-preserving
-  * mapPartitions batch transforms, explode-based frame sampling); the
-  * actual codec calls are STUBBED with a deterministic byte-level fake —
-  * image/audio libraries are deliberately absent here, and at production
-  * scale the stub body is the only thing that changes (swap
-  * `decodeBytesStub` for a JNI/codec call; everything around it is the
-  * distributed shape).
+  * mapPartitions batch transforms, explode-based frame sampling). The
+  * codec layer is REAL for P6 PPM images (PpmCodec — pure JVM, zero
+  * dependencies; synthesize emits actual PPMs for image-kind items and
+  * decode/resize operate on true pixels). Formats that need external
+  * libraries (JPEG, audio) stay behind `decodeBytesStub`, a
+  * deterministic byte-level fake — at production scale that stub body is
+  * the only thing that changes (swap in a JNI/codec call; everything
+  * around it is the distributed shape).
   *
   * At 100 TB: payloads live in parquet binary columns, read lazily; decode
   * runs partition-local with zero shuffle; per-item fan-out (frames)
@@ -28,10 +30,18 @@ object Multimodal {
                                  meanByte: Double, entropyMilli: Long,
                                  histogram: Array[Long])
 
-  /** STUB — deterministic fake decode. A real build replaces this body
-    * with an image/audio codec; signature and batch shape stay. */
+  /** STUB — deterministic fake decode for formats without a pure-JVM
+    * codec here (JPEG, audio). A real build replaces this body with a
+    * codec call; signature and batch shape stay. */
   private[multimodal] def decodeBytesStub(payload: Array[Byte]): Array[Int] =
     payload.map(b => (b & 0xff)) // "pixels" = raw bytes
+
+  /** Dispatching decode: REAL pixels for PPM payloads, stub otherwise. */
+  private[multimodal] def decodePixels(payload: Array[Byte]): Array[Int] =
+    PpmCodec.decode(payload) match {
+      case Some((_, _, rgb)) => rgb.map(_ & 0xff)
+      case None => decodeBytesStub(payload)
+    }
 
   /** Feature extraction: partition-local batch transform, no shuffle.
     * (The mapInPandas analogue — one JVM call per batch of rows.) */
@@ -43,7 +53,7 @@ object Multimodal {
       val hist = new Array[Long](16)
       it.map { m =>
         java.util.Arrays.fill(hist, 0L)
-        val px = decodeBytesStub(m.payload)
+        val px = decodePixels(m.payload)
         var s = 0L
         px.foreach { v => s += v; hist(v >> 4) += 1 }
         val n = math.max(px.length, 1)
@@ -57,15 +67,22 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: real implementation would rescale pixels; the fake keeps
-    * determinism by truncating/padding the byte plane. */
+  /** Resize: REAL nearest-neighbor resample for PPM payloads (decode →
+    * resample → re-encode); deterministic truncate/pad fake for stub
+    * formats. Partition-local, no shuffle either way. */
   def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
     val spark = items.sparkSession
     import spark.implicits._
     items.map { m =>
-      val want = w * h * math.max(m.meta.channels, 1)
-      val p = java.util.Arrays.copyOf(m.payload, want)
-      m.copy(payload = p, meta = m.meta.copy(width = w, height = h))
+      PpmCodec.decode(m.payload) match {
+        case Some((sw, sh, rgb)) =>
+          val out = PpmCodec.encode(w, h, PpmCodec.resizeNearest(sw, sh, rgb, w, h))
+          m.copy(payload = out, meta = m.meta.copy(width = w, height = h, channels = 3))
+        case None =>
+          val want = w * h * math.max(m.meta.channels, 1)
+          val p = java.util.Arrays.copyOf(m.payload, want)
+          m.copy(payload = p, meta = m.meta.copy(width = w, height = h))
+      }
     }
   }
 
@@ -82,9 +99,10 @@ object Multimodal {
         xxhash64(col("payload"), col("frame_ms")).as("frame_hash"))
   }
 
-  /** Deterministic synthetic media over the documents table: payload =
-    * md5 bytes of the text (repeated), metadata derived from doc stats.
-    * Gives the binary-column plumbing something real to chew on. */
+  /** Deterministic synthetic media over the documents table. Image-kind
+    * items carry REAL P6 PPM payloads (a gradient seeded by the text's
+    * md5 — decodable by any image tool); audio/video kinds carry the
+    * fake byte plane the stub decodes. */
   def synthesize(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._
     graft.Tables.documents(spark, dir)
@@ -95,13 +113,29 @@ object Multimodal {
         val nChars = r.getLong(2).toInt
         val digest = r.getAs[Array[Byte]]("payload")
         val reps = 1 + (nChars % 8)
-        val payload = Array.fill(reps)(digest).flatten
         val kind = docId % 3 match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
-        MediaItem(docId, kind, payload,
-          MediaMeta(width = 4, height = 4, channels = reps,
-            sampleRate = 16000, durationMs = 40 * reps, mime = s"x-fake/$kind"))
+        if (kind == "image") {
+          val w = 8; val h = 6
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            val d = digest(i % digest.length) & 0xff
+            rgb(i * 3) = ((d + i) & 0xff).toByte
+            rgb(i * 3 + 1) = ((d ^ (i * 7)) & 0xff).toByte
+            rgb(i * 3 + 2) = ((255 - d + i / w) & 0xff).toByte
+            i += 1
+          }
+          MediaItem(docId, kind, PpmCodec.encode(w, h, rgb),
+            MediaMeta(width = w, height = h, channels = 3,
+              sampleRate = 0, durationMs = 0, mime = "image/x-portable-pixmap"))
+        } else {
+          val payload = Array.fill(reps)(digest).flatten
+          MediaItem(docId, kind, payload,
+            MediaMeta(width = 4, height = 4, channels = reps,
+              sampleRate = 16000, durationMs = 40 * reps, mime = s"x-fake/$kind"))
+        }
       }
   }
 

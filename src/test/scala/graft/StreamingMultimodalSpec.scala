@@ -73,16 +73,22 @@ class StreamingMultimodalSpec extends SparkTestBase {
     val f1 = feats.collect().map(f => f.mediaId -> f.meanByte).toMap
     val f2 = Multimodal.extractFeatures(items).collect()
       .map(f => f.mediaId -> f.meanByte).toMap
-    assert(f1 == f2, "decode stub must be deterministic")
+    assert(f1 == f2, "decode must be deterministic")
+    val kinds = items.collect().map(m => m.mediaId -> m.kind).toMap
     feats.collect().foreach { f =>
-      assert(f.nBytes % 16 == 0) // md5 multiples
+      if (kinds(f.mediaId) == "image") assert(f.nBytes == 8 * 6 * 3) // real pixels
+      else assert(f.nBytes % 16 == 0) // stub formats: md5 multiples
       assert(f.meanByte >= 0 && f.meanByte <= 255)
       assert(f.histogram.sum == f.nBytes)
       assert(f.entropyMilli >= 0 && f.entropyMilli <= 4000) // ≤ log2(16)*1000
     }
     val resized = Multimodal.resize(items, 2, 2).collect()
     resized.foreach { m =>
-      assert(m.payload.length == 2 * 2 * m.meta.channels)
+      if (m.kind == "image") {
+        // real codec path: payload is a valid 2×2 P6 PPM
+        val Some((w, h, rgb)) = graft.multimodal.PpmCodec.decode(m.payload)
+        assert(w == 2 && h == 2 && rgb.length == 12)
+      } else assert(m.payload.length == 2 * 2 * m.meta.channels)
       assert(m.meta.width == 2 && m.meta.height == 2)
     }
   }
