@@ -121,20 +121,23 @@ object EppaJob {
   }
 
   /** Write the four output tables partitioned like the reference's
-    * output/{game}/{play} tree (S8 → dynamic partition overwrite; the 4th
-    * mirrors `true_pass_player_proj.pkl`, play_eppa_cpu.py:675). */
+    * output/{game}/{play} tree (S8; the 4th mirrors
+    * `true_pass_player_proj.pkl`, play_eppa_cpu.py:675). DYNAMIC
+    * partition overwrite at (gameId, playId) granularity: a resumed run
+    * writing only new plays replaces exactly those partitions —
+    * static overwrite would truncate everything already computed. */
   def writeOutputs(out: Dataset[FrameEppa.FrameOutput], dir: String): Unit = {
     val spark = out.sparkSession
     import spark.implicits._
+    def write(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gameId", "playId").parquet(s"$dir/$name")
     val cached = out.cache()
-    cached.map(_.pass).toDF()
-      .write.mode("overwrite").partitionBy("gameId").parquet(s"$dir/passes")
-    cached.flatMap(_.players).toDF()
-      .write.mode("overwrite").partitionBy("gameId").parquet(s"$dir/player_stats")
-    cached.flatMap(_.field).toDF()
-      .write.mode("overwrite").partitionBy("gameId").parquet(s"$dir/field_viz")
-    cached.flatMap(_.proj).toDF()
-      .write.mode("overwrite").partitionBy("gameId").parquet(s"$dir/player_proj")
+    write(cached.map(_.pass).toDF(), "passes")
+    write(cached.flatMap(_.players).toDF(), "player_stats")
+    write(cached.flatMap(_.field).toDF(), "field_viz")
+    write(cached.flatMap(_.proj).toDF(), "player_proj")
     cached.unpersist()
   }
 }

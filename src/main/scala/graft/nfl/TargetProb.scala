@@ -44,7 +44,8 @@ object TargetProb {
   def receivers(norm: DataFrame): DataFrame = {
     val qb = norm.filter(col("position") === "QB" && col("nflId") =!= 0)
       .groupBy("gameId", "playId", "frameId")
-      .agg(round(first("x"), 0).as("ball_x"), round(first("y"), 0).as("ball_y"))
+      // bround = half-even, matching the notebook's numpy .round(0)
+      .agg(bround(first("x"), 0).as("ball_x"), bround(first("y"), 0).as("ball_y"))
     norm.filter(col("nflId") =!= 0 && col("team_pos") === "OFF" &&
         col("position") =!= "QB")
       .join(qb, Seq("gameId", "playId", "frameId"))
