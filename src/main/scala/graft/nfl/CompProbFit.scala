@@ -49,6 +49,40 @@ object CompProbFit {
       best.getAs[Double]("sMax"), best.getAs[Double]("bce"), best.getAs[Long]("n"))
   }
 
+  /** Derive the fit's observations from normalized tracking + play
+    * outcomes (the reference assembles the same triple from tracking in
+    * `completion_probability_torch.py:52-140`): per play with both throw
+    * and arrival events, the nearest defender's distance to the ball's
+    * landing spot at arrival, the flight time in seconds, and whether
+    * the pass completed (plays.passResult == "C"). One window pass per
+    * play, one aggregation — no driver loop. */
+  def observationsFromTracking(norm: DataFrame, plays: DataFrame): DataFrame = {
+    val wPlay = org.apache.spark.sql.expressions.Window
+      .partitionBy("gameId", "playId")
+    val annotated = norm
+      .withColumn("throw_frame", min(when(
+        col("event").isin("pass_forward", "pass_shovel"), col("frameId"))).over(wPlay))
+      .withColumn("arrive_frame", min(when(
+        col("event") === "pass_arrived", col("frameId"))).over(wPlay))
+      .withColumn("ball_x", max(when(
+        col("nflId") === 0 && col("event") === "pass_arrived", col("x"))).over(wPlay))
+      .withColumn("ball_y", max(when(
+        col("nflId") === 0 && col("event") === "pass_arrived", col("y"))).over(wPlay))
+      .filter(col("throw_frame").isNotNull && col("arrive_frame").isNotNull)
+    annotated
+      .filter(col("frameId") === col("arrive_frame") &&
+        col("team_pos") === "DEF" && col("nflId") =!= 0)
+      .groupBy("gameId", "playId")
+      .agg(
+        min(sqrt(pow(col("x") - col("ball_x"), 2) +
+          pow(col("y") - col("ball_y"), 2))).as("def_dist"),
+        first((col("arrive_frame") - col("throw_frame")) / 10.0).as("tof"))
+      .join(plays.select(col("gameId"), col("playId"),
+        when(col("passResult") === "C", 1).otherwise(0).as("completed")),
+        Seq("gameId", "playId"))
+      .select("def_dist", "tof", "completed")
+  }
+
   /** Default search grid around the reference's published params
     * (`analysis/models/params.py`: σ=0.31, a=7.67, s=9.42). */
   def defaultGrid: Seq[Candidate] = {

@@ -33,4 +33,24 @@ class CompProbFitSpec extends SparkTestBase {
     val r = CompProbFit.fit(obs, CompProbFit.defaultGrid.take(5))
     assert(!r.bce.isNaN && !r.bce.isInfinite)
   }
+
+  test("observations derive end-to-end from tracking + play outcomes") {
+    val norm = Normalize(ToyData.tracking(spark), ToyData.games(spark),
+      ToyData.plays(spark))
+    val obs = CompProbFit.observationsFromTracking(norm, ToyData.plays(spark))
+      .collect()
+    // every toy play has snap/throw/arrive events and a DEF side
+    assert(obs.length == 4)
+    obs.foreach { r =>
+      assert(r.getAs[Double]("def_dist") > 0)
+      assert(r.getAs[Double]("tof") > 0 && r.getAs[Double]("tof") < 4.1)
+      val c = r.getAs[Int]("completed")
+      assert(c == 0 || c == 1)
+    }
+    // and they feed the fit directly
+    val norm2 = spark.createDataFrame(spark.sparkContext.parallelize(
+      obs.toSeq), obs.head.schema)
+    val fit = CompProbFit.fit(norm2, CompProbFit.defaultGrid.take(6))
+    assert(fit.n == 4)
+  }
 }
