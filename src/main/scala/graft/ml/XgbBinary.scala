@@ -50,7 +50,24 @@ object XgbBinary {
     * pickle/joblib wrapper). */
   def looksBinary(bytes: Array[Byte]): Boolean = indexOfMagic(bytes) >= 0
 
-  def parse(bytes: Array[Byte], featureNames: Seq[String]): GbdtScorer.Model = {
+  def parse(bytes: Array[Byte], featureNames: Seq[String]): GbdtScorer.Model =
+    try parseUnsafe(bytes, featureNames)
+    catch {
+      // a cut-off buffer surfaces as underflow (relative reads) or as
+      // position-past-limit (the skip-ahead positioning calls)
+      case e: java.nio.BufferUnderflowException =>
+        throw new IllegalArgumentException(
+          "truncated or corrupt XGBoost binary model (buffer underflow " +
+            "while parsing past the 'binf' header)", e)
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("newPosition") =>
+        throw new IllegalArgumentException(
+          "truncated or corrupt XGBoost binary model (ran past the end " +
+            "while parsing past the 'binf' header)", e)
+    }
+
+  private def parseUnsafe(bytes: Array[Byte],
+                          featureNames: Seq[String]): GbdtScorer.Model = {
     val start = indexOfMagic(bytes)
     require(start >= 0, "no 'binf' XGBoost binary magic found")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
