@@ -109,13 +109,17 @@ object EppaJob {
     import spark.implicits._
     val bEpa = spark.sparkContext.broadcast(epaTables)
     val bPriors = spark.sparkContext.broadcast(priors)
-    inputs.flatMap { in =>
-      bEpa.value.get((in.gameId, in.playId)) match {
-        case Some((comp, inc)) =>
-          val kernel = new FrameEppa.Kernel(params, bPriors.value,
-            xyacScore, xyacBatch)
-          Iterator.single(kernel.compute(in, comp, inc))
-        case None => Iterator.empty
+    // one kernel per partition: its scratch buffers (~100 MB) are reused
+    // across the partition's frames instead of reallocated per frame
+    inputs.mapPartitions { it =>
+      val kernel = new FrameEppa.Kernel(params, bPriors.value,
+        xyacScore, xyacBatch)
+      it.flatMap { in =>
+        bEpa.value.get((in.gameId, in.playId)) match {
+          case Some((comp, inc)) =>
+            Iterator.single(kernel.compute(in, comp, inc))
+          case None => Iterator.empty
+        }
       }
     }
   }

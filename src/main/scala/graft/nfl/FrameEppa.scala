@@ -131,9 +131,57 @@ object FrameEppa {
     def scoreBatch(x: Array[Double], n: Int, out: Array[Double]): Unit
   }
 
+  /** NOT thread-safe: a Kernel instance keeps reusable scratch buffers
+    * (one frame allocates ~100 MB otherwise — at 32 concurrent frames
+    * that is >1 GB/s of allocation, and memory bandwidth, not CPU,
+    * becomes the scaling wall). Use one instance per task/thread —
+    * exactly what EppaJob's mapPartitions and the greedy loop do. */
   final class Kernel(params: Params, priors: Priors,
                      xyacScore: Array[Double] => Double,
                      xyacBatch: XyacBatchScorer = null) {
+
+    /** Per-J scratch. Arrays fully overwritten every frame are reused
+      * as-is; accumulators and conditionally-assigned arrays (ppcInd,
+      * prior, xyac, lMask) are memset at frame start — half the memory
+      * traffic of fresh allocation (the JVM zeroes new arrays anyway)
+      * and zero GC. */
+    private final class Scratch(val J: Int) {
+      val tTot = new Array[Double](F * J)
+      val cosTh = new Array[Double](F * J)
+      val sinTh = new Array[Double](F * J)
+      val dMagA = new Array[Double](F * J)
+      val s0A = new Array[Double](F * J)
+      val tLtA = new Array[Double](F * J)
+      val dLtA = new Array[Double](F * J)
+      val pAdj = new Array[Double](F * NT * J)
+      val ppcInd = new Array[Double](F * NT * J) // accumulated: clear per frame
+      val pOffC = new Array[Double](F * NT)
+      val pDefC = new Array[Double](F * NT)
+      val ppcOff = new Array[Double](F * NT)
+      val ppcDef = new Array[Double](F * NT)
+      val lMask = new Array[Double](F)           // conditional: clear per frame
+      val prior = new Array[Double](F * NT)      // conditional: clear per frame
+      val xyac = new Array[Double](F * NT)       // conditional: clear per frame
+      val trans = new Array[Double](F * NT)
+      val eppa1 = new Array[Double](F * NT)
+      val xepaComp = new Array[Double](F * NT)
+      val pj = new Array[Double](J)
+      var featBuf: Array[Double] = Array.emptyDoubleArray
+      var cellIdx: Array[Int] = Array.emptyIntArray
+      var scored: Array[Double] = Array.emptyDoubleArray
+      def ensureGather(n: Int): Unit = if (cellIdx.length < n) {
+        featBuf = new Array[Double](n * XyacNumFeatures)
+        cellIdx = new Array[Int](n)
+        scored = new Array[Double](n)
+      }
+      def reset(): Unit = {
+        java.util.Arrays.fill(ppcInd, 0.0)
+        java.util.Arrays.fill(lMask, 0.0)
+        java.util.Arrays.fill(prior, 0.0)
+        java.util.Arrays.fill(xyac, 0.0)
+      }
+    }
+    private var scratch: Scratch = null
 
     /** F1–F10 for one frame. epaComp(i) = xepa if the play ends at
       * x = i + 0.5 (120 entries); epaInc = incompletion xepa. */
@@ -155,13 +203,15 @@ object FrameEppa {
       }
 
       // ---- F2 time-to-intercept (play_eppa_cpu.py:250-265) per (f, j)
-      val tTot = new Array[Double](F * J)
-      val cosTh = new Array[Double](F * J)
-      val sinTh = new Array[Double](F * J)
-      val dMagA = new Array[Double](F * J)
-      val s0A = new Array[Double](F * J)
-      val tLtA = new Array[Double](F * J)
-      val dLtA = new Array[Double](F * J)
+      if (scratch == null || scratch.J != J) scratch = new Scratch(J)
+      scratch.reset()
+      val tTot = scratch.tTot
+      val cosTh = scratch.cosTh
+      val sinTh = scratch.sinTh
+      val dMagA = scratch.dMagA
+      val s0A = scratch.s0A
+      val tLtA = scratch.tLtA
+      val dLtA = scratch.dLtA
       var f = 0
       while (f < F) {
         val fx = gx(f); val fy = gy(f)
@@ -197,9 +247,9 @@ object FrameEppa {
       // ---- F3/F4: p_int + team combine + offense adjustment
       // p_adj(f,k,j): offense scaled by (1 − p_def) (frame_eppa.py:205-207)
       val sigK = math.Pi / math.sqrt(3.0) / params.ttiSigma
-      val pAdj = new Array[Double](F * NT * J)
-      val pOffC = new Array[Double](F * NT) // p_int_off after adjustment
-      val pDefC = new Array[Double](F * NT)
+      val pAdj = scratch.pAdj
+      val pOffC = scratch.pOffC // p_int_off after adjustment
+      val pDefC = scratch.pDefC
       f = 0
       while (f < F) {
         var k = 0
@@ -238,10 +288,11 @@ object FrameEppa {
       }
 
       // ---- F7 trajectory completion (gpu path semantics) → ppc
-      val ppcOff = new Array[Double](F * NT)
-      val ppcDef = new Array[Double](F * NT)
-      val ppcInd = new Array[Double](F * NT * J) // completion per player
-      val pj = new Array[Double](J)
+      // (outputs copy scalars out of these; nothing escapes the call)
+      val ppcOff = scratch.ppcOff
+      val ppcDef = scratch.ppcDef
+      val ppcInd = scratch.ppcInd // completion per player (cleared in reset)
+      val pj = scratch.pj
       f = 0
       while (f < F) {
         val dx = gx(f) - bx; val dy = gy(f) - by
@@ -289,7 +340,7 @@ object FrameEppa {
 
       // ---- F6 historical prior (uniform L window × T|dist)
       val bxI = math.rint(bx).toInt; val byI = math.rint(by).toInt
-      val lMask = new Array[Double](F)
+      val lMask = scratch.lMask
       var maskSum = 0.0
       f = 0
       while (f < F) {
@@ -301,7 +352,7 @@ object FrameEppa {
         if (inWin) { lMask(f) = 1.0; maskSum += 1.0 }
         f += 1
       }
-      val prior = new Array[Double](F * NT)
+      val prior = scratch.prior
       var priorSum = 0.0
       f = 0
       while (f < F) {
@@ -332,7 +383,7 @@ object FrameEppa {
       // ---- F5+F8 xyac features (top-5 defenders at projected positions)
       val defIdx = (0 until J).filter(i => !ps(i).isOff).toArray
       val nDef = defIdx.length
-      val xyac = new Array[Double](F * NT)
+      val xyac = scratch.xyac
       val feats = new Array[Double](XyacNumFeatures)
       val dd = new Array[Double](math.max(nDef, 5))
       val dxp = new Array[Double](math.max(nDef, 5))
@@ -349,9 +400,9 @@ object FrameEppa {
           pi += 1
         }
       }
-      val featBuf = if (xyacBatch != null)
-        new Array[Double](nPriorCells * XyacNumFeatures) else null
-      val cellIdx = if (xyacBatch != null) new Array[Int](nPriorCells) else null
+      if (xyacBatch != null) scratch.ensureGather(nPriorCells)
+      val featBuf = if (xyacBatch != null) scratch.featBuf else null
+      val cellIdx = if (xyacBatch != null) scratch.cellIdx else null
       var nGathered = 0
       f = 0
       while (f < F) {
@@ -427,15 +478,15 @@ object FrameEppa {
       }
 
       if (xyacBatch != null && nGathered > 0) {
-        val scored = new Array[Double](nGathered)
+        val scored = scratch.scored
         xyacBatch.scoreBatch(featBuf, nGathered, scored)
         var ci = 0
         while (ci < nGathered) { xyac(cellIdx(ci)) = scored(ci); ci += 1 }
       }
 
       // ---- F9 EPA join + EPPA assembly
-      val eppa1 = new Array[Double](F * NT)
-      val trans = new Array[Double](F * NT)
+      val eppa1 = scratch.eppa1
+      val trans = scratch.trans
       var transSum = 0.0
       var i = 0
       while (i < F * NT) {
@@ -445,7 +496,7 @@ object FrameEppa {
       }
       if (transSum > 0) { i = 0; while (i < trans.length) { trans(i) /= transSum; i += 1 } }
 
-      val xepaComp = new Array[Double](F * NT)
+      val xepaComp = scratch.xepaComp
       f = 0
       while (f < F) {
         var k = 0
