@@ -37,6 +37,7 @@ object SparkEntry {
     "j_grid_densify" -> (Joins.gridDensify _),
     "j_share_of_spend" -> (Joins.shareOfCustomerSpend _),
     "a_quantiles" -> (Aggregates.quantiles _),
+    "a_quantiles_approx" -> (Aggregates.quantilesApprox _), // rows-only: sketch
     "a_correlation" -> (Aggregates.correlation _),
     "a_gamma_moments" -> (Aggregates.gammaMoments _),
     "a_collect_types" -> (Aggregates.collectTypes _),

@@ -42,7 +42,7 @@ object ThroughputBench {
     val batch = model.map(XyacModel.kernelBatchScorer).orNull
 
     // warm-up: codegen + model deserialization per executor thread
-    EppaJob.run(spark.createDataset(baseFrames), epaTables,
+    EppaJob.run(spark.createDataset(baseFrames.toIndexedSeq), epaTables,
       xyacScore = xyac, xyacBatch = batch).foreach(_ => ())
 
     val t0 = System.nanoTime()

@@ -28,6 +28,21 @@ object Aggregates {
       .orderBy("c_mktsegment")
   }
 
+  /** A4 production path: approximate quantiles (t-digest style sketch —
+    * mergeable, single pass, bounded memory at any scale). Not
+    * oracle-stable (sketch internals differ across engines), so this
+    * ships rows-only-checked; the exact form above carries the hash
+    * gate. */
+  def quantilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(
+        percentile_approx(col("c_acctbal"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("c_acctbal"), lit(0.9), lit(10000)).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
   val quantilesSql: String =
     """SELECT c_mktsegment,
       |  quantile_cont(c_acctbal, 0.25) AS p25,

@@ -96,7 +96,7 @@ object Ann {
   /** LSH bucket id: NumPlanes sign bits of plane·v (exact int arithmetic). */
   def bucketExpr(q: Column): Column = {
     (0 until NumPlanes).map { p =>
-      val planeLit = array(planes(p).map(s => lit(s.toDouble)): _*)
+      val planeLit = array(planes(p).toIndexedSeq.map(s => lit(s.toDouble)): _*)
       when(intDot(q, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

@@ -16,10 +16,23 @@ class OpsSpec extends SparkTestBase {
     // xxhash64 production variants have no DuckDB twin by design — the
     // driver records a rows-only check for them; their md5-parity twins
     // carry the hash gate
-    val rowsOnly = Set("d_minhash_lsh_fast", "d_lsh_jaccard_fast")
+    val rowsOnly = Set("d_minhash_lsh_fast", "d_lsh_jaccard_fast", "a_quantiles_approx")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty)
+  }
+
+  test("approx quantiles track the exact quantiles closely") {
+    val exact = SparkEntry.queries("a_quantiles")(spark, sfDir)
+      .select("c_mktsegment", "p50").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = SparkEntry.queries("a_quantiles_approx")(spark, sfDir)
+      .select("c_mktsegment", "p50").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (seg, v) =>
+      assert(math.abs(approx(seg) - v) <= math.max(50.0, math.abs(v) * 0.05),
+        s"$seg: approx ${approx(seg)} vs exact $v")
+    }
   }
 
   test("fast-path dedup finds the same duplicate pairs as the md5 form") {
