@@ -297,14 +297,19 @@ object GbdtScorer {
     try parse(src.getLines(), featureNames, numClasses) finally src.close()
   }
 
-  /** Column API: expectation over an array-typed feature column. The model
-    * rides the closure (broadcast by Spark's task serializer — small,
-    * read-only). */
+  /** Column API: expectation over an array-typed feature column as a
+    * NATIVE expression (GbdtExpectation — no ScalaUDF, no per-row boxed
+    * Seq conversion; the model rides the serialized plan as a codegen
+    * reference object). The model is baked into a session-registered
+    * function because expression trees are built from column names only. */
   def expectationColumn(model: Model, values: Array[Double])(features: Column): Column = {
-    val f = udf { xs: Seq[Double] =>
-      model.expectation(xs.toArray, values)
-    }
-    f(features)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val name = s"graft_gbdt_${Integer.toHexString(System.identityHashCode(model))}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => GbdtExpectation(exprs.head, model, values),
+      "built-in")
+    org.apache.spark.sql.functions.call_function(name, features)
   }
 
   /** DataFrame helper: append `outCol` = expectation over named feature

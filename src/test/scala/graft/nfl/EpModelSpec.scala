@@ -68,7 +68,18 @@ class EpModelSpec extends SparkTestBase {
     assert(math.abs(row4._2 - (-row4._1 - before4)) < 1e-9)
   }
 
-  test("withExpectation UDF path matches direct scoring") {
+  test("EP scoring runs as a native expression, not a ScalaUDF") {
+    val spark = this.spark
+    import spark.implicits._
+    val pre = Seq((1L, 100L, 1, 60.0, 10.0))
+      .toDF("gameId", "playId", "down_x", "yardline_100", "ydstogo")
+    val df = EpaModel.epaTable(pre, EpModel.fixtureScorer)
+    val plan = df.queryExecution.analyzed.toString
+    assert(!plan.contains("UDF"), s"UDF in plan:\n${plan.take(600)}")
+    assert(plan.contains("graft_gbdt"), s"expected native gbdt expression")
+  }
+
+  test("withExpectation column path matches direct scoring") {
     val spark = this.spark
     import spark.implicits._
     val df = Seq((30.0, 7.0, 0, 1, 0, 0, 0, 0))
