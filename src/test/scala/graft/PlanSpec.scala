@@ -96,4 +96,14 @@ class PlanSpec extends SparkTestBase {
       .count(l => l.contains("Arguments: hashpartitioning"))
     assert(hashParts == 1, s"expected a single group-by exchange, got $hashParts:\n$pl")
   }
+
+  test("dedup family: band joins are equi-joins, never cartesian") {
+    for (q <- Seq("d_minhash_lsh", "d_minhash_lsh_fast",
+        "d_lsh_jaccard", "d_lsh_jaccard_fast", "d_simhash")) {
+      val pl = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!pl.contains("CartesianProduct"), s"$q degraded to cartesian")
+      assert(!pl.contains("BroadcastNestedLoopJoin"),
+        s"$q band join lost its equi keys")
+    }
+  }
 }
