@@ -68,6 +68,23 @@ object EppaStream {
       : Dataset[FrameEppa.PassSummary] = {
     val spark = rows.sparkSession
     import spark.implicits._
+    frameOutputs(rows, epaTables, params, priors, xyacScore, stateTimeout)
+      .map(_.pass)
+  }
+
+  /** Full streaming kernel output — the batch job's four tables' worth of
+    * rows (pass summary, per-player stats, field surface, proj) per
+    * completed frame; split downstream with `.map(_.pass)` /
+    * `.flatMap(_.players)` / etc., exactly like EppaJob.writeOutputs. */
+  def frameOutputs(rows: Dataset[TrackRow],
+                   epaTables: Map[(Long, Long), (Array[Double], Double)],
+                   params: FrameEppa.Params = FrameEppa.Params(),
+                   priors: FrameEppa.Priors = FrameEppa.Priors.synthetic(),
+                   xyacScore: Array[Double] => Double = _ => 5.0,
+                   stateTimeout: Option[String] = None)
+      : Dataset[FrameEppa.FrameOutput] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
 
     // ProcessingTimeTimeout only when asked for: with a timeout armed,
     // the default ASAP trigger runs CONTINUOUS empty micro-batches just to
@@ -129,7 +146,7 @@ object EppaStream {
                   new FrameEppa.Kernel(params, priors, xyacScore) else null
                 val out = ready.flatMap { f =>
                   toFrameInput(g, p, f, st.snapFrame, st.buffered(f))
-                    .map(in => kernel.compute(in, epaComp, epaInc).pass)
+                    .map(in => kernel.compute(in, epaComp, epaInc))
                 }
                 // drop emitted frames AND anything a late-arriving snap
                 // event proves out-of-window (buffered while snap unknown)
