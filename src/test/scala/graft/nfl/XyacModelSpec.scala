@@ -30,9 +30,8 @@ class XyacModelSpec extends SparkTestBase {
       (0 until 8).toSeq ++ (0 until 8).toSeq)
   }
 
-  test("reproduces the reference's shipped test-set predictions") {
-    assume(refAvailable)
-    val src = scala.io.Source.fromFile(predCsv)
+  private def checkParity(csv: String): Unit = {
+    val src = scala.io.Source.fromFile(csv)
     val lines = try src.getLines().toVector finally src.close()
     val header = lines.head.split(",").toVector
     val featCols = XyacModel.FeatureNames.map(header.indexOf(_)).toArray
@@ -50,11 +49,23 @@ class XyacModelSpec extends SparkTestBase {
       worst = math.max(worst, err); sumAbs += err; n += 1
     }
     info(f"$n rows: mean |err| = ${sumAbs / n}%.2e, max = $worst%.2e")
-    assert(n > 6000)
+    assert(n > 3000)
     // reference predictions come from a float32 treelite build; double
     // tree-walk agrees to float precision
     assert(sumAbs / n < 1e-5, "mean abs error vs reference predictions")
     assert(worst < 1e-3, "worst-case error vs reference predictions")
+  }
+
+  test("reproduces the reference's shipped test-set predictions") {
+    assume(refAvailable)
+    checkParity(predCsv)
+  }
+
+  test("reproduces the reference's shipped training-set predictions") {
+    assume(refAvailable)
+    val trainCsv = "/root/reference/analysis/models/in/training_predictions.csv"
+    assume(new java.io.File(trainCsv).isFile)
+    checkParity(trainCsv)
   }
 
   test("kernelScorer remaps the kernel feature layout correctly") {
