@@ -64,21 +64,37 @@ object Dedup {
           s" i -> substring(lt, i, $K))")))
       .select(col("doc_id"), hasher(col("shingle")).as("h"))
 
-  /** MinHash signature column j: min((a_j * h + b_j) mod P) over shingles. */
-  private def minhashAgg(j: Int): Column = {
-    val a = 2L * j + 1
-    val b = 101L * j + 7
-    min((col("h") * a + b) % P).as(s"mh$j")
+  /** Per-doc sorted-distinct shingle-hash SET as one array<long> column —
+    * the round-3 scale shape. A document's shingles all live inside its own
+    * row, so shingle → hash → distinct is per-row-local work: one codegen
+    * expression pass, zero shuffles. The exploded [[shingleHashes]] form
+    * (which paid a full distinct + groupBy shuffle of every shingle row)
+    * remains only for spec-level inspection. */
+  def shingleSets(docs: DataFrame, algo: String = "md5"): DataFrame = {
+    graft.functions.ShingleExpressions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      graft.functions.ShingleExpressions
+        .shingleSet(lower(col("text")), K, 15, P, algo).as("hs"))
   }
 
-  /** Doc → NumHashes minhash signature values (one aggregation pass). */
+  /** Doc → NumHashes minhash signature values. All m mins come from one
+    * in-row pass over the shingle set (graft_minhash_sig) — the signature
+    * table is produced map-only, where the round-2 form shuffled every
+    * (doc, shingle) row through a 12-min aggregation. Minhash over the
+    * distinct set equals minhash over the multiset, so values are
+    * unchanged. */
   def signatures(docs: DataFrame): DataFrame =
-    signaturesFromHashes(shingleHashes(docs))
+    signaturesFromSets(shingleSets(docs))
 
-  /** Same, over a pre-computed (and possibly cached) shingle-hash table. */
-  def signaturesFromHashes(sh: DataFrame): DataFrame =
-    sh.groupBy("doc_id")
-      .agg(minhashAgg(0), (1 until NumHashes).map(minhashAgg): _*)
+  /** Same, over a pre-computed (doc_id, hs) shingle-set table. */
+  def signaturesFromSets(ss: DataFrame): DataFrame = {
+    graft.functions.ShingleExpressions.register(ss.sparkSession)
+    ss.select(col("doc_id"),
+        graft.functions.ShingleExpressions
+          .minhashSig(col("hs"), NumHashes, P).as("sig"))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(j => col("sig")(j).as(s"mh$j")): _*)
+  }
 
   /** LSH candidate pairs: docs sharing at least one band of the signature.
     * Emits (doc_a < doc_b, n_shared_bands).
@@ -92,8 +108,8 @@ object Dedup {
 
   /** xxhash64 fast-path twin of [[minhashLsh]] (rows-only check). */
   def minhashLshFast(spark: SparkSession, dir: String): DataFrame =
-    bandCandidates(signaturesFromHashes(
-      shingleHashesFast(Tables.documents(spark, dir))))
+    bandCandidates(signaturesFromSets(
+      shingleSets(Tables.documents(spark, dir), algo = "xxh64")))
 
   /** Band-bucket self-join over a signature table → candidate pairs. */
   def bandCandidates(sigs: DataFrame): DataFrame = {
@@ -160,35 +176,43 @@ object Dedup {
        |GROUP BY 1, 2
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** LSH candidates verified with exact shingle-set Jaccard (join-based so
-    * Spark and the oracle count the identical distinct-intersection).
-    * jaccard_bp = floor(10000 * |A∩B| / |A∪B|); is_dup at 80%. */
+  /** LSH candidates verified with exact shingle-set Jaccard.
+    * jaccard_bp = floor(10000 * |A∩B| / |A∪B|); is_dup at 80%.
+    *
+    * Round-3 shape: ONE per-doc shingle-set pass feeds both the signatures
+    * (graft_minhash_sig over the array) and the verification
+    * (graft_sorted_intersect on the candidate pair's two arrays). The only
+    * shuffles left are doc-level: the band self-join over signatures and
+    * the two joins attaching each pair's arrays — the round-2 form instead
+    * shuffled every (doc, shingle) row through a distinct AND a 12-min
+    * aggregation AND a two-key verify join. The counted intersection is the
+    * same distinct-set intersection the oracle SQL computes.
+    *
+    * 100 TB note: rows carry one array per doc (8 bytes/distinct shingle —
+    * ~8 KB for a 1k-shingle web page). Pathologically large documents
+    * (books: millions of shingles) should be length-capped upstream, the
+    * standard corpus-dedup practice. */
   def lshJaccard(spark: SparkSession, dir: String): DataFrame =
-    lshJaccardOver(shingleHashes(Tables.documents(spark, dir)))
+    lshJaccardOver(shingleSets(Tables.documents(spark, dir)))
 
   /** xxhash64 fast-path twin of [[lshJaccard]] (rows-only check). */
   def lshJaccardFast(spark: SparkSession, dir: String): DataFrame =
-    lshJaccardOver(shingleHashesFast(Tables.documents(spark, dir)))
+    lshJaccardOver(shingleSets(Tables.documents(spark, dir), algo = "xxh64"))
 
-  private def lshJaccardOver(shingles: DataFrame): DataFrame = {
-    // ONE shingle-hash pass feeds both the signatures and the verification
-    // join: minhash-of-distinct equals minhash-of-multiset, so the cached
-    // distinct table serves both
-    val sh = shingles.distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = bandCandidates(signaturesFromHashes(sh)).select("doc_a", "doc_b")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shA = sh.select(col("doc_id").as("doc_a"), col("h"))
-    val shB = sh.select(col("doc_id").as("doc_b2"), col("h").as("h_b"))
+  private def lshJaccardOver(sets: DataFrame): DataFrame = {
+    graft.functions.ShingleExpressions.register(sets.sparkSession)
+    // the set table is read twice (signatures, pair-attach joins): persist
+    // so the shingle hashing runs once (at 100 TB: checkpoint to parquet)
+    val sh = sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = bandCandidates(signaturesFromSets(sh)).select("doc_a", "doc_b")
     cands
-      .join(shA, "doc_a")
-      // two-key equi join (doc, shingle-hash) — stated explicitly so the
-      // planner can never fall back to a doc-only join with a post-filter,
-      // which would materialize |pairs|·|shingles|² rows
-      .join(shB, col("doc_b") === col("doc_b2") && col("h") === col("h_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.ShingleExpressions
+          .sortedIntersect(col("hs_a"), col("hs_b")).as("n_inter"),
+        size(col("hs_a")).cast("long").as("n_a"),
+        size(col("hs_b")).cast("long").as("n_b"))
       .select(col("doc_a"), col("doc_b"),
         floor(col("n_inter") * 10000 / (col("n_a") + col("n_b") - col("n_inter")))
           .cast("long").as("jaccard_bp"))
@@ -224,23 +248,17 @@ object Dedup {
   /** SimHash: 32-bit signature over word tokens; banded into 4 bytes for
     * candidate generation; hamming distance via bit_count(xor).
     *
-    * One aggregation pass with 32 conditional-sum columns instead of a
-    * 32× bit-explode — the shuffle carries J rows per doc, not 32·J. */
+    * The whole signature is one in-row expression pass (graft_simhash over
+    * the token array): every per-token md5 vote and the 32 bit balances
+    * stay inside the row, so the signature table is produced map-only —
+    * the round-2 form exploded every token and shuffled them through a
+    * 32-conditional-sum aggregation. Token semantics are unchanged
+    * (split(trim(lower(text)), '\\s+'), 32-bit md5 prefix per token). */
   def simhash(docs: DataFrame): DataFrame = {
-    graft.functions.HashExpressions.register(docs.sparkSession)
-    val tokens = docs
-      .withColumn("tok", explode(split(trim(lower(col("text"))), "\\s+")))
-      .select(col("doc_id"),
-        graft.functions.HashExpressions.md5Prefix64(col("tok"), 8).as("h32"))
-    val balances = (0 until 32).map { i =>
-      sum(when(expr(s"(h32 >> $i) & 1") === 1, 1).otherwise(-1)).as(s"bal$i")
-    }
-    val sigExpr = (0 until 32).map { i =>
-      when(col(s"bal$i") > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
-    tokens.groupBy("doc_id")
-      .agg(balances.head, balances.tail: _*)
-      .select(col("doc_id"), sigExpr.as("sig"))
+    graft.functions.ShingleExpressions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      graft.functions.ShingleExpressions
+        .simhash(split(trim(lower(col("text"))), "\\s+"), 32).as("sig"))
   }
 
   /** SimHash near-dup pairs: share ≥1 of 4 byte-bands, hamming ≤ 6. */

@@ -81,8 +81,7 @@ object HashExpressions {
       org.apache.spark.sql.functions.lit(nHexDigits))
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_md5_prefix64", exprs => fromExprs(exprs), "built-in")
+    Registration.registerOnce(spark, "graft_md5_prefix64", exprs => fromExprs(exprs))
 
   private[functions] def fromExprs(exprs: Seq[Expression]): Md5Prefix64 = {
     val n = exprs(1) match {

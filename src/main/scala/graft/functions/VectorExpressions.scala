@@ -143,10 +143,10 @@ object VectorExpressions {
   /** SQL registration: `SELECT graft_dot(a, b)` after installing
     * [[GraftExtensions]] (or calling this directly on a session). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    Registration.registerOnce(spark, "graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)))
+    Registration.registerOnce(spark, "graft_cosine",
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
   }
 }
 
@@ -165,5 +165,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_md5_prefix64"),
       new ExpressionInfo(classOf[HashExpressions.Md5Prefix64].getName, "graft_md5_prefix64"),
       (exprs: Seq[Expression]) => HashExpressions.fromExprs(exprs)))
+    ShingleExpressions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(ShingleExpressions.getClass.getName, name), builder))
+    }
   }
 }
