@@ -43,6 +43,12 @@ object SparkEntry {
     "a_collect_types" -> (Aggregates.collectTypes _),
     "a_cumulative_spend" -> (Aggregates.cumulativeSpend _),
     "a_sessionize" -> (Aggregates.sessionize _),
+    "j_asof_last_view" -> (TemporalJoins.asofLastView _),
+    "j_range_pairs" -> (TemporalJoins.rangePairs _),
+    "t_repetition" -> (TextOps.repetitionStats _),
+    "t_hash_sample" -> (TextOps.hashSample _),
+    "a_approx_ndv" -> (Events.approxNdv _), // rows-only: HLL sketch
+    "d_dup_clusters" -> (graft.dedup.Dedup.dupClusters _),
     "d_minhash_lsh" -> (graft.dedup.Dedup.minhashLsh _),
     "d_lsh_jaccard" -> (graft.dedup.Dedup.lshJaccard _),
     // xxhash64 production fast paths: no DuckDB twin (rows-only check);
@@ -94,6 +100,11 @@ object SparkEntry {
     "a_collect_types" -> Aggregates.collectTypesSql,
     "a_cumulative_spend" -> Aggregates.cumulativeSpendSql,
     "a_sessionize" -> Aggregates.sessionizeSql,
+    "j_asof_last_view" -> TemporalJoins.asofLastViewSql,
+    "j_range_pairs" -> TemporalJoins.rangePairsSql,
+    "t_repetition" -> TextOps.repetitionStatsSql,
+    "t_hash_sample" -> TextOps.hashSampleSql,
+    "d_dup_clusters" -> graft.dedup.Dedup.dupClustersSql,
     "d_minhash_lsh" -> graft.dedup.Dedup.minhashLshSql,
     "d_lsh_jaccard" -> graft.dedup.Dedup.lshJaccardSql,
     "d_simhash" -> graft.dedup.Dedup.simhashDupSql,

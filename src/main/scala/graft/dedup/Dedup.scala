@@ -274,10 +274,76 @@ object Dedup {
         col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: hamming is computable per candidate
+      // row, so the dedup shuffle only carries the (rare) near-dup pairs,
+      // not every band collision
       .filter(col("hamming") <= 6)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Duplicate-cluster assignment: connected components over the verified
+    * near-dup pairs (is_dup edges from [[lshJaccard]]), labeled by the
+    * minimum doc_id of each component. Every document gets a row;
+    * `keep = 1` marks the cluster canonical — filter on it and you have
+    * the deduplicated corpus, the terminal step of a dedup pipeline.
+    *
+    * Distributed shape: iterative min-label propagation — per round, each
+    * node takes the min of its own label and its neighbors' labels; the
+    * loop stops when no label changes. Rounds = component diameter (near-dup
+    * clusters are shallow: a handful of rounds); each round is one equi
+    * join + one aggregation, and `localCheckpoint` cuts the growing lineage
+    * so round N's plan doesn't replay rounds 1..N-1. The classic
+    * large-star/small-star contraction halves round count at extreme
+    * diameters, but near-dup graphs never get there.
+    *
+    * The driver loop only ever `collect`s a single change-count per round —
+    * labels themselves never leave the executors. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = lshJaccard(spark, dir).filter(col("is_dup") === 1)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(lvl)
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("lab")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = sym.join(labels, sym("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
+      val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
+        .select(labels("doc_id"),
+          least(labels("lab"), coalesce(col("nlab"), labels("lab"))).as("lab"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.lab") =!= col("o.lab")).count()
+      labels = next
+    }
+    sym.unpersist()
+    labels
+      .select(col("doc_id"), col("lab").as("cluster_id"),
+        (col("doc_id") === col("lab")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE
+       |pairs AS ($lshJaccardSql),
+       |edges AS (SELECT doc_a, doc_b FROM pairs WHERE is_dup = 1),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM edges),
+       |reach(doc, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.doc)
+       |SELECT doc AS doc_id, min(lab) AS cluster_id,
+       |  CAST(doc = min(lab) AS INT) AS keep
+       |FROM reach
+       |GROUP BY doc
+       |ORDER BY doc_id""".stripMargin
 
   val simhashDupSql: String =
     s"""WITH toks AS (

@@ -54,6 +54,22 @@ object Events {
       |GROUP BY 1, 2
       |ORDER BY event_type, bucket""".stripMargin
 
+  /** Approximate distinct users per event type (HyperLogLog++, 2% rsd)
+    * alongside the exact count. At 100 TB the exact countDistinct is the
+    * expensive aggregation in [[dailyRollup]] (it shuffles every distinct
+    * (key, user) pair); the HLL sketch is map-side combinable and shuffles
+    * one fixed-size buffer per key. Rows-only checked: sketch estimates
+    * are engine-specific by nature. */
+  def approxNdv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
+           countDistinct($"user_id").as("exact_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
   /** Set ops U1 + A11 (HAVING): high-activity users = union of two
     * event-type slices, grouped with a post-aggregation filter. */
   def activeUsers(spark: SparkSession, dir: String): DataFrame = {

@@ -86,4 +86,80 @@ object TextOps {
       |       / len(text)) AS BIGINT) AS space_bp
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic hash sampling: the reproducible train/holdout split a
+    * data pipeline needs — membership depends only on (salt, doc_id), so
+    * the same 10% sample falls out on any engine, any partitioning, any
+    * run. This is the scale-safe form of `ORDER BY random() LIMIT n`
+    * (which needs a global sort AND isn't reproducible): a pure map-side
+    * filter the scan can stream through. */
+  def hashSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.HashExpressions.register(spark)
+    val bucket = graft.functions.HashExpressions.md5Prefix64(
+      concat(lit("sample:"), $"doc_id".cast("string")), 15) % 100
+    Tables.documents(spark, dir)
+      .filter(bucket < 10)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val hashSampleSql: String =
+    """SELECT doc_id, lang, n_chars
+      |FROM documents
+      |WHERE CAST(('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |           AS BIGINT) % 100 < 10
+      |ORDER BY doc_id""".stripMargin
+
+  /** Repetition-based quality metrics (the Gopher-rule family a pretraining
+    * pipeline filters on): per document, the distinct-token ratio and the
+    * share of the single most frequent word bigram — high top-bigram share
+    * flags boilerplate/template pages. Docs need ≥ 2 tokens to have a
+    * bigram; shorter docs are excluded (both engines apply the same gate).
+    *
+    * Two scan-local aggregations (token counts, bigram counts) re-joined on
+    * doc_id; the bigram groupBy key is (doc_id, bigram), which distributes
+    * uniformly at any corpus size. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", split(trim(lower($"text")), "\\s+").as("t"))
+      .filter(size($"t") >= 2)
+    val tokenStats = toks.select($"doc_id", explode($"t").as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct($"tok").as("n_distinct"))
+    val bigramStats = toks
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max($"c").as("top_bigram_n"), sum($"c").as("n_bigrams"))
+    tokenStats.join(bigramStats, "doc_id")
+      .select($"doc_id", $"n_tokens",
+        floor($"n_distinct" * 10000 / $"n_tokens").cast("long").as("distinct_bp"),
+        floor($"top_bigram_n" * 10000 / $"n_bigrams").cast("long").as("top_bigram_bp"))
+      .orderBy($"doc_id")
+  }
+
+  val repetitionStatsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |eligible AS (SELECT * FROM toks WHERE len(t) >= 2),
+      |tok AS (SELECT doc_id, UNNEST(t) AS tok FROM eligible),
+      |ts AS (
+      |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+      |  FROM tok GROUP BY 1),
+      |bg AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+      |  FROM eligible, UNNEST(range(1, len(t))) AS r(i)),
+      |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bgs AS (
+      |  SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+      |  FROM bgc GROUP BY 1)
+      |SELECT ts.doc_id, ts.n_tokens,
+      |  CAST(floor(n_distinct * 10000 / n_tokens) AS BIGINT) AS distinct_bp,
+      |  CAST(floor(top_bigram_n * 10000 / n_bigrams) AS BIGINT) AS top_bigram_bp
+      |FROM ts JOIN bgs ON ts.doc_id = bgs.doc_id
+      |ORDER BY ts.doc_id""".stripMargin
 }

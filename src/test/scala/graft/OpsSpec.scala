@@ -16,7 +16,9 @@ class OpsSpec extends SparkTestBase {
     // xxhash64 production variants have no DuckDB twin by design — the
     // driver records a rows-only check for them; their md5-parity twins
     // carry the hash gate
-    val rowsOnly = Set("d_minhash_lsh_fast", "d_lsh_jaccard_fast", "a_quantiles_approx")
+    // a_approx_ndv is an HLL sketch: estimates are engine-specific
+    val rowsOnly = Set("d_minhash_lsh_fast", "d_lsh_jaccard_fast",
+      "a_quantiles_approx", "a_approx_ndv")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty)
