@@ -43,6 +43,9 @@ object SparkEntry {
     "a_collect_types" -> (Aggregates.collectTypes _),
     "a_cumulative_spend" -> (Aggregates.cumulativeSpend _),
     "a_sessionize" -> (Aggregates.sessionize _),
+    "a_rollup" -> (Aggregates.rollupSummary _),
+    "a_pivot" -> (Aggregates.pivotSpend _),
+    "u_set_ops" -> (Aggregates.setOpsCustomers _),
     "j_asof_last_view" -> (TemporalJoins.asofLastView _),
     "j_range_pairs" -> (TemporalJoins.rangePairs _),
     "t_repetition" -> (TextOps.repetitionStats _),
@@ -100,6 +103,9 @@ object SparkEntry {
     "a_collect_types" -> Aggregates.collectTypesSql,
     "a_cumulative_spend" -> Aggregates.cumulativeSpendSql,
     "a_sessionize" -> Aggregates.sessionizeSql,
+    "a_rollup" -> Aggregates.rollupSummarySql,
+    "a_pivot" -> Aggregates.pivotSpendSql,
+    "u_set_ops" -> Aggregates.setOpsCustomersSql,
     "j_asof_last_view" -> TemporalJoins.asofLastViewSql,
     "j_range_pairs" -> TemporalJoins.rangePairsSql,
     "t_repetition" -> TextOps.repetitionStatsSql,

@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real (schemas, partition-preserving
   * mapPartitions batch transforms, explode-based frame sampling). The
-  * codec layer is REAL for P6 PPM images (PpmCodec — pure JVM, zero
-  * dependencies; synthesize emits actual PPMs for image-kind items and
-  * decode/resize operate on true pixels). Formats that need external
-  * libraries (JPEG, audio) stay behind `decodeBytesStub`, a
+  * codec layer is REAL for P6 PPM images (PpmCodec) and PCM16 WAV audio
+  * (WavCodec) — both pure JVM, zero dependencies: synthesize emits
+  * actual PPMs / WAVs, and decode / feature-extract / resize / resample
+  * operate on true pixels and samples. Only formats that need external
+  * libraries (JPEG, video codecs) stay behind `decodeBytesStub`, a
   * deterministic byte-level fake — at production scale that stub body is
   * the only thing that changes (swap in a JNI/codec call; everything
   * around it is the distributed shape).
@@ -63,6 +64,54 @@ object Multimodal {
         }
         MediaFeatures(m.mediaId, m.kind, px.length, s.toDouble / n,
           math.round(ent * 1000), hist.clone())
+      }
+    }
+  }
+
+  final case class AudioFeatures(mediaId: Long, sampleRate: Int, nSamples: Int,
+                                 rmsMilli: Long, zeroCrossings: Long,
+                                 peakAbs: Int)
+
+  /** Audio feature extraction over REAL decoded WAV samples: RMS level
+    * (relative to full scale, in milli-units), zero-crossing count, and
+    * peak amplitude. Partition-local batch transform, no shuffle — the
+    * same shape as [[extractFeatures]]; non-WAV payloads are dropped. */
+  def extractAudioFeatures(items: Dataset[MediaItem]): Dataset[AudioFeatures] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions { it =>
+      it.flatMap { m =>
+        WavCodec.decode(m.payload).map { case (rate, s) =>
+          var sumSq = 0.0
+          var zc = 0L
+          var peak = 0
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toInt
+            sumSq += v.toDouble * v
+            if (i > 0 && ((s(i - 1) < 0 && v >= 0) || (s(i - 1) >= 0 && v < 0))) zc += 1
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          val rms = math.sqrt(sumSq / math.max(s.length, 1)) / 32768.0
+          AudioFeatures(m.mediaId, rate, s.length,
+            math.round(rms * 1000), zc, peak)
+        }
+      }
+    }
+  }
+
+  /** Resample audio items to a new rate (REAL linear interpolation for
+    * WAV payloads; others pass through). Partition-local, no shuffle. */
+  def resampleAudio(items: Dataset[MediaItem], dstRate: Int): Dataset[MediaItem] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.map { m =>
+      WavCodec.decode(m.payload) match {
+        case Some((rate, s)) =>
+          val out = WavCodec.encode(dstRate, WavCodec.resampleLinear(s, rate, dstRate))
+          m.copy(payload = out, meta = m.meta.copy(sampleRate = dstRate))
+        case None => m
       }
     }
   }
@@ -130,6 +179,24 @@ object Multimodal {
           MediaItem(docId, kind, PpmCodec.encode(w, h, rgb),
             MediaMeta(width = w, height = h, channels = 3,
               sampleRate = 0, durationMs = 0, mime = "image/x-portable-pixmap"))
+        } else if (kind == "audio") {
+          // REAL WAV: a digest-seeded tone + per-sample dither, PCM16 mono
+          val rate = 16000
+          val durMs = 40 * reps
+          val n = rate * durMs / 1000
+          val freq = 200.0 + (digest(0) & 0xff) * 8.0
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            val t = i.toDouble / rate
+            val dither = ((digest(i % digest.length) & 0xff) - 128) / 128.0
+            val v = 0.6 * math.sin(2 * math.Pi * freq * t) + 0.05 * dither
+            samples(i) = math.round(v * 32767.0 * 0.9).toShort
+            i += 1
+          }
+          MediaItem(docId, kind, WavCodec.encode(rate, samples),
+            MediaMeta(width = 0, height = 0, channels = 1,
+              sampleRate = rate, durationMs = durMs, mime = "audio/wav"))
         } else {
           val payload = Array.fill(reps)(digest).flatten
           MediaItem(docId, kind, payload,

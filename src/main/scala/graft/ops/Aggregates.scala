@@ -183,4 +183,83 @@ object Aggregates {
        |FROM sessions
        |GROUP BY 1, 2
        |ORDER BY user_id, session_id""".stripMargin
+
+  /** ROLLUP: per-(returnflag, linestatus) totals plus per-returnflag and
+    * grand-total subtotal rows in ONE aggregation pass (Spark expands the
+    * grouping sets before the exchange, so it still map-side combines).
+    * Subtotal NULL keys are coalesced to a sentinel so row ordering is
+    * engine-independent (neither key column is nullable in the data). */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(exactSum(col("l_quantity")).as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+              col("sum_qty"), col("n_rows"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  val rollupSummarySql: String =
+    s"""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+       |  coalesce(l_linestatus, '(all)') AS linestatus,
+       |  ${sqlExactSum("l_quantity")} AS sum_qty,
+       |  count(*) AS n_rows
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** PIVOT: per-user spend by event type as columns. The explicit value
+    * list keeps the plan a single static aggregation (no distinct-values
+    * pre-pass) — the form that survives at scale. */
+  def pivotSpend(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(exactSum(col("value")))
+      .na.fill(0.0, types)
+      .orderBy("user_id")
+  }
+
+  val pivotSpendSql: String = {
+    val cols = Seq("click", "view", "purchase", "signup", "error").map { t =>
+      s"  coalesce(${sqlExactSum(s"CASE WHEN event_type = '$t' THEN value END")}, 0.0) AS $t"
+    }.mkString(",\n")
+    s"""SELECT user_id,
+       |$cols
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
+  /** INTERSECT / EXCEPT: customers segmented by two derived key sets —
+    * open-order customers vs high-balance customers — tagged by which
+    * side they fall on. Spark plans both as hash joins (left-semi /
+    * left-anti after dedup), shuffling only distinct keys. */
+  def setOpsCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val withOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    val highBal = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey"))
+    withOrders.intersect(highBal)
+      .select(lit("both").as("tag"), col("c_custkey"))
+      .unionByName(withOrders.except(highBal)
+        .select(lit("orders_only").as("tag"), col("c_custkey")))
+      .orderBy("tag", "c_custkey")
+  }
+
+  val setOpsCustomersSql: String =
+    """WITH with_orders AS (
+      |  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |high_bal AS (
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+      |SELECT 'both' AS tag, c_custkey
+      |FROM (SELECT c_custkey FROM with_orders INTERSECT SELECT c_custkey FROM high_bal)
+      |UNION ALL
+      |SELECT 'orders_only' AS tag, c_custkey
+      |FROM (SELECT c_custkey FROM with_orders EXCEPT SELECT c_custkey FROM high_bal)
+      |ORDER BY tag, c_custkey""".stripMargin
 }

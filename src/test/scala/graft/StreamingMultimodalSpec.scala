@@ -76,8 +76,11 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(f1 == f2, "decode must be deterministic")
     val kinds = items.collect().map(m => m.mediaId -> m.kind).toMap
     feats.collect().foreach { f =>
-      if (kinds(f.mediaId) == "image") assert(f.nBytes == 8 * 6 * 3) // real pixels
-      else assert(f.nBytes % 16 == 0) // stub formats: md5 multiples
+      kinds(f.mediaId) match {
+        case "image" => assert(f.nBytes == 8 * 6 * 3) // real pixels
+        case "audio" => assert((f.nBytes - 44) % 1280 == 0) // real WAV bytes
+        case _ => assert(f.nBytes % 16 == 0) // stub formats: md5 multiples
+      }
       assert(f.meanByte >= 0 && f.meanByte <= 255)
       assert(f.histogram.sum == f.nBytes)
       assert(f.entropyMilli >= 0 && f.entropyMilli <= 4000) // ≤ log2(16)*1000
@@ -90,6 +93,40 @@ class StreamingMultimodalSpec extends SparkTestBase {
         assert(w == 2 && h == 2 && rgb.length == 12)
       } else assert(m.payload.length == 2 * 2 * m.meta.channels)
       assert(m.meta.width == 2 && m.meta.height == 2)
+    }
+  }
+
+  test("audio items are real WAVs: decode, features, and resample work") {
+    val items = Multimodal.synthesize(spark, sfDir).cache()
+    val audio = items.filter(_.kind == "audio")
+    val nAudio = audio.count()
+    assert(nAudio > 0)
+    val feats = Multimodal.extractAudioFeatures(items).collect()
+    assert(feats.length == nAudio, "every audio payload must decode as WAV")
+    val metaById = audio.collect().map(m => m.mediaId -> m.meta).toMap
+    feats.foreach { f =>
+      val meta = metaById(f.mediaId)
+      assert(f.sampleRate == 16000)
+      assert(f.nSamples == meta.sampleRate * meta.durationMs / 1000)
+      // 0.6 amplitude sine × 0.9 scale → rms ≈ 0.382 full scale
+      assert(f.rmsMilli > 250 && f.rmsMilli < 500, s"rms ${f.rmsMilli}")
+      // tone of 200..2240 Hz → 2·f crossings/s over durMs
+      val freqLow = 2.0 * 200 * meta.durationMs / 1000
+      val freqHigh = 2.0 * 2240 * meta.durationMs / 1000
+      assert(f.zeroCrossings >= freqLow * 0.8 && f.zeroCrossings <= freqHigh * 1.2,
+        s"zc ${f.zeroCrossings} for durMs ${meta.durationMs}")
+      assert(f.peakAbs > 15000 && f.peakAbs <= 32767)
+    }
+    // resample halves the sample count and keeps the RMS level
+    val down = Multimodal.extractAudioFeatures(
+      Multimodal.resampleAudio(audio, 8000)).collect()
+    val origById = feats.map(f => f.mediaId -> f).toMap
+    down.foreach { d =>
+      val o = origById(d.mediaId)
+      assert(d.sampleRate == 8000)
+      assert(math.abs(d.nSamples - o.nSamples / 2) <= 1)
+      assert(math.abs(d.rmsMilli - o.rmsMilli) < 60,
+        s"resample changed level: ${o.rmsMilli} -> ${d.rmsMilli}")
     }
   }
 
