@@ -111,18 +111,27 @@ object Dedup {
     bandCandidates(signaturesFromSets(
       shingleSets(Tables.documents(spark, dir), algo = "xxh64")))
 
-  /** Band-bucket self-join over a signature table → candidate pairs. */
-  def bandCandidates(sigs: DataFrame): DataFrame = {
+  /** One row per (doc, band) with the band's signature slice as columns
+    * k0..k{r-1} — the LSH bucket key. Stateless column expressions, so it
+    * works identically over a batch table or an append stream (the
+    * streaming near-dup path joins these against a static corpus). */
+  def bandRows(sigs: DataFrame): DataFrame = {
     val keyNames = (0 until RowsPerBand).map(r => s"k$r")
     val bandStructs = (0 until Bands).map { b =>
       val fields = lit(b).as("band") +:
         (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").as(s"k$r"))
       struct(fields: _*)
     }
-    val bandRows = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id") +: col("bs.band").as("band") +:
         keyNames.map(k => col(s"bs.$k").as(k)): _*)
+  }
+
+  /** Band-bucket self-join over a signature table → candidate pairs. */
+  def bandCandidates(sigs: DataFrame): DataFrame = {
+    val keyNames = (0 until RowsPerBand).map(r => s"k$r")
+    val bandRows = this.bandRows(sigs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bandRows.select(col("doc_id").as("doc_a") +: col("band").as("band_l") +:
       keyNames.map(k => col(k).as(s"${k}_l")): _*)
@@ -312,13 +321,15 @@ object Dedup {
     while (changed > 0) {
       val prop = sym.join(labels, sym("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
-      val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
-        .select(labels("doc_id"),
+      // carry the previous label through the round so the convergence
+      // check is a filter on the already-materialized checkpoint, not a
+      // second join job per round
+      val joined = labels.join(prop, labels("doc_id") === prop("dst"), "left")
+        .select(labels("doc_id"), labels("lab").as("old_lab"),
           least(labels("lab"), coalesce(col("nlab"), labels("lab"))).as("lab"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.lab") =!= col("o.lab")).count()
-      labels = next
+      changed = joined.filter(col("lab") =!= col("old_lab")).count()
+      labels = joined.select(col("doc_id"), col("lab"))
     }
     sym.unpersist()
     labels

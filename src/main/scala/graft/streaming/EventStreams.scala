@@ -73,6 +73,42 @@ object EventStreams {
       }
   }
 
+  /** File-source stream over a documents parquet (same schema as
+    * graft.Tables.documents). */
+  def readDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(graft.Tables.documentsSchema).parquet(path)
+
+  /** Streaming exact dedup: emit only the first event per
+    * (user_id, event_type), with watermark-bounded dedup state — the
+    * streaming twin of a batch `dropDuplicates`. Within-watermark
+    * semantics: a duplicate arriving later than the watermark delay after
+    * its first occurrence MAY re-emit; that's the price of bounded state
+    * at 100 TB (unbounded dropDuplicates state is the alternative, and a
+    * non-starter on an infinite stream). */
+  def firstPerUserType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Streaming near-dup flagging: incoming documents are minhash-banded
+    * (stateless column expressions — the same graft_shingle_set /
+    * graft_minhash_sig single-pass kernels as batch) and equi-joined
+    * against a STATIC corpus band table. Stream-static joins keep no
+    * state, so this runs at any corpus size with the corpus side loaded
+    * (or broadcast) once per microbatch — the standard "is this new page
+    * a dup of anything we already have" admission check. */
+  def nearDupFlags(docsStream: DataFrame, corpusBands: DataFrame): DataFrame = {
+    import graft.dedup.Dedup
+    val s = Dedup.bandRows(Dedup.signaturesFromSets(Dedup.shingleSets(docsStream)))
+    val keyCond = (col("band") === col("c_band")) +:
+      (0 until Dedup.RowsPerBand).map(r => col(s"k$r") === col(s"c_k$r"))
+    val c = corpusBands.select(
+      col("doc_id").as("corpus_doc_id") +: col("band").as("c_band") +:
+        (0 until Dedup.RowsPerBand).map(r => col(s"k$r").as(s"c_k$r")): _*)
+    s.join(c, keyCond.reduce(_ && _) && col("doc_id") =!= col("corpus_doc_id"))
+      .select(col("doc_id"), col("corpus_doc_id"), col("band"))
+  }
+
   /** Drain a streaming DataFrame through a memory sink synchronously
     * (local verification harness; production would writeStream to a real
     * sink with a trigger). */

@@ -66,6 +66,49 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(j.filter(col("f.n_events") =!= col("b.n_events")).count() == 0)
   }
 
+  /** File-stream sources need a DIRECTORY; the testdata tables are single
+    * parquet files, so stage one into a temp dir. */
+  private def stageDir(table: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"stream_$table")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/$table.parquet"),
+      dir.resolve(s"$table.parquet"))
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
+  test("streaming dedup emits exactly one event per (user, type)") {
+    import graft.streaming.EventStreams
+    val stream = EventStreams.firstPerUserType(
+      EventStreams.readEvents(spark, stageDir("events")))
+    val got = EventStreams.drainToMemory(stream, "first_per_user_type")
+    val gotKeys = got.select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(gotKeys.length == gotKeys.distinct.length, "duplicate keys emitted")
+    val batchKeys = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(gotKeys.toSet == batchKeys.toSet)
+  }
+
+  test("streaming near-dup flags match the batch band candidates") {
+    import graft.streaming.EventStreams
+    import graft.dedup.Dedup
+    val corpus = Dedup.bandRows(
+      Dedup.signatures(Tables.documents(spark, sfDir)))
+    val flags = EventStreams.nearDupFlags(
+      EventStreams.readDocuments(spark, stageDir("documents")), corpus)
+    val got = EventStreams.drainToMemory(flags, "near_dup_flags")
+      .select("doc_id", "corpus_doc_id").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+                 math.max(r.getLong(0), r.getLong(1)))).toSet
+    val expected = Dedup.minhashLsh(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("multimodal synthesize → extract → resize keeps shapes and determinism") {
     val items = Multimodal.synthesize(spark, sfDir).cache()
     assert(items.count() == Tables.documents(spark, sfDir).count())
