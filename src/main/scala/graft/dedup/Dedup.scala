@@ -273,8 +273,11 @@ object Dedup {
   /** SimHash near-dup pairs: share ≥1 of 4 byte-bands, hamming ≤ 6. */
   def simhashDup(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhash(Tables.documents(spark, dir))
+    // persisted: both sides of the self-join read it, and without the
+    // persist each side re-runs the whole split+md5 signature pass
     val banded = sigs.withColumn("band", explode(expr("sequence(0, 3)")))
       .withColumn("bkey", expr("(sig >> (band * 8)) & 255"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("band").as("band_l"), col("bkey").as("bkey_l"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),

@@ -209,16 +209,19 @@ object Aggregates {
        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
        |ORDER BY returnflag, linestatus""".stripMargin
 
-  /** PIVOT: per-user spend by event type as columns. The explicit value
-    * list keeps the plan a single static aggregation (no distinct-values
-    * pre-pass) — the form that survives at scale. */
+  /** PIVOT: per-user spend by event type as columns, written as static
+    * conditional aggregates. Spark's `.pivot(col, values)` plans TWO
+    * aggregation exchanges (pre-agg by (key, pivot) then PivotFirst);
+    * the `sum(when(...))` form is the single-pass plan — one exchange,
+    * map-side combined, and exactly what the oracle SQL spells. */
   def pivotSpend(spark: SparkSession, dir: String): DataFrame = {
     val types = Seq("click", "view", "purchase", "signup", "error")
+    val aggs = types.map { t =>
+      coalesce(exactSum(when(col("event_type") === t, col("value"))), lit(0.0)).as(t)
+    }
     Tables.events(spark, dir)
       .groupBy("user_id")
-      .pivot("event_type", types)
-      .agg(exactSum(col("value")))
-      .na.fill(0.0, types)
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy("user_id")
   }
 

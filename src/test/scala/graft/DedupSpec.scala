@@ -65,6 +65,27 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("ivf top-k recalls most of the brute-force top-k") {
+    // quality gate for the approximate path, not just a shape check: the
+    // probed-cell top-3 must agree with the exact top-3 for most queries
+    val truth = Ann.bruteForceTopK(spark, sfDir).filter(col("rank") <= 3)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val approx = Ann.ivfTopK(spark, sfDir)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recalls = truth.keys.toSeq.map { q =>
+      val t = truth(q)
+      (t intersect approx.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    // the spec embeddings are isotropic (labels don't cluster), so the
+    // chance floor for 3-of-10 probed cells is 0.30; beating it proves the
+    // probe ordering works, and on clustered data recall rises with it.
+    // Deterministic data → this is a fixed value (0.40), not a flaky bound.
+    assert(mean >= 0.35, f"mean recall@3 $mean%.2f — probe ordering broken")
+  }
+
   test("fingerprint is deterministic and in [0, P)") {
     val f1 = TextFunctions.fingerprint(spark, sfDir).collect()
     val f2 = TextFunctions.fingerprint(spark, sfDir).collect()

@@ -97,6 +97,29 @@ class PlanSpec extends SparkTestBase {
     assert(hashParts == 1, s"expected a single group-by exchange, got $hashParts:\n$pl")
   }
 
+  test("rollup runs as grouping-sets expand with partial aggregation") {
+    val p = plan(SparkEntry.queries("a_rollup")(spark, sfDir))
+    assert(p.contains("Expand"), "rollup must use grouping-sets expand")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("pivot with a static value list is ONE aggregation, no expand") {
+    val p = plan(SparkEntry.queries("a_pivot")(spark, sfDir))
+    assert(!p.contains("Expand"),
+      "static-list pivot must not expand rows per value")
+    val hashParts = p.linesIterator
+      .count(l => l.contains("Arguments: hashpartitioning"))
+    assert(hashParts == 1, s"expected a single group-by exchange:\n$p")
+  }
+
+  test("intersect/except plan as semi/anti hash joins") {
+    val p = plan(SparkEntry.queries("u_set_ops")(spark, sfDir))
+    assert(p.contains("LeftSemi"), s"INTERSECT must be a semi join:\n${p.take(800)}")
+    assert(p.contains("LeftAnti"), s"EXCEPT must be an anti join:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("dedup family: band joins are equi-joins, never cartesian") {
     for (q <- Seq("d_minhash_lsh", "d_minhash_lsh_fast",
         "d_lsh_jaccard", "d_lsh_jaccard_fast", "d_simhash")) {
