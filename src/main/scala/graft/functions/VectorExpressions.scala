@@ -169,5 +169,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(ShingleExpressions.getClass.getName, name), builder))
     }
+    // window row_number-top-k → bounded-heap aggregate (see the rule's
+    // scaladoc); every session built with this extension — including the
+    // driver's Verify/Bench — runs its window-top-k queries through it
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
   }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, GraftPlanExec}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The injected optimizer rule must (a) fire on the row-number-top-k
+  * pattern, (b) leave every other window untouched, and (c) return the
+  * exact rows of the window plan it replaces. Applied here directly to
+  * analyzed plans (the test session doesn't install GraftExtensions, so
+  * window specs elsewhere keep seeing window plans); the Verify/Bench
+  * sessions run the whole oracle suite through the injected rule.
+  */
+class TopKRewriteSpec extends SparkTestBase {
+  import graft.plans.RewriteWindowTopK
+
+  private def viaRule(df: DataFrame): (DataFrame, String) = {
+    val rewritten = RewriteWindowTopK(df.queryExecution.analyzed)
+    (GraftPlanExec.ofRows(spark, rewritten), rewritten.toString)
+  }
+
+  test("desc top-3 rewrites to the aggregate and returns identical rows") {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
+    val df = Tables.customer(spark, sfDir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+    val (got, plan) = viaRule(df)
+    assert(plan.contains("collect_top_k"), s"rule did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"window survived:\n$plan")
+    val expected = df.collect().map(_.toSeq).toSet
+    assert(got.collect().map(_.toSeq).toSet == expected)
+  }
+
+  test("rn === 1 (last-per-group) rewrites and matches") {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc)
+    val df = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "rn", "event_id")
+    val (got, plan) = viaRule(df)
+    assert(plan.contains("collect_top_k"), s"rule did not fire:\n$plan")
+    val expected = df.collect().map(_.toSeq).toSet
+    assert(got.collect().map(_.toSeq).toSet == expected)
+  }
+
+  test("ascending multi-key ordering rewrites and matches") {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc)
+    val df = Tables.lineitem(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") < 4)
+      .select("l_returnflag", "rn", "l_orderkey", "l_linenumber")
+    val (got, plan) = viaRule(df)
+    assert(plan.contains("collect_top_k"), s"rule did not fire:\n$plan")
+    val expected = df.collect().map(_.toSeq).toSet
+    assert(got.collect().map(_.toSeq).toSet == expected)
+  }
+
+  test("rank() and mixed-direction windows are left alone") {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
+    val ranked = Tables.customer(spark, sfDir)
+      .withColumn("r", rank().over(w)).filter(col("r") <= 3)
+    assert(RewriteWindowTopK(ranked.queryExecution.analyzed).toString
+      .contains("Window"), "rank() must not rewrite (ties differ)")
+    val mixed = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val m = Tables.customer(spark, sfDir)
+      .withColumn("rn", row_number().over(mixed)).filter(col("rn") <= 3)
+    assert(RewriteWindowTopK(m.queryExecution.analyzed).toString
+      .contains("Window"), "mixed directions must not rewrite")
+  }
+
+  test("end-to-end through an extension-installed plan shape: rank column usable downstream") {
+    // operators above the filter (projections, sorts, aggregates on rank)
+    // must keep resolving against the rewritten subtree's pinned exprIds
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
+    val df = Tables.customer(spark, sfDir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .groupBy("rank").agg(count(lit(1)).as("n"))
+      .orderBy("rank")
+    val (got, plan) = viaRule(df)
+    assert(plan.contains("collect_top_k"), s"rule did not fire:\n$plan")
+    assert(got.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
+}
