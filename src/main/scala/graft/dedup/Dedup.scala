@@ -318,7 +318,11 @@ object Dedup {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(lvl)
-    var labels = Tables.documents(spark, dir)
+    // propagate over the EDGE SUBGRAPH only: a document with no near-dup
+    // edge is its own singleton cluster by definition, so the iteration
+    // touches |edge-nodes| rows (a sliver of the corpus at any scale),
+    // and the full corpus is re-attached once at the end
+    var labels = sym.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lab")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
@@ -335,9 +339,10 @@ object Dedup {
       labels = joined.select(col("doc_id"), col("lab"))
     }
     sym.unpersist()
-    labels
-      .select(col("doc_id"), col("lab").as("cluster_id"),
-        (col("doc_id") === col("lab")).cast("int").as("keep"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("int"))
       .orderBy("doc_id")
   }
 

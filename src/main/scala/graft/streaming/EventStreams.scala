@@ -73,6 +73,58 @@ object EventStreams {
       }
   }
 
+  final case class AsofState(viewTsUs: Long, viewValue: Double)
+  final case class AsofMatch(event_id: Long, user_id: Long, ts_us: Long,
+                             purchase_value: Double,
+                             last_view_ts_us: Option[Long],
+                             last_view_value: Option[Double])
+
+  /** Streaming as-of join (the stream twin of
+    * graft.ops.TemporalJoins.asofJoin): per user, every purchase event is
+    * emitted with the most recent view event at-or-before it. Keyed state
+    * is ONE row per user (the latest view seen) — the same O(1)-per-key
+    * state the batch union-window form carries, kept in
+    * flatMapGroupsWithState instead of a window frame.
+    *
+    * Ordering: rows are sorted by (ts, side) inside each micro-batch, so
+    * within-batch disorder is absorbed; a view arriving in a LATER batch
+    * than a purchase it precedes is a late-data miss, bounded by the
+    * source's delivery disorder (add a watermark + event-time timeout to
+    * evict idle users in production). */
+  def streamingAsofLastView(spark: SparkSession, events: DataFrame): Dataset[AsofMatch] = {
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "view", 0).otherwise(1).as("side"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Int, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Int, Long, Double)],
+         state: GroupState[AsofState]) =>
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofMatch]
+          // (ts, side) order: views sort before purchases at equal ts,
+          // matching ASOF's l.ts >= r.ts tie rule
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
+            case (_, tsUs, 0, _, value) =>
+              // equal-ts views reduce by max(value) — the same dedup the
+              // batch operator applies to make ties deterministic
+              val v = last match {
+                case Some(s) if s.viewTsUs == tsUs => math.max(s.viewValue, value)
+                case _ => value
+              }
+              last = Some(AsofState(tsUs, v))
+            case (_, tsUs, _, eventId, value) =>
+              out += AsofMatch(eventId, userId, tsUs, value,
+                last.map(_.viewTsUs), last.map(_.viewValue))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** File-source stream over a documents parquet (same schema as
     * graft.Tables.documents). */
   def readDocuments(spark: SparkSession, path: String): DataFrame =

@@ -91,6 +91,22 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(gotKeys.toSet == batchKeys.toSet)
   }
 
+  test("streaming as-of join matches the batch asof operator") {
+    import graft.streaming.EventStreams
+    val stream = EventStreams.streamingAsofLastView(spark,
+      EventStreams.readEvents(spark, stageDir("events")))
+    val got = EventStreams.drainToMemory(stream.toDF(), "asof_stream")
+      .collect().map { r =>
+        (r.getLong(0), if (r.isNullAt(4)) None else Some((r.getLong(4), r.getDouble(5))))
+      }.toMap
+    val batch = graft.ops.TemporalJoins.asofLastView(spark, sfDir)
+      .collect().map { r =>
+        (r.getLong(0), if (r.isNullAt(4)) None else Some((r.getLong(4), r.getDouble(5))))
+      }.toMap
+    assert(got.size == batch.size)
+    assert(got == batch)
+  }
+
   test("streaming near-dup flags match the batch band candidates") {
     import graft.streaming.EventStreams
     import graft.dedup.Dedup
