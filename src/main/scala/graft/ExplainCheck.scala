@@ -22,7 +22,7 @@ object ExplainCheck {
     for (name <- Seq("w_topk_per_group", "w_last_per_group")) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.optimizedPlan.toString
-      val fired = plan.contains("collect_top_k")
+      val fired = plan.contains("collect_top_k") || plan.contains("graft_top_k_ordered")
       println(s"[explain-check] $name rewriteWindowTopK fired=$fired")
       if (!fired) println(plan.linesIterator.map("[plan] " + _).mkString("\n"))
     }

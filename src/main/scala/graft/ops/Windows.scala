@@ -22,12 +22,12 @@ object Windows {
   /** W4/W6: top-3 customers per nation by account balance. */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // tiebreak DESC (arbitrary either way — the order key just has to be
-    // total for oracle determinism): a uniform sort direction lets
-    // plans.RewriteWindowTopK turn this window into the bounded-heap
-    // aggregate in extension-installed sessions
+    // (value DESC, id ASC) — the canonical deterministic ranking; in
+    // extension-installed sessions plans.RewriteWindowTopK turns this
+    // window into the mixed-direction bounded-heap aggregate
+    // (functions.TopKOrdered), so the oracle hash also gates that path
     val w = Window.partitionBy($"c_nationkey")
-      .orderBy($"c_acctbal".desc, $"c_custkey".desc)
+      .orderBy($"c_acctbal".desc, $"c_custkey")
     Tables.customer(spark, dir)
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
@@ -39,7 +39,7 @@ object Windows {
     """SELECT c_nationkey, rank, c_custkey, c_acctbal FROM (
       |  SELECT c_nationkey, c_custkey, c_acctbal,
       |    row_number() OVER (PARTITION BY c_nationkey
-      |                       ORDER BY c_acctbal DESC, c_custkey DESC) AS rank
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rank
       |  FROM customer) t
       |WHERE rank <= 3
       |ORDER BY c_nationkey, rank""".stripMargin

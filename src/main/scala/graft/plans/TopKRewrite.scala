@@ -75,10 +75,12 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
     if (k < 1) return None
     val order = spec.orderSpec
     if (order.isEmpty) return None
-    val direction = order.head.direction
-    val defaultNulls = direction.defaultNullOrdering
-    if (!order.forall(o => o.direction == direction && o.nullOrdering == defaultNulls))
+    // per-key default null ordering only (asc→nulls first, desc→nulls
+    // last) — explicit overrides keep the window plan
+    if (!order.forall(o => o.nullOrdering == o.direction.defaultNullOrdering))
       return None
+    val directions = order.map(_.direction == Ascending)
+    val uniform = directions.distinct.size == 1
     // grouping keys must be plain attributes so they pass through the
     // aggregate with their original exprIds
     val partAttrs = spec.partitionSpec.map {
@@ -90,15 +92,23 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
     // aggregate: per group, bounded heap of struct(orderKeys..., payload)
     val payload = CreateStruct(child.output)
     val item = CreateStruct(order.map(_.child) :+ payload)
-    // CollectTopK(reverse = false) keeps the LARGEST items (TopKSpec pins
-    // the orientation), so ascending row_number wants reverse = true
-    val reverse = direction == Ascending
-    val topkAlias = Alias(
-      GraftCollectTopK(item, k, reverse).toAggregateExpression(), "__graft_topk")()
+    val aggFunc =
+      if (uniform)
+        // built-in CollectTopK handles uniform orderings; reverse = false
+        // keeps the LARGEST items (TopKSpec pins the orientation), so
+        // ascending row_number wants reverse = true
+        GraftCollectTopK(item, k, reverse = directions.head)
+      else
+        // mixed directions need the comparator-owning aggregate
+        graft.functions.TopKOrdered(item, k, directions)
+    val topkAlias = Alias(aggFunc.toAggregateExpression(), "__graft_topk")()
     val agg = Aggregate(partAttrs, partAttrs :+ topkAlias, child)
 
-    // explode in rank order: sort_array ascending iff the ranking is
-    val sorted = SortArray(topkAlias.toAttribute, Literal(direction == Ascending))
+    // explode in rank order: CollectTopK's array is heap-ordered so sort
+    // it (ascending iff the ranking is); TopKOrdered evals already sorted
+    val sorted =
+      if (uniform) SortArray(topkAlias.toAttribute, Literal(directions.head))
+      else topkAlias.toAttribute
     val generator = PosExplode(sorted)
     val genOutput = generator.elementSchema.map(f =>
       AttributeReference(f.name, f.dataType, f.nullable)())

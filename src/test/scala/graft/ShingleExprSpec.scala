@@ -112,6 +112,44 @@ class ShingleExprSpec extends SparkTestBase {
     assert(viaExpr == viaAgg)
   }
 
+  test("fuzz: expression equals built-in composition on random unicode text") {
+    import spark.implicits._
+    // deterministic generator mixing ASCII, multibyte, whitespace runs,
+    // and degenerate lengths — the input classes where a byte-vs-codepoint
+    // or window-boundary bug would hide
+    val rng = new scala.util.Random(20260812L)
+    val alphabet = "abc déﬁ 統計 🎲 \t\n  xyz0123"
+    val docs = (0 until 120).map { i =>
+      val len = rng.nextInt(40)
+      (i.toLong, (0 until len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    val viaArray = Dedup.shingleSets(docs)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaExplode = Dedup.shingleHashes(docs).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaArray == viaExplode)
+    // simhash too: expression vs exploded conditional-sum aggregation
+    graft.functions.HashExpressions.register(spark)
+    val viaExpr = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tokens = docs
+      .withColumn("tok", explode(split(trim(lower(col("text"))), "\\s+")))
+      .select(col("doc_id"),
+        graft.functions.HashExpressions.md5Prefix64(col("tok"), 8).as("h32"))
+    val balances = (0 until 32).map { i =>
+      sum(when(expr(s"(h32 >> $i) & 1") === 1, 1).otherwise(-1)).as(s"bal$i")
+    }
+    val sigExpr = (0 until 32).map { i =>
+      when(col(s"bal$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    val viaAgg = tokens.groupBy("doc_id")
+      .agg(balances.head, balances.tail: _*)
+      .select(col("doc_id"), sigExpr.as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaAgg)
+  }
+
   test("jaccard plan stays doc-level: set + intersect exprs, one band explode") {
     val df = Dedup.lshJaccard(spark, sfDir)
     val p = df.queryExecution.explainString(

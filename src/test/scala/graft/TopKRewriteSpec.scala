@@ -56,18 +56,45 @@ class TopKRewriteSpec extends SparkTestBase {
     assert(got.collect().map(_.toSeq).toSet == expected)
   }
 
-  test("rank() and mixed-direction windows are left alone") {
+  test("mixed-direction ordering rewrites via the comparator aggregate") {
+    // value DESC, id ASC — the canonical deterministic ranking; fully
+    // total order, so window and aggregate agree exactly
+    val mixed = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val df = Tables.customer(spark, sfDir)
+      .withColumn("rn", row_number().over(mixed)).filter(col("rn") <= 3)
+    val (got, plan) = viaRule(df)
+    assert(plan.contains("graft_top_k_ordered"), s"rule did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"window survived:\n$plan")
+    assert(got.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
+
+  test("fixed-width items survive the partial/final serialize roundtrip") {
+    // all-numeric payload: serialized UnsafeRows are exact-size, the case
+    // where a shared projection buffer would alias every item to the last
+    val df = spark.range(2000).select(
+      (col("id") % 7).as("g"), (col("id") * 37 % 1000).as("v"), col("id"))
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    val (got, plan) = viaRule(q)
+    assert(plan.contains("graft_top_k_ordered"), s"rule did not fire:\n$plan")
+    val rows = got.collect().map(_.toSeq)
+    assert(rows.toSet == q.collect().map(_.toSeq).toSet)
+    assert(rows.distinct.length == rows.length, "duplicate items: serialize aliasing")
+  }
+
+  test("rank() and explicit null-ordering overrides are left alone") {
     val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
     val ranked = Tables.customer(spark, sfDir)
       .withColumn("r", rank().over(w)).filter(col("r") <= 3)
     assert(RewriteWindowTopK(ranked.queryExecution.analyzed).toString
       .contains("Window"), "rank() must not rewrite (ties differ)")
-    val mixed = Window.partitionBy("c_mktsegment")
-      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-    val m = Tables.customer(spark, sfDir)
-      .withColumn("rn", row_number().over(mixed)).filter(col("rn") <= 3)
-    assert(RewriteWindowTopK(m.queryExecution.analyzed).toString
-      .contains("Window"), "mixed directions must not rewrite")
+    val nulls = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc_nulls_first)
+    val n = Tables.customer(spark, sfDir)
+      .withColumn("rn", row_number().over(nulls)).filter(col("rn") <= 3)
+    assert(RewriteWindowTopK(n.queryExecution.analyzed).toString
+      .contains("Window"), "non-default null ordering must not rewrite")
   }
 
   test("end-to-end through an extension-installed plan shape: rank column usable downstream") {
