@@ -50,6 +50,7 @@ object SparkEntry {
     "j_range_pairs" -> (TemporalJoins.rangePairs _),
     "t_repetition" -> (TextOps.repetitionStats _),
     "t_hash_sample" -> (TextOps.hashSample _),
+    "t_top_ngrams" -> (TextOps.topNgrams _),
     "a_approx_ndv" -> (Events.approxNdv _), // rows-only: HLL sketch
     "d_dup_clusters" -> (graft.dedup.Dedup.dupClusters _),
     "d_minhash_lsh" -> (graft.dedup.Dedup.minhashLsh _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "j_range_pairs" -> TemporalJoins.rangePairsSql,
     "t_repetition" -> TextOps.repetitionStatsSql,
     "t_hash_sample" -> TextOps.hashSampleSql,
+    "t_top_ngrams" -> TextOps.topNgramsSql,
     "d_dup_clusters" -> graft.dedup.Dedup.dupClustersSql,
     "d_minhash_lsh" -> graft.dedup.Dedup.minhashLshSql,
     "d_lsh_jaccard" -> graft.dedup.Dedup.lshJaccardSql,

@@ -87,6 +87,46 @@ object TextOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus n-gram statistics: the top-5 word bigrams per language by
+    * document frequency (count DESC, bigram ASC tiebreak — a total order,
+    * so rank assignment is deterministic). Written as the row_number
+    * window form; in extension-installed sessions
+    * graft.plans.RewriteWindowTopK turns it into the mixed-direction
+    * bounded-heap aggregate (functions.TopKOrdered) — string-keyed, so
+    * the oracle hash also gates that aggregate's variable-width
+    * serialization path. */
+  def topNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bigrams = Tables.documents(spark, dir)
+      .select($"lang", split(trim(lower($"text")), "\\s+").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"lang", explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")).as("bg"))
+      .groupBy("lang", "bg").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bg")
+    bigrams.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"lang", $"rank", $"bg", $"n")
+      .orderBy($"lang", $"rank")
+  }
+
+  val topNgramsSql: String =
+    """WITH toks AS (
+      |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |eligible AS (SELECT * FROM toks WHERE len(t) >= 2),
+      |bg AS (
+      |  SELECT lang, t[i] || ' ' || t[i + 1] AS bg
+      |  FROM eligible, UNNEST(range(1, len(t))) AS r(i)),
+      |cnt AS (SELECT lang, bg, count(*) AS n FROM bg GROUP BY 1, 2)
+      |SELECT lang, rank, bg, n FROM (
+      |  SELECT lang, bg, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, bg) AS rank
+      |  FROM cnt) t
+      |WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
   /** Deterministic hash sampling: the reproducible train/holdout split a
     * data pipeline needs — membership depends only on (salt, doc_id), so
     * the same 10% sample falls out on any engine, any partitioning, any
