@@ -83,6 +83,20 @@ class TopKRewriteSpec extends SparkTestBase {
     assert(rows.distinct.length == rows.length, "duplicate items: serialize aliasing")
   }
 
+  test("null sort keys follow Spark's default null placement") {
+    import spark.implicits._
+    // desc => NULLS LAST, asc tiebreak => NULLS FIRST; both appear here
+    val df = Seq[(Long, java.lang.Double, java.lang.Long)](
+      (1L, 5.0, 10L), (1L, null, 11L), (1L, 5.0, null), (1L, 7.0, 12L),
+      (2L, null, 20L), (2L, null, null), (2L, 1.0, 21L))
+      .toDF("g", "v", "tie")
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("tie").asc)
+    val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    val (got, plan) = viaRule(q)
+    assert(plan.contains("graft_top_k_ordered"), s"rule did not fire:\n$plan")
+    assert(got.collect().map(_.toSeq).toSet == q.collect().map(_.toSeq).toSet)
+  }
+
   test("rank() and explicit null-ordering overrides are left alone") {
     val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
     val ranked = Tables.customer(spark, sfDir)
