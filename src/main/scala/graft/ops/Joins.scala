@@ -50,10 +50,13 @@ object Joins {
     val active = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy("c_nationkey").agg(count(lit(1)).as("n_active"))
     val nation = Tables.nation(spark, dir)
-    broadcast(nation)
-      .join(active, col("n_nationkey") === active("c_nationkey"), "left")
+    // Left outer preserves the nation side, so only the aggregate (build)
+    // sides are broadcast-able — hinting the preserved side is a no-op Spark
+    // warns about.
+    nation
+      .join(broadcast(active), col("n_nationkey") === active("c_nationkey"), "left")
       .drop("c_nationkey")
-      .join(never, col("n_nationkey") === never("c_nationkey"), "left")
+      .join(broadcast(never), col("n_nationkey") === never("c_nationkey"), "left")
       .select(col("n_name"),
         coalesce(col("n_active"), lit(0L)).as("n_active"),
         coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))

@@ -17,8 +17,17 @@ import org.apache.spark.sql.functions._
 object Num {
   private val Scale = 1e6
 
-  /** Per-row exact quantization to integer micros. */
-  def micros(c: Column): Column = round(c * Scale).cast("long")
+  /** Per-row exact quantization to integer micros.
+    *
+    * `floor(x * 1e6 + 0.5)` instead of `round(x * 1e6)`: Spark's `round` on
+    * DoubleType allocates a java.math.BigDecimal per row (Round#nullSafeEval),
+    * which dominated s_math_funcs (9 quantized sums × 600k rows). floor/mul/
+    * add are single IEEE-754 instructions, bit-identical across engines as
+    * long as BOTH sides use the literally same formula — which sqlMicros
+    * does. (Ties round toward +inf here rather than away from zero; parity
+    * holds because both engines use the identical expression.)
+    */
+  def micros(c: Column): Column = floor(c * Scale + lit(0.5)).cast("long")
 
   /** Order-independent exact sum of a double expression, as a double. */
   def exactSum(c: Column): Column = sum(micros(c)) / Scale
@@ -27,7 +36,8 @@ object Num {
   def exactAvg(c: Column): Column = (sum(micros(c)) / Scale) / count(lit(1))
 
   /** DuckDB-side equivalents, for building oracle SQL strings. */
-  def sqlMicros(e: String): String = s"CAST(round(($e) * 1000000.0) AS BIGINT)"
+  def sqlMicros(e: String): String =
+    s"CAST(floor(($e) * 1000000.0 + 0.5) AS BIGINT)"
   def sqlExactSum(e: String): String = s"(sum(${sqlMicros(e)}) / 1000000.0)"
   def sqlExactAvg(e: String): String =
     s"((sum(${sqlMicros(e)}) / 1000000.0) / count(*))"
