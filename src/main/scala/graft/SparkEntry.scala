@@ -74,6 +74,12 @@ object SparkEntry {
     "s_conditional_update" -> (Scalars.conditionalUpdate _),
     "a_weighted_mean" -> (Scalars.weightedMean _),
     "w_centered_rolling" -> (Scalars.centeredRolling _),
+    "q4_order_priority" -> (Relational.q4OrderPriority _),
+    "q13_custdist" -> (Relational.q13CustDist _),
+    "a_grouping_sets" -> (Aggregates.groupingSetsSummary _),
+    "w_range_window" -> (Windows.rangeWindow _),
+    "w_rank_stats" -> (Windows.rankStats _),
+    "e_funnel" -> (Events.funnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -130,5 +136,11 @@ object SparkEntry {
     "s_conditional_update" -> Scalars.conditionalUpdateSql,
     "a_weighted_mean" -> Scalars.weightedMeanSql,
     "w_centered_rolling" -> Scalars.centeredRollingSql,
+    "q4_order_priority" -> Relational.q4Sql,
+    "q13_custdist" -> Relational.q13Sql,
+    "a_grouping_sets" -> Aggregates.groupingSetsSummarySql,
+    "w_range_window" -> Windows.rangeWindowSql,
+    "w_rank_stats" -> Windows.rankStatsSql,
+    "e_funnel" -> Events.funnelSql,
   )
 }

@@ -209,6 +209,40 @@ object Aggregates {
        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
        |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** GROUPING SETS beyond ROLLUP: ((flag,status), (status), ()) — a set
+    * list no rollup/cube can express (the middle set keeps only the
+    * SECOND key). Spark expands the sets before the exchange, so the
+    * whole thing is still one map-side-combined aggregation pass, not
+    * three scans. Sentinel-coalesced like [[rollupSummary]] (neither key
+    * is nullable in the data, so NULL means "aggregated over"). */
+  def groupingSetsSummary(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val li = Tables.lineitem(spark, dir)
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")),
+            Seq.empty[Column]),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(exactSum(col("l_quantity")).as("sum_qty"),
+           exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("sum_revenue"),
+           count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+              col("sum_qty"), col("sum_revenue"), col("n_rows"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  val groupingSetsSummarySql: String =
+    s"""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+       |  coalesce(l_linestatus, '(all)') AS linestatus,
+       |  ${sqlExactSum("l_quantity")} AS sum_qty,
+       |  ${sqlExactSum("l_extendedprice * (1.0 - l_discount)")} AS sum_revenue,
+       |  count(*) AS n_rows
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+       |ORDER BY returnflag, linestatus""".stripMargin
+
   /** PIVOT: per-user spend by event type as columns, written as static
     * conditional aggregates. Spark's `.pivot(col, values)` plans TWO
     * aggregation exchanges (pre-agg by (key, pivot) then PivotFirst);

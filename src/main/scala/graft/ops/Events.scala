@@ -117,4 +117,53 @@ object Events {
        |GROUP BY user_id
        |HAVING count(*) >= 10
        |ORDER BY user_id""".stripMargin
+
+  /** Funnel analysis: signup → first view AFTER signup → first purchase
+    * AFTER that view, per user, with the stage reached. Each step is a
+    * filtered min-aggregate joined back on user_id (the step predicate
+    * depends on the previous step's timestamp, so it cannot fold into one
+    * aggregation pass). Scale: three aggregates + joins all keyed on
+    * user_id — one partitioning reused across every stage, and each step's
+    * input shrinks monotonically (only converting users survive). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    val s1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts_us").as("t_signup"))
+    val s2 = ev.filter($"event_type" === "view").join(s1, "user_id")
+      .filter($"ts_us" > $"t_signup")
+      .groupBy($"user_id").agg(min($"ts_us").as("t_view"))
+    val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+      .filter($"ts_us" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts_us").as("t_purchase"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select($"user_id", $"t_signup", $"t_view", $"t_purchase",
+        (lit(1L) + when($"t_view".isNotNull, 1L).otherwise(0L)
+                 + when($"t_purchase".isNotNull, 1L).otherwise(0L)).as("stage"))
+      .orderBy($"user_id")
+  }
+
+  val funnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |s1 AS (SELECT user_id, min(ts_us) AS t_signup FROM ev
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT ev.user_id, min(ts_us) AS t_view
+      |       FROM ev JOIN s1 ON ev.user_id = s1.user_id
+      |       WHERE event_type = 'view' AND ts_us > t_signup
+      |       GROUP BY ev.user_id),
+      |s3 AS (SELECT ev.user_id, min(ts_us) AS t_purchase
+      |       FROM ev JOIN s2 ON ev.user_id = s2.user_id
+      |       WHERE event_type = 'purchase' AND ts_us > t_view
+      |       GROUP BY ev.user_id)
+      |SELECT s1.user_id, t_signup, t_view, t_purchase,
+      |  CAST(1 + CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END
+      |         + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END
+      |       AS BIGINT) AS stage
+      |FROM s1
+      |LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY s1.user_id""".stripMargin
 }

@@ -154,4 +154,67 @@ object Relational {
        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
        |  AND l_discount >= 0.05 AND l_discount <= 0.07
        |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q4 shape (adapted: the test lineitem has no commit/receipt
+    * dates, so "late" = shipped >60 days after the order date): order
+    * counts per priority for one quarter, EXISTS-gated on a late line.
+    * The EXISTS compiles to a LEFT SEMI join — each order emitted at most
+    * once no matter how many lines match, with the non-equi date predicate
+    * evaluated inside the join. Scale: semi joins shuffle only the two key
+    * columns and short-circuit on first match. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= ts("1995-01-01 00:00:00") &&
+              $"o_orderdate" < ts("1995-04-01 00:00:00"))
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_shipdate")
+    ord.join(li,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q13 shape: customer distribution by order count — a left outer
+    * join with a build-side predicate feeding a two-level aggregation
+    * (count per customer, then histogram of those counts). The classic
+    * "count(right_key) counts only matches" outer-join idiom. */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" =!= "1-URGENT")
+      .select($"o_custkey", $"o_orderkey")
+    Tables.customer(spark, dir).select($"c_custkey")
+      .join(ord, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+      |             WHERE o_orderpriority <> '1-URGENT') o
+      |    ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
 }

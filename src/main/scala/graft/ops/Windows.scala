@@ -129,4 +129,59 @@ object Windows {
        |  FROM events) t
        |WHERE rn = 1
        |ORDER BY user_id""".stripMargin
+
+  /** RANGE frame over event time — trailing-1-hour activity per user at
+    * every event (count + exact spend). A rows-frame can't express this
+    * (events are irregularly spaced); the frame bound is a VALUE offset on
+    * the ordering key. Ordering by epoch micros (bigint) keeps the frame
+    * arithmetic integer-exact in both engines, and rows tied on the same
+    * microsecond fall into each other's frame identically regardless of
+    * shuffle order — so the result is deterministic without a tiebreaker.
+    * Scale: one exchange on user_id, sliding-frame state is O(window). */
+  def rangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros($"ts"))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .withColumn("hr_micros", sum(micros($"value")).over(w))
+      .select($"event_id", $"user_id", $"n_last_hour",
+        ($"hr_micros" / 1e6).as("hour_value"))
+      .orderBy($"event_id")
+  }
+
+  val rangeWindowSql: String =
+    s"""SELECT event_id, user_id,
+       |  count(*) OVER w AS n_last_hour,
+       |  (sum(${sqlMicros("value")}) OVER w / 1000000.0) AS hour_value
+       |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
+  /** Distribution ranks per group: quartile (ntile), percent_rank and
+    * cume_dist of every customer's balance within their market segment.
+    * The ordering (acctbal, custkey) is unique, so rank-derived doubles
+    * are exact rationals — (rank-1)/(n-1) and rank/n are single IEEE
+    * divisions, bit-identical across engines. */
+  def rankStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy($"c_custkey")
+  }
+
+  val rankStatsSql: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
 }
