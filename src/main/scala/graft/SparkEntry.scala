@@ -80,6 +80,7 @@ object SparkEntry {
     "w_range_window" -> (Windows.rangeWindow _),
     "w_rank_stats" -> (Windows.rankStats _),
     "e_funnel" -> (Events.funnel _),
+    "j_bloom_prune" -> (Joins.bloomPrunedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -142,5 +143,6 @@ object SparkEntry {
     "w_range_window" -> Windows.rangeWindowSql,
     "w_rank_stats" -> Windows.rankStatsSql,
     "e_funnel" -> Events.funnelSql,
+    "j_bloom_prune" -> Joins.bloomPrunedJoinSql,
   )
 }

@@ -165,6 +165,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_md5_prefix64"),
       new ExpressionInfo(classOf[HashExpressions.Md5Prefix64].getName, "graft_md5_prefix64"),
       (exprs: Seq[Expression]) => HashExpressions.fromExprs(exprs)))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomExpressions.BloomMightContain].getName,
+        "graft_bloom_might_contain"),
+      (exprs: Seq[Expression]) => BloomExpressions.BloomMightContain(exprs(0), exprs(1))))
     ShingleExpressions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(ShingleExpressions.getClass.getName, name), builder))

@@ -63,6 +63,51 @@ object Joins {
       .orderBy("n_name")
   }
 
+  /** Runtime bloom-pruned fact/dim join: brand revenue over small parts.
+    *
+    * The selective dim side (p_size <= 5, ~1/10 of part) is sketched into
+    * a BloomFilter (one tiny driver job), and the lineitem side is pruned
+    * with `graft_bloom_might_contain` BEFORE its shuffle — at 100 TB this
+    * is the difference between shuffling the whole fact table and
+    * shuffling ~the matching tenth. The join is forced to shuffle (merge
+    * hint) precisely because that's the regime where runtime pruning
+    * pays; with a broadcast join the probe side never shuffles anyway.
+    * False positives (1%) are eliminated by the join itself, so the
+    * result is bit-identical to the unpruned plan — the oracle runs the
+    * plain join. Spark's adaptive runtime filter does this same rewrite
+    * automatically when statistics justify it; this operator makes the
+    * pruning explicit and composable with non-join consumers. */
+  def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomExpressions
+    BloomExpressions.register(spark)
+    val dim = Tables.part(spark, dir)
+      .filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_brand"))
+    // one driver-side job over the (already filtered, projected) dim —
+    // the sketch is mergeable, built distributed, collected as ~180 KB
+    val bloom = dim.stat.bloomFilter("p_partkey", 100000, 0.01)
+    val bloomLit = lit(BloomExpressions.serialize(bloom))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .filter(BloomExpressions.mightContain(bloomLit, col("l_partkey")))
+      .join(dim.hint("merge"), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(Num.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  val bloomPrunedJoinSql: String =
+    s"""SELECT p_brand,
+       |  ${Num.sqlExactSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE p_size <= 5
+       |GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin
+
   val semiAntiCustomersSql: String =
     """SELECT n_name,
       |  coalesce(a.n_active, 0) AS n_active,

@@ -120,6 +120,30 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("bloom prune: membership filter sits below the shuffle join") {
+    val df = SparkEntry.queries("j_bloom_prune")(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("graft_bloom_might_contain"),
+      s"bloom membership test missing from the plan:\n${p.take(1200)}")
+    assert(p.contains("SortMergeJoin"),
+      "join must shuffle (merge hint) — the regime where pruning pays")
+    // the filter must prune lineitem BEFORE its exchange: in the
+    // formatted plan the Filter node carrying the bloom test has to be a
+    // child of (numbered before) the fact-side Exchange, which holds when
+    // the bloom string appears in the scan-side subtree, not post-join
+    val joinLine = p.linesIterator.indexWhere(_.contains("SortMergeJoin"))
+    val bloomLine = p.linesIterator.indexWhere(_.contains("graft_bloom_might_contain"))
+    assert(bloomLine > joinLine,
+      s"bloom filter listed before the join tree in formatted output:\n$p")
+    // and the result matches the unpruned join exactly (fp's eliminated)
+    val plain = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.part(spark, sfDir).filter(org.apache.spark.sql.functions.col("p_size") <= 5),
+        org.apache.spark.sql.functions.col("l_partkey") === org.apache.spark.sql.functions.col("p_partkey"))
+      .count()
+    val pruned = df.selectExpr("sum(n_items)").collect()(0).getLong(0)
+    assert(pruned == plain, s"bloom pruning changed the join result: $pruned vs $plain")
+  }
+
   test("dedup family: band joins are equi-joins, never cartesian") {
     for (q <- Seq("d_minhash_lsh", "d_minhash_lsh_fast",
         "d_lsh_jaccard", "d_lsh_jaccard_fast", "d_simhash")) {
