@@ -81,6 +81,9 @@ object SparkEntry {
     "w_rank_stats" -> (Windows.rankStats _),
     "e_funnel" -> (Events.funnel _),
     "j_bloom_prune" -> (Joins.bloomPrunedJoin _),
+    "t_pack_sequences" -> (TextOps.packSequences _),
+    "t_stratified_sample" -> (TextOps.stratifiedSample _),
+    "t_training_mix" -> (TextOps.trainingMix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -144,5 +147,8 @@ object SparkEntry {
     "w_rank_stats" -> Windows.rankStatsSql,
     "e_funnel" -> Events.funnelSql,
     "j_bloom_prune" -> Joins.bloomPrunedJoinSql,
+    "t_pack_sequences" -> TextOps.packSequencesSql,
+    "t_stratified_sample" -> TextOps.stratifiedSampleSql,
+    "t_training_mix" -> TextOps.trainingMixSql,
   )
 }

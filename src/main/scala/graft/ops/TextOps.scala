@@ -202,4 +202,138 @@ object TextOps {
       |  CAST(floor(top_bigram_n * 10000 / n_bigrams) AS BIGINT) AS top_bigram_bp
       |FROM ts JOIN bgs ON ts.doc_id = bgs.doc_id
       |ORDER BY ts.doc_id""".stripMargin
+
+  /** Sequence packing: assign documents to fixed-capacity context windows
+    * (2048 tokens) by running offset — the "pack short docs into one
+    * training sequence" step of an LLM data pipeline. A document's chunk
+    * is `start_offset DIV capacity` where start_offset is the running
+    * token total of everything packed before it, i.e. greedy sequential
+    * fill in a deterministic order.
+    *
+    * Scale: packing is per-language (the natural pack boundary), so the
+    * cumulative window partitions by lang — no global single-task sort.
+    * Within a partition the running sum is one pass; a 100 TB corpus
+    * packs as thousands of independent (lang-)shards. For finer
+    * parallelism the same query runs with any deterministic shard key in
+    * the PARTITION BY (e.g. hash(doc_id) % N). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 2048
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("chunk", expr(s"(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id " +
+        s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) DIV $cap"))
+      .groupBy($"lang", $"chunk")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("chunk_tokens"))
+      .orderBy($"lang", $"chunk")
+  }
+
+  val packSequencesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, n_tok,
+      |    (CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |     - n_tok) // 2048 AS chunk
+      |  FROM d)
+      |SELECT lang, chunk, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS chunk_tokens
+      |FROM c
+      |GROUP BY lang, chunk
+      |ORDER BY lang, chunk""".stripMargin
+
+  /** Deterministic stratified sampling: a fixed per-language quota (5
+    * docs) chosen by salted hash rank — the reproducible "cap every
+    * stratum" step of corpus mixing. Unlike `sampleBy` (RNG, partition-
+    * order dependent) the selection is a pure function of (salt, doc_id),
+    * identical on any engine and cluster shape. The rank window is the
+    * row_number-top-k pattern, so in extension-installed sessions the
+    * optimizer rewrites it to the bounded-heap aggregate (no per-stratum
+    * full sort). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.HashExpressions.register(spark)
+    val h = graft.functions.HashExpressions.md5Prefix64(
+      concat(lit("strat:"), $"doc_id".cast("string")), 15)
+    val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars", h.as("h"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"lang", $"rank", $"doc_id", $"n_chars")
+      .orderBy($"lang", $"rank")
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT lang, rank, doc_id, n_chars FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY
+      |      CAST(('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |           AS BIGINT), doc_id) AS rank
+      |  FROM documents) t
+      |WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
+  /** End-to-end training-mix manifest: the full curation pipeline in one
+    * declarative plan — exact dedup (keep the smallest doc_id per content
+    * hash), a length-based quality gate, a deterministic per-language cap
+    * (50 docs by salted hash rank), and hash sharding for the writer.
+    * Emits per (lang, shard) manifest rows. Every stage is an operator
+    * this library also exposes standalone; composing them stays ONE
+    * Catalyst plan, so the optimizer sees through the whole pipeline
+    * (column pruning reaches the scan, the dedup shuffle feeds the quota
+    * window without rematerialization). */
+  def trainingMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.HashExpressions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    // stage 1: exact dedup by content hash, survivor = min doc_id
+    val survivors = docs
+      .groupBy(md5($"text".cast("binary")).as("text_hash"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    // stage 2: re-attach features + quality gate
+    val gated = docs.join(survivors, "doc_id")
+      .filter($"n_chars" >= 100L && $"n_chars" <= 20000L)
+    // stage 3: per-language quota by salted hash
+    val h = graft.functions.HashExpressions.md5Prefix64(
+      concat(lit("mix:"), $"doc_id".cast("string")), 15)
+    val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+    val capped = gated.select($"doc_id", $"lang", $"n_chars", h.as("h"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 50)
+    // stage 4: shard assignment for the writer + manifest rollup
+    capped
+      .withColumn("shard", pmod($"h", lit(8L)))
+      .groupBy($"lang", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang", $"shard")
+  }
+
+  val trainingMixSql: String =
+    """WITH survivors AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |gated AS (
+      |  SELECT d.doc_id, d.lang, d.n_chars,
+      |    CAST(('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+      |         AS BIGINT) AS h
+      |  FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+      |  WHERE d.n_chars >= 100 AND d.n_chars <= 20000),
+      |capped AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, lang, n_chars, h,
+      |      row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+      |    FROM gated) t
+      |  WHERE rank <= 50)
+      |SELECT lang, h % 8 AS shard, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM capped
+      |GROUP BY lang, h % 8
+      |ORDER BY lang, shard""".stripMargin
 }
