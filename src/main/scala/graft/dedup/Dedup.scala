@@ -310,14 +310,64 @@ object Dedup {
     * diameters, but near-dup graphs never get there.
     *
     * The driver loop only ever `collect`s a single change-count per round —
-    * labels themselves never leave the executors. */
+    * labels themselves never leave the executors.
+    *
+    * Adaptive fast path: the verified edge list is proportional to the
+    * number of NEAR-DUP PAIRS, not the corpus — banding + Jaccard verify
+    * has already shrunk it by orders of magnitude. When it fits the
+    * driver comfortably (≤ [[DriverUnionFindMaxEdges]] edges ≈ 80 MB) we
+    * collect it once and run union-find locally — O(E α(E)) and zero
+    * iterative jobs — then ship the label map back as a join side. The
+    * distributed loop remains the path for adversarially dup-heavy
+    * corpora; both produce identical min-label components. */
+  val DriverUnionFindMaxEdges = 5000000L
+
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = lshJaccard(spark, dir).filter(col("is_dup") === 1)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).persist(lvl)
+    val nEdges = edges.count()
+    val labels =
+      if (nEdges <= DriverUnionFindMaxEdges) unionFindLabels(spark, edges)
+      else propagateLabels(edges)
+    edges.unpersist()
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Fast path: collect the (small) edge list, union-find with path
+    * compression on the driver, return (doc_id, lab = component min). */
+  private[graft] def unionFindLabels(spark: SparkSession,
+                              edges: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN root keeps "label = component minimum" invariant
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val rows = parent.keysIterator.map(k => (k, find(k))).toSeq
+    import spark.implicits._
+    rows.toDF("doc_id", "lab")
+  }
+
+  /** Scale path: iterative distributed min-label propagation (see the
+    * method scaladoc above for the round structure). */
+  private[graft] def propagateLabels(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(lvl)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // propagate over the EDGE SUBGRAPH only: a document with no near-dup
     // edge is its own singleton cluster by definition, so the iteration
     // touches |edge-nodes| rows (a sliver of the corpus at any scale),
@@ -339,11 +389,7 @@ object Dedup {
       labels = joined.select(col("doc_id"), col("lab"))
     }
     sym.unpersist()
-    Tables.documents(spark, dir).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster_id"))
-      .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("int"))
-      .orderBy("doc_id")
+    labels
   }
 
   val dupClustersSql: String =

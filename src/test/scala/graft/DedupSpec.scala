@@ -98,4 +98,19 @@ class DedupSpec extends SparkTestBase {
     val total = cm.agg(sum("n_docs")).head.getLong(0)
     assert(total == Tables.documents(spark, sfDir).count())
   }
+
+  test("dup-cluster label paths agree: driver union-find vs distributed propagation") {
+    import spark.implicits._
+    // chain 1-2-3, triangle 10-11-12 + tail 13, isolated edge 20-21;
+    // min-label component ids: 1, 10, 20
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (12L, 13L), (20L, 21L)).toDF("doc_a", "doc_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = toMap(graft.dedup.Dedup.unionFindLabels(spark, edges))
+    val dist = toMap(graft.dedup.Dedup.propagateLabels(edges))
+    assert(fast == dist, s"paths disagree: $fast vs $dist")
+    assert(fast == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
 }
