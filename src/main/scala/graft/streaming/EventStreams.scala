@@ -161,6 +161,31 @@ object EventStreams {
       .select(col("doc_id"), col("corpus_doc_id"), col("band"))
   }
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's views in the preceding hour. Both sides carry watermarks and
+    * the join condition bounds event time in BOTH directions, so Spark
+    * can expire buffered rows — state is O(events within the interval),
+    * not O(stream). This is the canonical two-stream correlation shape
+    * (impression↔click, order↔payment); an unbounded-condition
+    * stream-stream join would grow state forever and is the thing to
+    * never ship at 100 TB/day. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("view_id"), col("p_ts"), col("v_ts"), col("p_value"))
+  }
+
   /** Drain a streaming DataFrame through a memory sink synchronously
     * (local verification harness; production would writeStream to a real
     * sink with a trigger). */

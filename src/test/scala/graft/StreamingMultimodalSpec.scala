@@ -189,6 +189,35 @@ class StreamingMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("stream-stream interval join matches the batch attribution join") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    val got = EventStreams.drainToMemory(
+      EventStreams.purchaseAttribution(stream), "attribution")
+    // batch twin: the same interval join over the static table
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    val batch = p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("view_id"))
+    assert(got.count() > 0, "stream join emitted nothing")
+    // every emitted (purchase, view) pair must exist in the batch join;
+    // the reverse can differ only by the still-open watermark tail
+    val extra = got.select(col("purchase_id"), col("view_id"))
+      .join(batch, Seq("purchase_id", "view_id"), "left_anti").count()
+    assert(extra == 0, s"$extra streamed pairs not in the batch join")
+    val missing = batch.join(got.select(col("purchase_id"), col("view_id")),
+      Seq("purchase_id", "view_id"), "left_anti").count()
+    assert(missing < batch.count() / 2,
+      s"stream emitted too little: $missing of ${batch.count()} missing")
+  }
+
   test("frame sampling fans out by duration") {
     val items = Multimodal.synthesize(spark, sfDir)
     val frames = Multimodal.sampleFrames(items, everyMs = 40)
