@@ -288,4 +288,113 @@ object Ann {
        |JOIN qv b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
        |ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  /** k-means cell count and Lloyd's rounds for the learned-IVF trainer. */
+  val KmeansCells = 8
+  val KmeansRounds = 2
+
+  /** Distributed k-means (Lloyd's) training of IVF cells — the learned
+    * counterpart of [[ivfTopK]]'s label cells. Seeds are the k vectors
+    * with the smallest salted hash (deterministic on any engine); each
+    * round assigns every vector to its nearest centroid (argmin of
+    * ‖c‖² − 2·v·c, ties to the lowest cell) and recomputes centroids as
+    * per-coordinate floor-means. All arithmetic stays on integer-valued
+    * doubles, so assignments — and therefore the trained model — are
+    * bit-identical cross-engine, which is what lets a 2-round training
+    * LOOP sit under the hash gate (the oracle unrolls the rounds as SQL).
+    *
+    * Scale: assignment is a broadcast of k·d centroid values against a
+    * scan (no shuffle); the update is one groupBy(cell, coord) — k·d
+    * result rows, collected as the next round's model, exactly the
+    * k-means|| topology MLlib uses. Driver traffic per round is the
+    * MODEL (k·d values), never the data. */
+  def kmeansIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    graft.functions.HashExpressions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val h = graft.functions.HashExpressions.md5Prefix64(
+      concat(lit("seed:"), col("vec_id").cast("string")), 15)
+    // TakeOrdered (sort+limit), not a single-partition global window
+    var cents: Seq[(Int, Seq[Double])] = emb.withColumn("h", h)
+      .orderBy(col("h"), col("vec_id")).limit(KmeansCells)
+      .select(col("q")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
+    var assigned: DataFrame = null
+    for (round <- 1 to KmeansRounds) {
+      val centsDf = cents.toDF("cell", "centroid")
+      assigned = emb.crossJoin(broadcast(centsDf))
+        .withColumn("dist",
+          intDot(col("centroid"), col("centroid")) - intDot(col("q"), col("centroid")) * 2)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("q"), col("cell"), col("dist"))
+      if (round < KmeansRounds) {
+        // model update: k·d rows to the driver, floor-mean per coordinate
+        val rows = assigned
+          .select(col("cell"), posexplode(col("q")).as(Seq("i", "x")))
+          .groupBy("cell", "i")
+          .agg(floor(sum(col("x")) / count(lit(1))).as("cx"))
+          .collect()
+        cents = rows.groupBy(_.getInt(0)).toSeq.map { case (cell, rs) =>
+          (cell, rs.sortBy(_.getInt(1)).map(_.getLong(2).toDouble).toSeq)
+        }.sortBy(_._1)
+      }
+    }
+    // inertia needs the true ‖v − c‖² = ‖v‖² + dist
+    val out = assigned
+      .withColumn("v2", intDot(col("q"), col("q")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+           sum(col("v2") + col("dist")).cast("long").as("inertia"))
+      .orderBy("cell")
+    out
+  }
+
+  val kmeansIvfSql: String = {
+    def distCte(cents: String, n: Int): String =
+      s"""d$n AS (
+         |  SELECT c.vec_id, k.cell,
+         |    sum(k.cx * k.cx - 2 * c.x * k.cx) AS dist
+         |  FROM coords c JOIN $cents k ON c.i = k.i
+         |  GROUP BY 1, 2),
+         |a$n AS (
+         |  SELECT vec_id, cell, dist FROM (
+         |    SELECT vec_id, cell, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM d$n) t
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH qv AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |coords AS (
+       |  SELECT vec_id, i, q[i + 1] AS x
+       |  FROM qv, UNNEST(range(0, $Dim)) AS t(i)),
+       |vnorm AS (SELECT vec_id, sum(x * x) AS v2 FROM coords GROUP BY 1),
+       |hashed AS (
+       |  SELECT vec_id,
+       |    CAST(('0x' || substring(md5('seed:' || CAST(vec_id AS VARCHAR)), 1, 15))
+       |         AS BIGINT) AS h
+       |  FROM qv),
+       |seeds AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id,
+       |      CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cell
+       |    FROM hashed) t
+       |  WHERE cell < $KmeansCells),
+       |cents0 AS (
+       |  SELECT s.cell, c.i, c.x AS cx
+       |  FROM seeds s JOIN coords c ON s.vec_id = c.vec_id),
+       |${distCte("cents0", 1)},
+       |cents1 AS (
+       |  SELECT a.cell, c.i, floor(sum(c.x) / count(*)) AS cx
+       |  FROM a1 a JOIN coords c ON a.vec_id = c.vec_id
+       |  GROUP BY 1, 2),
+       |${distCte("cents1", 2)}
+       |SELECT a.cell, count(*) AS n_members,
+       |  CAST(sum(v.v2 + a.dist) AS BIGINT) AS inertia
+       |FROM a2 a JOIN vnorm v ON a.vec_id = v.vec_id
+       |GROUP BY a.cell
+       |ORDER BY a.cell""".stripMargin
+  }
 }
