@@ -254,6 +254,69 @@ object Dedup {
        |JOIN sizes sb ON sb.doc_id = i.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Long char-shingle width for benchmark decontamination (≈ a 4–5 word
+    * n-gram): only near-verbatim text overlap collides, unlike the K=7
+    * near-dup shingles where common words alone collide. */
+  val DecontamK = 25
+  /** Every EvalMod-th document plays the held-out benchmark set. */
+  val DecontamEvalMod = 20
+  /** Minimum overlapping shingles before a doc is reported. */
+  val DecontamMinHits = 3
+
+  /** Benchmark decontamination: flag training documents that share long
+    * character shingles with a held-out evaluation set — the standard
+    * "n-gram overlap" test a training-data pipeline runs before any eval
+    * claim (every doc whose id % 20 == 0 stands in for the benchmark).
+    *
+    * Distributed shape for 100 TB: the benchmark side is tiny by nature
+    * (eval suites are MBs, the corpus is TBs), so its distinct shingle
+    * hashes BROADCAST and the corpus-side probe is a map-only broadcast
+    * hash join over the exploded per-doc shingle sets — no shuffle touches
+    * corpus rows until the per-doc hit aggregation, which is map-side
+    * combinable on doc_id. Same graft_shingle_set codegen pass as the
+    * near-dup family, so a shared scan could feed both in one job. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ShingleExpressions.register(spark)
+    val sets = Tables.documents(spark, dir).select(col("doc_id"),
+      graft.functions.ShingleExpressions
+        .shingleSet(lower(col("text")), DecontamK, 15, P, "md5").as("hs"))
+    val evalGrams = sets.filter(col("doc_id") % DecontamEvalMod === 0)
+      .select(explode(col("hs")).as("h")).distinct()
+    sets.filter(col("doc_id") % DecontamEvalMod =!= 0)
+      // hs is already the per-doc DISTINCT set, so post-join count(*) is
+      // the distinct-overlap count and size(hs) the doc's shingle total
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_total"),
+        explode(col("hs")).as("h"))
+      .join(broadcast(evalGrams), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), max(col("n_total")).as("n_total"))
+      .filter(col("n_hit") >= DecontamMinHits)
+      .withColumn("contam_bp",
+        floor(col("n_hit") * 10000 / col("n_total")).cast("long"))
+      .select("doc_id", "n_hit", "n_total", "contam_bp")
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    (CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % $P) AS h
+       |  FROM (
+       |    SELECT doc_id, substring(lower(text), i, $DecontamK) AS shingle
+       |    FROM documents,
+       |         UNNEST(range(1, greatest(len(lower(text)) - ${DecontamK - 1}, 1) + 1)) AS t(i))),
+       |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $DecontamEvalMod = 0),
+       |tr AS (SELECT * FROM sh WHERE doc_id % $DecontamEvalMod <> 0),
+       |tot AS (SELECT doc_id, count(*) AS n_total FROM tr GROUP BY 1),
+       |hits AS (
+       |  SELECT tr.doc_id, count(*) AS n_hit
+       |  FROM tr JOIN ev USING (h) GROUP BY 1)
+       |SELECT h.doc_id, h.n_hit, t.n_total,
+       |  CAST(floor(h.n_hit * 10000 / t.n_total) AS BIGINT) AS contam_bp
+       |FROM hits h JOIN tot t USING (doc_id)
+       |WHERE h.n_hit >= $DecontamMinHits
+       |ORDER BY doc_id""".stripMargin
+
   /** SimHash: 32-bit signature over word tokens; banded into 4 bytes for
     * candidate generation; hamming distance via bit_count(xor).
     *

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Num._
 
@@ -166,4 +167,44 @@ object Events {
       |LEFT JOIN s2 ON s1.user_id = s2.user_id
       |LEFT JOIN s3 ON s1.user_id = s3.user_id
       |ORDER BY s1.user_id""".stripMargin
+
+  /** Cohort retention matrix: users bucketed by the ISO week of their
+    * first event (the cohort), counted in each subsequent week they were
+    * active — the standard product-analytics retention triangle.
+    *
+    * Shape: one window over user_id computes each user's first day (no
+    * self-join), then a distinct on (cohort, offset, user) feeds the cell
+    * counts. Two shuffles total — user_id, then the cohort/offset pair —
+    * both on keys that stay uniform at any corpus size. date_trunc('week')
+    * is Monday-anchored in both Spark and DuckDB; the offset divides a
+    * day difference, so no engine-specific week-of-year rules are
+    * involved. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id")
+    Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d"))
+      .withColumn("first_d", min($"d").over(byUser))
+      .select($"user_id",
+        date_format(date_trunc("week", $"first_d"), "yyyy-MM-dd").as("cohort_week"),
+        floor(datediff($"d", $"first_d") / 7).cast("long").as("week_offset"))
+      .distinct()
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val retentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |fst AS (SELECT user_id, min(d) AS first_d FROM ev GROUP BY 1),
+      |cells AS (
+      |  SELECT DISTINCT ev.user_id,
+      |    strftime(date_trunc('week', first_d), '%Y-%m-%d') AS cohort_week,
+      |    CAST(floor(date_diff('day', first_d, d) / 7) AS BIGINT) AS week_offset
+      |  FROM ev JOIN fst ON ev.user_id = fst.user_id)
+      |SELECT cohort_week, week_offset, count(*) AS n_users
+      |FROM cells
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin
 }
