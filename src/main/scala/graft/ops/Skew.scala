@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import Num._
 
 /** Skew mitigation utilities — the two patterns that keep a 100 TB job
   * alive when one key holds a disproportionate share of the rows (a viral
@@ -48,4 +50,35 @@ object Skew {
       .withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Oracle-gated end-to-end use of [[saltedJoin]]: events joined to a
+    * per-type dimension on `event_type` — a key with a handful of distinct
+    * values, i.e. the textbook case where a shuffle join concentrates the
+    * whole table on as many reducers as there are types and salting is the
+    * fix. The shuffle_hash hint keeps the demonstration honest at test
+    * scale (the replicated 40-row dim would otherwise broadcast, which is
+    * the right call in production when the build side is small enough).
+    * The oracle is the PLAIN join: salting must be invisible in the
+    * result. */
+  def saltedTypeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("type_len", length(col("event_type")).cast("long"))
+    saltedJoin(ev, dim.hint("shuffle_hash"), "event_type", col("event_id"), 8)
+      .groupBy(col("event_type"), col("type_len"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("total_value_micros"))
+      .orderBy(col("event_type"))
+  }
+
+  val saltedTypeJoinSql: String =
+    s"""WITH dim AS (
+       |  SELECT DISTINCT event_type,
+       |    CAST(len(event_type) AS BIGINT) AS type_len
+       |  FROM events)
+       |SELECT e.event_type, d.type_len, count(*) AS n,
+       |  ${sqlExactSum("e.value")} AS total_value_micros
+       |FROM events e JOIN dim d ON e.event_type = d.event_type
+       |GROUP BY 1, 2
+       |ORDER BY e.event_type""".stripMargin
 }

@@ -336,4 +336,38 @@ object TextOps {
       |FROM capped
       |GROUP BY lang, h % 8
       |ORDER BY lang, shard""".stripMargin
+
+  /** Text normalization: strip stopwords ('a'/'an'/'the'), collapse runs
+    * of whitespace, trim — the canonicalization step that runs before
+    * exact dedup so trivially-reworded copies hash identically. Emits the
+    * normalized digest plus before/after lengths (the shrink ratio is
+    * itself a quality signal).
+    *
+    * Pure per-row regexp_replace chain: map-only, stays in whole-stage
+    * codegen, trivially parallel at any scale. The patterns stick to the
+    * syntax subset Java regex and RE2 agree on (\b, \s, alternation — no
+    * backrefs, no lookaround), so both engines produce identical bytes and
+    * the md5 digests hash-match. */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val norm = trim(regexp_replace(
+      regexp_replace(lower($"text"), "\\b(a|an|the)\\b", ""),
+      "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select($"doc_id", length($"text").cast("long").as("n_raw"),
+        norm.as("norm"))
+      .select($"doc_id", $"n_raw", length($"norm").cast("long").as("n_norm"),
+        md5($"norm").as("norm_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val normalizeTextSql: String =
+    """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_raw,
+      |  CAST(len(norm) AS BIGINT) AS n_norm, md5(norm) AS norm_md5
+      |FROM (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(lower(text), '\b(a|an|the)\b', '', 'g'),
+      |         '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
 }
