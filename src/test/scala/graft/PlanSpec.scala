@@ -153,4 +153,34 @@ class PlanSpec extends SparkTestBase {
         s"$q band join lost its equi keys")
     }
   }
+
+  test("decontamination: benchmark grams broadcast, corpus side never shuffles pre-join") {
+    val p = plan(SparkEntry.queries("d_decontaminate")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-gram probe must be a broadcast join:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("retention: single user_id exchange feeds the first-seen window") {
+    val p = plan(SparkEntry.queries("e_retention")(spark, sfDir))
+    val userExchanges = p.linesIterator
+      .count(l => l.contains("hashpartitioning(user_id"))
+    assert(userExchanges == 1, s"expected one user_id exchange, plan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "first-seen must come from a window, not a self-join")
+  }
+
+  test("salted type join honors the shuffle-hash hint (no broadcast)") {
+    val df = SparkEntry.queries("j_salted_type")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"salting demo requires the shuffled join regime:\n${p.take(1200)}")
+  }
+
+  test("normalize: map-only scan, no hash exchange anywhere") {
+    val p = plan(SparkEntry.queries("t_normalize")(spark, sfDir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"normalization must not shuffle:\n${p.take(1200)}")
+  }
 }
