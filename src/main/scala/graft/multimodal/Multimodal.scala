@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real (schemas, partition-preserving
   * mapPartitions batch transforms, explode-based frame sampling). The
-  * codec layer is REAL for P6 PPM images (PpmCodec) and PCM16 WAV audio
-  * (WavCodec) — both pure JVM, zero dependencies: synthesize emits
-  * actual PPMs / WAVs, and decode / feature-extract / resize / resample
-  * operate on true pixels and samples. Only formats that need external
-  * libraries (JPEG, video codecs) stay behind `decodeBytesStub`, a
+  * codec layer is REAL for P6 PPM + PNG images (PpmCodec, PngCodec — PNG
+  * incl. DEFLATE, chunk CRCs, and all five scanline filters) and PCM16
+  * WAV audio (WavCodec) — all pure JVM, zero dependencies: synthesize
+  * emits actual PPMs / PNGs / WAVs, and decode / feature-extract /
+  * resize / resample operate on true pixels and samples. Only formats
+  * that need external libraries (JPEG, video codecs) stay behind
+  * `decodeBytesStub`, a
   * deterministic byte-level fake — at production scale that stub body is
   * the only thing that changes (swap in a JNI/codec call; everything
   * around it is the distributed shape).
@@ -37,9 +39,15 @@ object Multimodal {
   private[multimodal] def decodeBytesStub(payload: Array[Byte]): Array[Int] =
     payload.map(b => (b & 0xff)) // "pixels" = raw bytes
 
-  /** Dispatching decode: REAL pixels for PPM payloads, stub otherwise. */
+  /** Real image decode for any supported format → (w, h, rgb). */
+  private[multimodal] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    if (PpmCodec.isPpm(payload)) PpmCodec.decode(payload)
+    else if (PngCodec.isPng(payload)) PngCodec.decode(payload)
+    else None
+
+  /** Dispatching decode: REAL pixels for PPM/PNG payloads, stub otherwise. */
   private[multimodal] def decodePixels(payload: Array[Byte]): Array[Int] =
-    PpmCodec.decode(payload) match {
+    decodeImage(payload) match {
       case Some((_, _, rgb)) => rgb.map(_ & 0xff)
       case None => decodeBytesStub(payload)
     }
@@ -116,16 +124,19 @@ object Multimodal {
     }
   }
 
-  /** Resize: REAL nearest-neighbor resample for PPM payloads (decode →
-    * resample → re-encode); deterministic truncate/pad fake for stub
-    * formats. Partition-local, no shuffle either way. */
+  /** Resize: REAL nearest-neighbor resample for PPM/PNG payloads (decode
+    * → resample → re-encode in the source format); deterministic
+    * truncate/pad fake for stub formats. Partition-local, no shuffle
+    * either way. */
   def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
     val spark = items.sparkSession
     import spark.implicits._
     items.map { m =>
-      PpmCodec.decode(m.payload) match {
+      decodeImage(m.payload) match {
         case Some((sw, sh, rgb)) =>
-          val out = PpmCodec.encode(w, h, PpmCodec.resizeNearest(sw, sh, rgb, w, h))
+          val resized = PpmCodec.resizeNearest(sw, sh, rgb, w, h)
+          val out = if (PngCodec.isPng(m.payload)) PngCodec.encode(w, h, resized)
+                    else PpmCodec.encode(w, h, resized)
           m.copy(payload = out, meta = m.meta.copy(width = w, height = h, channels = 3))
         case None =>
           val want = w * h * math.max(m.meta.channels, 1)
@@ -176,9 +187,13 @@ object Multimodal {
             rgb(i * 3 + 2) = ((255 - d + i / w) & 0xff).toByte
             i += 1
           }
-          MediaItem(docId, kind, PpmCodec.encode(w, h, rgb),
+          // alternate formats so both real image codecs are exercised
+          val (payload, mime) =
+            if (docId % 2 == 0) (PngCodec.encode(w, h, rgb), "image/png")
+            else (PpmCodec.encode(w, h, rgb), "image/x-portable-pixmap")
+          MediaItem(docId, kind, payload,
             MediaMeta(width = w, height = h, channels = 3,
-              sampleRate = 0, durationMs = 0, mime = "image/x-portable-pixmap"))
+              sampleRate = 0, durationMs = 0, mime = mime))
         } else if (kind == "audio") {
           // REAL WAV: a digest-seeded tone + per-sample dither, PCM16 mono
           val rate = 16000

@@ -147,8 +147,14 @@ class StreamingMultimodalSpec extends SparkTestBase {
     val resized = Multimodal.resize(items, 2, 2).collect()
     resized.foreach { m =>
       if (m.kind == "image") {
-        // real codec path: payload is a valid 2×2 P6 PPM
-        val Some((w, h, rgb)) = graft.multimodal.PpmCodec.decode(m.payload)
+        // real codec path: payload is a valid 2×2 image in its ORIGINAL
+        // format (synthesize alternates PNG and P6 PPM by doc id)
+        val expectPng = m.mediaId % 2 == 0
+        assert(graft.multimodal.PngCodec.isPng(m.payload) == expectPng,
+          "resize must re-encode in the source format")
+        val dec = if (expectPng) graft.multimodal.PngCodec.decode(m.payload)
+                  else graft.multimodal.PpmCodec.decode(m.payload)
+        val Some((w, h, rgb)) = dec
         assert(w == 2 && h == 2 && rgb.length == 12)
       } else assert(m.payload.length == 2 * 2 * m.meta.channels)
       assert(m.meta.width == 2 && m.meta.height == 2)
