@@ -1,0 +1,40 @@
+package graft
+
+/** Partition-count invariance: the property that makes a result trustworthy
+  * on a 1000-executor cluster is that it does not depend on HOW the data
+  * was split. Every class of nondeterminism that creeps into distributed
+  * plans — float summation order, first()/collect_list order, limits
+  * without a total order, per-partition state in iterative loops — shows
+  * up as a diff when the same query runs under a different shuffle
+  * partitioning. This spec pins a representative slice of the surface:
+  * window/sessionization state, dedup band joins, iterative label
+  * propagation, k-means training, as-of joins, and packing.
+  *
+  * Rows are compared as sorted multisets so legitimate tie reordering in
+  * the output `orderBy` doesn't mask a real value diff.
+  */
+class InvarianceSpec extends SparkTestBase {
+
+  private val queries = Seq(
+    "a_sessionize", "d_minhash_lsh", "d_lsh_jaccard", "d_dup_clusters",
+    "w_topk_per_group", "j_asof_last_view", "t_pack_sequences",
+    "e_retention", "s_kmeans_ivf", "q1_pricing_summary", "j_salted_type")
+
+  private def runAt(q: String, parts: Int): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try SparkEntry.queries(q)(spark, sfDir).collect()
+      .map(_.toString).toSeq.sorted
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  for (q <- queries)
+    test(s"$q: identical results at 3 and 17 shuffle partitions") {
+      val a = runAt(q, 3)
+      val b = runAt(q, 17)
+      assert(a.size == b.size, s"$q row count varies with partitioning")
+      a.zip(b).zipWithIndex.find { case ((x, y), _) => x != y }.foreach {
+        case ((x, y), i) => fail(s"$q row $i differs:\n  p3 : $x\n  p17: $y")
+      }
+    }
+}
