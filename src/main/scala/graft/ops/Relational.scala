@@ -217,4 +217,93 @@ object Relational {
       |  GROUP BY c_custkey) t
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q18 shape (large-volume customers): the IN-subquery over an
+    * aggregate HAVING decorrelates to a semi join against the aggregated
+    * lineitem — Spark-side we state the semi join directly. The big-order
+    * key set is small (HAVING keeps the tail) so it broadcasts; the
+    * customer join stays a shuffle join on the fact side. Quantities are
+    * integral-valued doubles, so the BIGINT cast of their sum is exact in
+    * both engines. */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_quantity")
+    val bigOrders = li.groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("qty"))
+      .filter($"qty" > 250)
+      .select($"l_orderkey".as("big_orderkey"))
+    val ord = Tables.orders(spark, dir)
+      .join(broadcast(bigOrders), $"o_orderkey" === $"big_orderkey", "left_semi")
+    Tables.customer(spark, dir).select($"c_custkey", $"c_name")
+      .join(ord, $"c_custkey" === $"o_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .agg(sum($"l_quantity").cast("long").as("total_qty"))
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+        $"o_totalprice", $"total_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  o_totalprice, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q21 shape (suppliers who kept the order waiting), re-expressed
+    * over this dataset's columns: per supplier, count 'F'-status orders
+    * where that supplier's line came back 'R' (EXISTS another supplier on
+    * the order, NOT EXISTS another supplier who also returned). The
+    * classic multi-correlated-subquery pair decorrelates to a semi join
+    * plus an anti join on the same (orderkey, suppkey-≠) predicate —
+    * stated directly, which is exactly what Catalyst's
+    * RewritePredicateSubquery produces from the EXISTS form. */
+  def q21LateSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+    val l1 = li.filter($"l_returnflag" === "R")
+      .join(Tables.orders(spark, dir).filter($"o_orderstatus" === "F")
+          .select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_semi")
+    val others = li.select($"l_orderkey".as("o2_orderkey"), $"l_suppkey".as("o2_suppkey"))
+    val othersR = li.filter($"l_returnflag" === "R")
+      .select($"l_orderkey".as("o3_orderkey"), $"l_suppkey".as("o3_suppkey"))
+    l1
+      .join(others,
+        $"l_orderkey" === $"o2_orderkey" && $"l_suppkey" =!= $"o2_suppkey",
+        "left_semi")
+      .join(othersR,
+        $"l_orderkey" === $"o3_orderkey" && $"l_suppkey" =!= $"o3_suppkey",
+        "left_anti")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"l_suppkey")
+      .limit(100)
+  }
+
+  val q21Sql: String =
+    """SELECT l1.l_suppkey, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY l1.l_suppkey
+      |ORDER BY numwait DESC, l1.l_suppkey
+      |LIMIT 100""".stripMargin
 }
