@@ -299,4 +299,35 @@ object Aggregates {
       |SELECT 'orders_only' AS tag, c_custkey
       |FROM (SELECT c_custkey FROM with_orders EXCEPT SELECT c_custkey FROM high_bal)
       |ORDER BY tag, c_custkey""".stripMargin
+
+  /** Exact per-group mode (heavy hitter): each user's most frequent event
+    * type, ties broken alphabetically. Two-level shape — count per
+    * (user, type), then argmax within user. The row_number()<=1 window is
+    * exactly what `plans.RewriteWindowTopK` rewrites into the bounded-heap
+    * top-k aggregate, so the argmax shuffles one row per (user, partition)
+    * rather than sorting every user's type counts. At sketch scale the
+    * same query runs over a count-min candidate set; exact is right
+    * whenever the group key fits a shuffle (it's (user × type) — bounded). */
+  def modePerUser(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"n".desc, $"event_type")))
+      .filter($"rk" === 1)
+      .select($"user_id", $"event_type".as("top_type"), $"n")
+      .orderBy($"user_id")
+  }
+
+  val modePerUserSql: String =
+    """SELECT user_id, event_type AS top_type, n FROM (
+      |  SELECT user_id, event_type, n,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY n DESC, event_type) AS rk
+      |  FROM (SELECT user_id, event_type, count(*) AS n
+      |        FROM events GROUP BY 1, 2) c) t
+      |WHERE rk = 1
+      |ORDER BY user_id""".stripMargin
 }

@@ -125,6 +125,61 @@ object EventStreams {
       }
   }
 
+  final case class FunnelState(tSignup: Long, tView: Long, tPurchase: Long)
+  final case class FunnelRow(user_id: Long, t_signup: Long,
+                             t_view: Option[Long], t_purchase: Option[Long],
+                             stage: Long)
+
+  /** Streaming funnel: the stream twin of [[graft.ops.Events.funnel]].
+    * Per user, keyed state is three timestamps (first signup, first view
+    * strictly after it, first purchase strictly after that) — O(1) per
+    * user regardless of event volume, exactly the three MIN aggregates
+    * the batch form computes. Each micro-batch sorts its rows by
+    * (event time, stage) so within-batch disorder is absorbed; emission
+    * is OutputMode.Update (the user's current funnel row, re-emitted when
+    * it advances). Users with no signup yet hold no state and emit
+    * nothing, matching the batch form's inner join on stage 1.
+    *
+    * Late-data caveat (same as the as-of stream): an earlier-stage event
+    * arriving AFTER a later stage was locked in is a miss; production
+    * adds a watermark + event-time timeout to bound waiting and evict
+    * idle users. */
+  def streamingFunnel(spark: SparkSession, events: DataFrame): Dataset[FunnelRow] = {
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type").isin("signup", "view", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "signup", 0)
+          .when(col("event_type") === "view", 1).otherwise(2).as("stage"))
+      .as[(Long, Long, Int)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Int)],
+         state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, stage) =>
+            stage match {
+              case 0 => if (s.tSignup == 0L) s = s.copy(tSignup = ts)
+              case 1 =>
+                if (s.tSignup != 0L && s.tView == 0L && ts > s.tSignup)
+                  s = s.copy(tView = ts)
+              case _ =>
+                if (s.tView != 0L && s.tPurchase == 0L && ts > s.tView)
+                  s = s.copy(tPurchase = ts)
+            }
+          }
+          if (s.tSignup == 0L) Iterator.empty
+          else {
+            state.update(s)
+            val stageN = 1L + (if (s.tView != 0L) 1L else 0L) +
+              (if (s.tPurchase != 0L) 1L else 0L)
+            Iterator.single(FunnelRow(userId, s.tSignup,
+              Option(s.tView).filter(_ != 0L),
+              Option(s.tPurchase).filter(_ != 0L), stageN))
+          }
+      }
+  }
+
   /** File-source stream over a documents parquet (same schema as
     * graft.Tables.documents). */
   def readDocuments(spark: SparkSession, path: String): DataFrame =

@@ -107,6 +107,32 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("streaming funnel matches the batch funnel operator") {
+    import graft.streaming.EventStreams
+    val stream = EventStreams.streamingFunnel(spark,
+      EventStreams.readEvents(spark, stageDir("events")))
+    // Update-mode memory sink holds every emission; keep the final row
+    // per user (single-batch here, but written to survive multi-batch)
+    val got = EventStreams.drainToMemory(stream.toDF(), "funnel_stream",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .collect().map { r =>
+        r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getLong(4))
+      }.toMap
+    val batch = graft.ops.Events.funnel(spark, sfDir)
+      .collect().map { r =>
+        r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getLong(4))
+      }.toMap
+    assert(got.size == batch.size, s"${got.size} vs ${batch.size} users")
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("streaming near-dup flags match the batch band candidates") {
     import graft.streaming.EventStreams
     import graft.dedup.Dedup
