@@ -306,4 +306,78 @@ object Relational {
       |GROUP BY l1.l_suppkey
       |ORDER BY numwait DESC, l1.l_suppkey
       |LIMIT 100""".stripMargin
+
+  /** TPC-H Q17 shape (small-quantity revenue): the correlated scalar
+    * subquery `l_quantity < 0.2 * (SELECT avg(l_quantity) ...)` joins the
+    * per-part aggregate back to the lines. The float average would make
+    * boundary rows engine-dependent, so the predicate is restated in
+    * exact integer arithmetic — `5·q·n < Σq` over BIGINTs (quantities are
+    * integral) — which is the same inequality with both sides multiplied
+    * by 5n. The brand filter shrinks the part side to broadcast size. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir)
+      .filter($"p_brand" === "Brand#23").select($"p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity".cast("long").as("qty"),
+        $"l_extendedprice")
+    val perPart = li.groupBy($"l_partkey".as("agg_partkey"))
+      .agg(count(lit(1)).as("cnt"), sum($"qty").as("sum_qty"))
+    li.join(broadcast(perPart), $"l_partkey" === $"agg_partkey")
+      .filter($"qty" * 5 * $"cnt" < $"sum_qty")
+      .agg(exactSum($"l_extendedprice").as("total_small_qty_price"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q17Sql: String =
+    s"""SELECT ${sqlExactSum("l_extendedprice")} AS total_small_qty_price,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#23'
+       |JOIN (
+       |  SELECT l_partkey AS agg_partkey, count(*) AS cnt,
+       |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       |  FROM lineitem
+       |  JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#23'
+       |  GROUP BY l_partkey) a ON agg_partkey = l_partkey
+       |WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sum_qty""".stripMargin
+
+  /** TPC-H Q22 shape (global-customer sales opportunity), re-expressed by
+    * nation since the testdata carries no phone column: customers with an
+    * account balance above the average POSITIVE balance and no orders at
+    * all — a global scalar subquery plus an anti join. The average
+    * comparison is restated exactly as `bal_micros · n > Σ micros` over
+    * BIGINTs, so no float average crosses engines. The one-row global
+    * aggregate broadcasts; the anti join runs on the orders key. */
+  def q22NoOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal",
+        micros($"c_acctbal").as("bal_u"))
+    val globalAvg = cust.filter($"c_acctbal" > 0.0)
+      .agg(count(lit(1)).as("n_pos"), sum($"bal_u").as("sum_u"))
+    cust.crossJoin(broadcast(globalAvg))
+      .filter($"bal_u" * $"n_pos" > $"sum_u")
+      .join(Tables.orders(spark, dir).select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("numcust"), exactSum($"c_acctbal").as("totacctbal"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q22Sql: String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey, c_nationkey, c_acctbal,
+       |    ${sqlMicros("c_acctbal")} AS bal_u
+       |  FROM customer),
+       |g AS (SELECT count(*) AS n_pos, CAST(sum(bal_u) AS BIGINT) AS sum_u
+       |      FROM cust WHERE c_acctbal > 0.0)
+       |SELECT c_nationkey, count(*) AS numcust,
+       |  ${sqlExactSum("c_acctbal")} AS totacctbal
+       |FROM cust, g
+       |WHERE bal_u * n_pos > sum_u
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
 }
