@@ -346,7 +346,9 @@ object Relational {
   /** TPC-H Q22 shape (global-customer sales opportunity), re-expressed by
     * nation since the testdata carries no phone column: customers with an
     * account balance above the average POSITIVE balance and no orders at
-    * all — a global scalar subquery plus an anti join. The average
+    * no URGENT orders — a global scalar subquery plus an anti join
+    * against a filtered order set (the unfiltered form is empty at small
+    * scale factors, where every customer has some order). The average
     * comparison is restated exactly as `bal_micros · n > Σ micros` over
     * BIGINTs, so no float average crosses engines. The one-row global
     * aggregate broadcasts; the anti join runs on the orders key. */
@@ -359,7 +361,8 @@ object Relational {
       .agg(count(lit(1)).as("n_pos"), sum($"bal_u").as("sum_u"))
     cust.crossJoin(broadcast(globalAvg))
       .filter($"bal_u" * $"n_pos" > $"sum_u")
-      .join(Tables.orders(spark, dir).select($"o_custkey"),
+      .join(Tables.orders(spark, dir)
+          .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey"),
         $"c_custkey" === $"o_custkey", "left_anti")
       .groupBy($"c_nationkey")
       .agg(count(lit(1)).as("numcust"), exactSum($"c_acctbal").as("totacctbal"))
@@ -377,7 +380,9 @@ object Relational {
        |  ${sqlExactSum("c_acctbal")} AS totacctbal
        |FROM cust, g
        |WHERE bal_u * n_pos > sum_u
-       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_orderpriority = '1-URGENT')
        |GROUP BY c_nationkey
        |ORDER BY c_nationkey""".stripMargin
 }
