@@ -361,6 +361,27 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Per-language frequent tokens via the Misra–Gries sketch
+    * (functions.FreqItems): heavy hitters when the token domain does NOT
+    * fit a shuffle (the exact-count path, `a_mode_per_user` /
+    * `t_top_ngrams`, covers bounded domains). Each map task ships ≤ k
+    * counters per language; estimates are deterministic-given-merge-order
+    * but the sketch's contents are not an engine-portable artifact, so
+    * this is a rows-only query — FreqItemsSpec pins the actual
+    * guarantees (everything above n/(k+1) present; est ≤ true ≤ est+err)
+    * against exact counts. */
+  def freqTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.FreqItems.register(spark)
+    Tables.documents(spark, dir)
+      .select($"lang", explode(split(trim(lower($"text")), "\\s+")).as("tok"))
+      .groupBy($"lang")
+      .agg(call_function("graft_freq_items", $"tok", lit(16)).as("fi"))
+      .select($"lang", explode($"fi").as("f"))
+      .select($"lang", $"f.item".as("item"), $"f.est".as("est"), $"f.err".as("err"))
+      .orderBy($"lang", $"est".desc, $"item")
+  }
+
   val normalizeTextSql: String =
     """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_raw,
       |  CAST(len(norm) AS BIGINT) AS n_norm, md5(norm) AS norm_md5
