@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real (schemas, partition-preserving
   * mapPartitions batch transforms, explode-based frame sampling). The
   * codec layer is REAL for P6 PPM + PNG images (PpmCodec, PngCodec — PNG
-  * incl. DEFLATE, chunk CRCs, and all five scanline filters) and PCM16
-  * WAV audio (WavCodec) — all pure JVM, zero dependencies: synthesize
-  * emits actual PPMs / PNGs / WAVs, and decode / feature-extract /
-  * resize / resample operate on true pixels and samples. Only formats
-  * that need external libraries (JPEG, video codecs) stay behind
-  * `decodeBytesStub`, a
+  * incl. DEFLATE, chunk CRCs, and all five scanline filters), PCM16 WAV
+  * audio (WavCodec), and YUV4MPEG2 video (Y4mCodec, C444 + BT.601
+  * conversion) — all pure JVM, zero dependencies: synthesize emits
+  * actual PPMs / PNGs / WAVs / Y4Ms, and decode / feature-extract /
+  * resize / resample / frame-sample operate on true pixels, samples,
+  * and frames. Only compressed formats that need external libraries
+  * (JPEG, H.264-class video) stay behind `decodeBytesStub`, a
   * deterministic byte-level fake — at production scale that stub body is
   * the only thing that changes (swap in a JNI/codec call; everything
   * around it is the distributed shape).
@@ -45,11 +46,17 @@ object Multimodal {
     else if (PngCodec.isPng(payload)) PngCodec.decode(payload)
     else None
 
-  /** Dispatching decode: REAL pixels for PPM/PNG payloads, stub otherwise. */
+  /** Dispatching decode: REAL pixels for PPM/PNG payloads, REAL per-frame
+    * luma for Y4M video, stub otherwise. */
   private[multimodal] def decodePixels(payload: Array[Byte]): Array[Int] =
     decodeImage(payload) match {
       case Some((_, _, rgb)) => rgb.map(_ & 0xff)
-      case None => decodeBytesStub(payload)
+      case None => Y4mCodec.decode(payload) match {
+        case Some(v) =>
+          val n = v.width * v.height
+          v.frames.flatMap(f => f.take(n).map(_ & 0xff)) // Y planes
+        case None => decodeBytesStub(payload)
+      }
     }
 
   /** Feature extraction: partition-local batch transform, no shuffle.
@@ -159,6 +166,43 @@ object Multimodal {
         xxhash64(col("payload"), col("frame_ms")).as("frame_hash"))
   }
 
+  final case class FrameStats(mediaId: Long, frameIdx: Int, frameMs: Int,
+                              meanLuma: Double, lumaHash: Long)
+
+  /** REAL frame sampling over Y4M payloads: decode, pick every
+    * `everyMs`-th frame by the stream's own frame rate, and emit true
+    * per-frame statistics (mean luma + a luma-plane fingerprint).
+    * Partition-local flatMap — the per-item fan-out happens inside the
+    * task, so frames never shuffle away from their parent item. Non-Y4M
+    * payloads are dropped (the column-level [[sampleFrames]] covers
+    * stub formats). */
+  def sampleFramesDecoded(items: Dataset[MediaItem], everyMs: Int): Dataset[FrameStats] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.flatMap { m =>
+      Y4mCodec.decode(m.payload).toSeq.flatMap { v =>
+        val n = v.width * v.height
+        val msPerFrame = if (v.fpsNum == 0) 0.0 else 1000.0 * v.fpsDen / v.fpsNum
+        val stepFrames = math.max(1,
+          if (msPerFrame == 0.0) 1 else math.round(everyMs / msPerFrame).toInt)
+        Iterator.range(0, v.frames.length, stepFrames).map { fi =>
+          val y = v.frames(fi)
+          var s = 0L
+          var h = 1125899906842597L // FNV-ish rolling seed
+          var i = 0
+          while (i < n) {
+            val px = y(i) & 0xff
+            s += px
+            h = h * 31 + px
+            i += 1
+          }
+          FrameStats(m.mediaId, fi, math.round(fi * msPerFrame).toInt,
+            s.toDouble / n, h)
+        }
+      }
+    }
+  }
+
   /** Deterministic synthetic media over the documents table. Image-kind
     * items carry REAL P6 PPM payloads (a gradient seeded by the text's
     * md5 — decodable by any image tool); audio/video kinds carry the
@@ -213,10 +257,26 @@ object Multimodal {
             MediaMeta(width = 0, height = 0, channels = 1,
               sampleRate = rate, durationMs = durMs, mime = "audio/wav"))
         } else {
-          val payload = Array.fill(reps)(digest).flatten
-          MediaItem(docId, kind, payload,
-            MediaMeta(width = 4, height = 4, channels = reps,
-              sampleRate = 16000, durationMs = 40 * reps, mime = s"x-fake/$kind"))
+          // REAL Y4M video: `reps` frames of a digest-seeded gradient that
+          // shifts per frame, 25 fps C444
+          val w = 8; val h = 6
+          val frames = Array.tabulate(1 + reps) { fr =>
+            val rgb = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < w * h) {
+              val d = digest((i + fr) % digest.length) & 0xff
+              rgb(i * 3) = ((d + i + fr * 3) & 0xff).toByte
+              rgb(i * 3 + 1) = ((d ^ (i * 5 + fr)) & 0xff).toByte
+              rgb(i * 3 + 2) = ((255 - d + fr) & 0xff).toByte
+              i += 1
+            }
+            Y4mCodec.rgbToFrame(w, h, rgb)
+          }
+          val vid = Y4mCodec.Video(w, h, 25, 1, frames)
+          MediaItem(docId, kind, Y4mCodec.encode(vid),
+            MediaMeta(width = w, height = h, channels = 3,
+              sampleRate = 0, durationMs = vid.durationMs,
+              mime = "video/x-yuv4mpeg2"))
         }
       }
   }

@@ -164,7 +164,8 @@ class StreamingMultimodalSpec extends SparkTestBase {
       kinds(f.mediaId) match {
         case "image" => assert(f.nBytes == 8 * 6 * 3) // real pixels
         case "audio" => assert((f.nBytes - 44) % 1280 == 0) // real WAV bytes
-        case _ => assert(f.nBytes % 16 == 0) // stub formats: md5 multiples
+        // video: real Y4M luma planes, 8x6 per frame, >= 2 frames
+        case _ => assert(f.nBytes % 48 == 0 && f.nBytes >= 96)
       }
       assert(f.meanByte >= 0 && f.meanByte <= 255)
       assert(f.histogram.sum == f.nBytes)
@@ -256,5 +257,27 @@ class StreamingMultimodalSpec extends SparkTestBase {
     val vids = items.filter(_.kind == "video").collect()
     val expected = vids.map(v => 1 + (v.meta.durationMs - 1) / 40).sum
     assert(frames.count() == expected)
+  }
+
+  test("decoded frame sampling emits true per-frame luma stats") {
+    val items = Multimodal.synthesize(spark, sfDir).cache()
+    val vids = items.filter(_.kind == "video")
+    // everyMs = frame period (40 ms at 25 fps) → every frame sampled
+    val stats = Multimodal.sampleFramesDecoded(vids, everyMs = 40).collect()
+    val byId = stats.groupBy(_.mediaId)
+    vids.collect().foreach { m =>
+      val v = graft.multimodal.Y4mCodec.decode(m.payload).get
+      val got = byId(m.mediaId)
+      assert(got.length == v.frames.length,
+        s"media ${m.mediaId}: ${got.length} stats for ${v.frames.length} frames")
+      // recompute one frame's mean luma independently
+      val f0 = got.minBy(_.frameIdx)
+      val n = v.width * v.height
+      val mean = v.frames(0).take(n).map(_ & 0xff).sum.toDouble / n
+      assert(math.abs(f0.meanLuma - mean) < 1e-9)
+      assert(got.forall(s => s.meanLuma >= 0 && s.meanLuma <= 255))
+      // frames differ → fingerprints differ
+      assert(got.map(_.lumaHash).distinct.length == got.length)
+    }
   }
 }
