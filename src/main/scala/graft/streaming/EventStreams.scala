@@ -180,6 +180,48 @@ object EventStreams {
       }
   }
 
+  final case class MGState(counts: Map[String, Long], decr: Long)
+  final case class TrendingRow(lang: String, item: String, est: Long, err: Long)
+
+  /** Streaming frequent items (trending tokens per language): the stream
+    * twin of the batch Misra–Gries aggregate (graft.functions.FreqItems).
+    * Keyed state is the sketch itself — ≤ k counters + one decrement
+    * total per language, O(k) regardless of stream length — and each
+    * micro-batch folds its tokens in with the same update rule, then
+    * re-emits the language's current top items. The MG guarantees
+    * (everything above n/(k+1) present; est ≤ true ≤ est + err) hold at
+    * every emission because they are invariant under the update/merge
+    * rules, not a property of batch boundaries. */
+  def streamingFreqTokens(spark: SparkSession, docs: DataFrame,
+                          k: Int): Dataset[TrendingRow] = {
+    import spark.implicits._
+    docs
+      .select(col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[(String, String)],
+         state: GroupState[MGState]) =>
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          var decr = state.getOption.map(_.decr).getOrElse(0L)
+          rows.foreach { case (_, tok) =>
+            counts.get(tok) match {
+              case Some(c) => counts = counts.updated(tok, c + 1L)
+              case None if counts.size < k => counts = counts.updated(tok, 1L)
+              case None =>
+                counts = counts.iterator
+                  .map { case (t, c) => t -> (c - 1L) }
+                  .filter(_._2 > 0L).toMap
+                decr += 1L
+            }
+          }
+          state.update(MGState(counts, decr))
+          counts.toSeq.sortBy { case (t, c) => (-c, t) }.iterator
+            .map { case (t, c) => TrendingRow(lang, t, c, decr) }
+      }
+  }
+
   /** File-source stream over a documents parquet (same schema as
     * graft.Tables.documents). */
   def readDocuments(spark: SparkSession, path: String): DataFrame =

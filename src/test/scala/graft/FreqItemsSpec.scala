@@ -45,6 +45,32 @@ class FreqItemsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming sketch keeps the same guarantees on its final emission") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_docs_mg")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    dir.toFile.deleteOnExit()
+    val stream = streaming.EventStreams.streamingFreqTokens(spark,
+      streaming.EventStreams.readDocuments(spark, dir.toString), K)
+    val out = streaming.EventStreams.drainToMemory(stream.toDF(), "trending",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val exact = tokens.groupBy($"lang", $"tok").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (lang, item, est, err) =>
+      val truth = exact((lang, item))
+      assert(est <= truth && truth <= est + err,
+        s"$lang/$item: est=$est err=$err truth=$truth")
+    }
+    val reported = out.map(r => (r._1, r._2)).toSet
+    for (((lang, item), c) <- exact if c > n(lang) / (K + 1))
+      assert(reported((lang, item)), s"streaming sketch lost heavy hitter $lang/$item")
+  }
+
   test("guarantees hold at a different partitioning (merge-order shift)") {
     import spark.implicits._
     graft.functions.FreqItems.register(spark)
