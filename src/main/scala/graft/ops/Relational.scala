@@ -385,4 +385,121 @@ object Relational {
        |                    AND o_orderpriority = '1-URGENT')
        |GROUP BY c_nationkey
        |ORDER BY c_nationkey""".stripMargin
+
+  /** TPC-H Q7 shape (volume shipping between two nations): the 5-table
+    * join chain lineitem→orders→customer + lineitem→supplier, each end
+    * resolved to a nation, filtered to one ordered nation pair per
+    * direction. Both nation-resolved key maps (supplier→nation,
+    * customer-of-order→nation) are dimension-sized after their filters
+    * and broadcast; only the lineitem scan shuffles — once, for the final
+    * group-by. Revenue sums are micros-quantized. */
+  def q7ShippingVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nations = Seq("NATION_3", "NATION_7")
+    val nat = Tables.nation(spark, dir).filter($"n_name".isin(nations: _*))
+      .select($"n_nationkey", $"n_name")
+    val supp = Tables.supplier(spark, dir)
+      .join(nat, $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val custNat = Tables.customer(spark, dir)
+      .join(nat, $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val ordNat = Tables.orders(spark, dir)
+      .join(custNat, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"cust_nation")
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"))
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      // orders-side map is NOT hinted: nation-filtered orders are ~8% of
+      // the table — broadcastable at test scale (AQE will), a shuffle
+      // join at 100 TB. Let the planner pick per-scale.
+      .join(ordNat, $"l_orderkey" === $"o_orderkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(exactSum($"volume").as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val q7Sql: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  ${sqlExactSum("volume")} AS revenue, count(*) AS n_lines
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |    l_extendedprice * (1.0 - l_discount) AS volume
+       |  FROM lineitem
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+       |  WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+       |    AND n2.n_name IN ('NATION_3', 'NATION_7')
+       |    AND n1.n_name <> n2.n_name) t
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 shape (market share): one nation's supplier share of a
+    * region's revenue per year. The share is a division of two sums over
+    * the SAME quantized micros rows — identical BIGINT numerators and
+    * denominators on both engines, so the one double division at the end
+    * is bit-identical too. Conditional aggregation (sum of CASE) replaces
+    * Q8's correlated structure; every dimension side broadcasts. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val target = "NATION_5"
+    val regionNations = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter($"r_name" === "REGION_1"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(regionNations), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val ordCust = Tables.orders(spark, dir)
+      .join(cust, $"o_custkey" === $"c_custkey", "left_semi")
+      .select($"o_orderkey", $"o_orderdate")
+    val suppNat = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir).select($"n_nationkey", $"n_name"),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey",
+        micros($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("vol_u"))
+      // region-filtered orders are a fact-sized side at 100 TB: no hint
+      .join(ordCust, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(suppNat), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(
+        sum(when($"supp_nation" === target, $"vol_u").otherwise(0L)).as("target_u"),
+        sum($"vol_u").as("total_u"))
+      .select($"o_year",
+        ($"target_u" / $"total_u").as("mkt_share"),
+        ($"target_u" / lit(1e6)).as("target_volume"),
+        ($"total_u" / lit(1e6)).as("total_volume"))
+      .orderBy($"o_year")
+  }
+
+  val q8Sql: String =
+    s"""SELECT o_year,
+       |  (target_u / CAST(total_u AS DOUBLE)) AS mkt_share,
+       |  (target_u / 1000000.0) AS target_volume,
+       |  (total_u / 1000000.0) AS total_volume
+       |FROM (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |    CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+       |      THEN ${sqlMicros("l_extendedprice * (1.0 - l_discount)")}
+       |      ELSE 0 END) AS BIGINT) AS target_u,
+       |    CAST(sum(${sqlMicros("l_extendedprice * (1.0 - l_discount)")})
+       |      AS BIGINT) AS total_u
+       |  FROM lineitem
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+       |  JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'REGION_1'
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+       |  GROUP BY 1) t
+       |ORDER BY o_year""".stripMargin
 }
