@@ -451,7 +451,7 @@ object Relational {
     import spark.implicits._
     val target = "NATION_5"
     val regionNations = Tables.nation(spark, dir)
-      .join(Tables.region(spark, dir).filter($"r_name" === "REGION_1"),
+      .join(Tables.region(spark, dir).filter($"r_name" === "ASIA"),
         $"n_regionkey" === $"r_regionkey")
       .select($"n_nationkey", $"n_name")
     val cust = Tables.customer(spark, dir)
@@ -497,7 +497,7 @@ object Relational {
        |  JOIN orders ON o_orderkey = l_orderkey
        |  JOIN customer ON c_custkey = o_custkey
        |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
-       |  JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'REGION_1'
+       |  JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'ASIA'
        |  JOIN supplier ON s_suppkey = l_suppkey
        |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
        |  GROUP BY 1) t
