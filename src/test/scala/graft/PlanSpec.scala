@@ -183,4 +183,31 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"),
       s"normalization must not shuffle:\n${p.take(1200)}")
   }
+
+  test("q19: disjunctive predicate keeps the equi-key hash join (no nested loop)") {
+    val p = plan(SparkEntry.queries("q19_disjunctive")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"OR-of-ANDs must not bury the p_partkey = l_partkey equi-key:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(1500))
+  }
+
+  test("q2: part filter and per-part min both broadcast into lineitem") {
+    val p = plan(SparkEntry.queries("q2_min_cost_supplier")(spark, sfDir))
+    val bcasts = p.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(bcasts >= 2, s"expected part + min-agg broadcasts, got $bcasts:\n${p.take(1500)}")
+  }
+
+  test("q16: supplier exclusion is a broadcast anti join before the distinct agg") {
+    val p = plan(SparkEntry.queries("q16_supplier_counts")(spark, sfDir))
+    assert(p.contains("LeftAnti"), p.take(1500))
+    // distinct aggregation expands: at least partial+final HashAggregate
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(1500))
+  }
+
+  test("q20: both IN subqueries run as semi joins on the supplier side") {
+    val p = plan(SparkEntry.queries("q20_excess_suppliers")(spark, sfDir))
+    assert(p.linesIterator.count(_.contains("LeftSemi")) >= 2,
+      s"expected nation + big-pair semi joins:\n${p.take(1500)}")
+  }
 }
