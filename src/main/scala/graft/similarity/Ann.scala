@@ -353,6 +353,188 @@ object Ann {
     out
   }
 
+  /** Product-quantization geometry: M subspaces of SubDim coords each,
+    * K centroids per subspace → a Dim-float vector compresses to M small
+    * ints (here 3 bits each; 256-cell codebooks at production scale). */
+  val PqM = 8
+  val PqK = 8
+  val SubDim: Int = Dim / PqM
+
+  /** PQ-compressed ANN with ADC scoring (`s_pq_topk`).
+    *
+    * Training: the K hash-smallest vectors seed every subspace's codebook
+    * (same salted-md5 seeding as [[kmeansIvf]]); one Lloyd round refines
+    * them — assignment by exact integer argmin of ‖c‖² − 2·v·c per
+    * subspace, update by per-coordinate floor-mean. Subspace is a COLUMN
+    * (m = i div SubDim) so all M codebooks train in the same two
+    * aggregation jobs, not an M-way loop.
+    *
+    * Encoding: each vector becomes M codes (argmin vs the refined
+    * codebook) collected into one array — Dim·4 bytes of floats down to
+    * M small ints per row (16× here, 32× with byte codes at Dim=256).
+    *
+    * Scoring (asymmetric distance computation): each query precomputes
+    * q_sub · centroid for every (subspace, cell) — an M·K lookup table,
+    * broadcast as a map keyed m·K+cell. The corpus scan then scores a
+    * candidate with M map lookups inside codegen — NO shuffle of the
+    * corpus, no vector arithmetic per pair; the only exchange in the
+    * whole scoring stage is the final per-query top-k (which the
+    * RewriteWindowTopK rule bounds map-side). That is the 100 TB shape:
+    * codes live with the data, LUTs travel with the query.
+    *
+    * Everything is integer-exact (quantized coords, integer products
+    * summed exactly as doubles < 2^53), so codebooks, codes, and ADC
+    * scores are bit-identical cross-engine — the oracle replays training
+    * in SQL and must hash-match. */
+  /** Shared PQ training pieces: quantized vectors, per-subspace coords,
+    * the seed codebook, and the exact-integer argmin assignment. */
+  private final case class PqParts(emb: DataFrame, coords: DataFrame,
+      cents0: DataFrame, assign: DataFrame => DataFrame) {
+    /** Codebook after one Lloyd round: floor-mean per (m, cell, coord). */
+    lazy val cents1: DataFrame = assign(cents0).join(coords, Seq("vec_id", "m"))
+      .groupBy(col("m"), col("cell"), col("j"))
+      .agg(floor(sum(col("x")) / count(lit(1))).as("cx"))
+  }
+
+  private def pqParts(spark: SparkSession, dir: String): PqParts = {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    graft.functions.HashExpressions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val coords = emb
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("x"),
+        floor(col("i") / SubDim).cast("int").as("m"),
+        (col("i") % SubDim).as("j"))
+    // seed codebook: the PqK hash-smallest vectors, sliced per subspace
+    val h = graft.functions.HashExpressions.md5Prefix64(
+      concat(lit("pqseed:"), col("vec_id").cast("string")), 15)
+    val seeds = emb.withColumn("h", h)
+      .orderBy(col("h"), col("vec_id")).limit(PqK)
+      .select(col("q")).collect()
+      .zipWithIndex.flatMap { case (r, cell) =>
+        r.getSeq[Double](0).zipWithIndex.map { case (cx, i) =>
+          (i / SubDim, cell, i % SubDim, cx)
+        }
+      }.toSeq
+    val cents0 = seeds.toDF("m", "cell", "j", "cx")
+    // argmin assignment, all subspaces in one aggregation (m is a column)
+    def assign(cents: DataFrame): DataFrame =
+      coords.join(broadcast(cents), Seq("m", "j"))
+        .groupBy(col("vec_id"), col("m"), col("cell"))
+        .agg(sum(col("cx") * col("cx") - col("x") * col("cx") * 2).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cell"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("cell"), col("dist"))
+    PqParts(emb, coords, cents0, assign)
+  }
+
+  /** Test hook: the (vec_id, m, cell, dist) assignment against the seed
+    * codebook (afterRounds = 0) or the Lloyd-refined one (1) — lets specs
+    * check the k-means descent property through the production code path. */
+  private[graft] def pqAssignmentForTest(spark: SparkSession, dir: String,
+      afterRounds: Int): DataFrame = {
+    val p = pqParts(spark, dir)
+    p.assign(if (afterRounds == 0) p.cents0 else p.cents1)
+  }
+
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val parts = pqParts(spark, dir)
+    val coords = parts.coords
+    val emb = parts.emb
+    val cents1 = parts.cents1
+    val codes = parts.assign(cents1)
+      .groupBy(col("vec_id"))
+      .agg(expr(s"transform(array_sort(collect_list(struct(m, cell))), p -> p.cell)")
+        .as("code"))
+    // ADC lookup tables for the query set: qdot(query, m, cell), packed
+    // into one broadcastable map per query keyed m*K+cell
+    val luts = coords.join(emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id")),
+        col("vec_id") === col("query_id"), "left_semi")
+      .join(broadcast(cents1), Seq("m", "j"))
+      .groupBy(col("vec_id").as("query_id"), col("m"), col("cell"))
+      .agg(sum(col("x") * col("cx")).as("qdot"))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(
+        struct((col("m") * PqK + col("cell")).cast("int"), col("qdot")))).as("lut"))
+    // corpus scan × query LUTs: M map lookups per candidate, map-side
+    val scored = codes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx_dot",
+        expr(s"CAST(aggregate(transform(zip_with(sequence(0, ${PqM - 1}), code, " +
+          s"(m, c) -> m * $PqK + c), k -> element_at(lut, CAST(k AS INT))), " +
+          "0D, (a, v) -> a + v) AS BIGINT)"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("approx_dot").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("approx_dot"))
+      .orderBy("query_id", "rank")
+  }
+
+  val pqTopKSql: String = {
+    // assignment CTE generator: argmin cell per (vec_id, subspace)
+    def assignCte(cents: String, n: Int): String =
+      s"""pd$n AS (
+         |  SELECT c.vec_id, c.m, k.cell,
+         |    sum(k.cx * k.cx - 2 * c.x * k.cx) AS dist
+         |  FROM pcoords c JOIN $cents k ON c.m = k.m AND c.j = k.j
+         |  GROUP BY 1, 2, 3),
+         |pa$n AS (
+         |  SELECT vec_id, m, cell FROM (
+         |    SELECT vec_id, m, cell,
+         |      row_number() OVER (PARTITION BY vec_id, m
+         |        ORDER BY dist, cell) AS rn
+         |    FROM pd$n) t
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH qv AS (SELECT vec_id, $qListSql AS q FROM embeddings),
+       |pcoords AS (
+       |  SELECT vec_id, CAST(floor(i / $SubDim) AS INT) AS m,
+       |    i % $SubDim AS j, q[i + 1] AS x
+       |  FROM qv, UNNEST(range(0, $Dim)) AS t(i)),
+       |hashed AS (
+       |  SELECT vec_id,
+       |    CAST(('0x' || substring(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15))
+       |         AS BIGINT) AS h
+       |  FROM qv),
+       |seeds AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id,
+       |      CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cell
+       |    FROM hashed) t
+       |  WHERE cell < $PqK),
+       |pcents0 AS (
+       |  SELECT c.m, s.cell, c.j, c.x AS cx
+       |  FROM seeds s JOIN pcoords c ON s.vec_id = c.vec_id),
+       |${assignCte("pcents0", 1)},
+       |pcents1 AS (
+       |  SELECT a.cell, c.m, c.j, floor(sum(c.x) / count(*)) AS cx
+       |  FROM pa1 a JOIN pcoords c ON a.vec_id = c.vec_id AND a.m = c.m
+       |  GROUP BY 1, 2, 3),
+       |${assignCte("pcents1", 2)},
+       |luts AS (
+       |  SELECT c.vec_id AS query_id, k.m, k.cell, sum(c.x * k.cx) AS qdot
+       |  FROM pcoords c JOIN pcents1 k ON c.m = k.m AND c.j = k.j
+       |  WHERE c.vec_id < 20
+       |  GROUP BY 1, 2, 3)
+       |SELECT query_id, rank, neighbor_id, approx_dot FROM (
+       |  SELECT query_id, neighbor_id, approx_dot,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx_dot DESC, neighbor_id) AS rank
+       |  FROM (
+       |    SELECT l.query_id, a.vec_id AS neighbor_id,
+       |      CAST(sum(l.qdot) AS BIGINT) AS approx_dot
+       |    FROM pa2 a
+       |    JOIN luts l ON l.m = a.m AND l.cell = a.cell
+       |    WHERE a.vec_id <> l.query_id
+       |    GROUP BY 1, 2) s) t
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val kmeansIvfSql: String = {
     def distCte(cents: String, n: Int): String =
       s"""d$n AS (

@@ -86,6 +86,56 @@ class DedupSpec extends SparkTestBase {
     assert(mean >= 0.35, f"mean recall@3 $mean%.2f — probe ordering broken")
   }
 
+  test("pq: adc top-k beats the random-ranking floor and codes are compact") {
+    // PQ quantizes 64 floats to PqM 3-bit codes — a lossy 16×+ compression;
+    // the gate is that ADC ordering still carries signal on isotropic data
+    // (deterministic inputs → fixed values, not flaky bounds)
+    val truth = Ann.bruteForceTopK(spark, sfDir).filter(col("rank") <= 3)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val pq = Ann.pqTopK(spark, sfDir).collect()
+    // structural: dense ranks, scores descending within each query
+    pq.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val dots = sorted.map(_.getAs[Long]("approx_dot")).toSeq
+      assert(dots == dots.sorted.reverse, s"ADC scores not descending: $dots")
+    }
+    // quality: mean recall@3 of the 500-candidate corpus. Random top-3
+    // would recall 3/499 ≈ 0.006; require an order of magnitude above
+    // chance — on clustered production embeddings this rises sharply.
+    val approx = pq.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recalls = truth.keys.toSeq.map { q =>
+      val t = truth(q)
+      (t intersect approx.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.06, f"mean recall@3 $mean%.2f — ADC ordering carries no signal")
+  }
+
+  test("pq: one lloyd round does not worsen total quantization error") {
+    // inertia(seed codebook) >= inertia(refined codebook) — the k-means
+    // descent property, checked through the same assignment code path
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    graft.functions.HashExpressions.register(spark)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Ann.quantized(col("embedding")).as("q"))
+    val norms = emb.select(
+        sum(graft.functions.VectorExpressions.dot(col("q"), col("q"))).as("v2"))
+      .collect()(0).getDouble(0)
+    def inertia(afterRounds: Int): Double = {
+      val df = Ann.pqAssignmentForTest(spark, sfDir, afterRounds)
+      norms + df.agg(sum(col("dist"))).collect()(0).getDouble(0)
+    }
+    val before = inertia(0)
+    val after = inertia(1)
+    assert(after <= before,
+      f"lloyd round increased PQ inertia: $before%.0f -> $after%.0f")
+    assert(after >= 0.0, "quantization error must stay non-negative")
+  }
+
   test("fingerprint is deterministic and in [0, P)") {
     val f1 = TextFunctions.fingerprint(spark, sfDir).collect()
     val f2 = TextFunctions.fingerprint(spark, sfDir).collect()
