@@ -43,11 +43,12 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "zh" -> Seq("的", "是", "了", "在", "和"))
 
-  /** Language ID: explode tokens, join the (broadcast) marker table, count
-    * hits per (doc, lang), keep argmax. Docs with zero marker hits get
-    * 'und' (undetermined). Output: per (actual lang, predicted) counts —
-    * a confusion matrix, which also oracle-checks the argmax logic. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document language prediction: explode tokens, join the
+    * (broadcast) marker table, count hits per (doc, lang), keep argmax
+    * (lexicographic tie-break). Docs with zero marker hits get 'und'.
+    * Shared by the confusion-matrix query and the training pipeline's
+    * language-filter stage. */
+  def langPredictions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val markers = Markers.flatMap { case (l, ws) => ws.map(w => (l, w)) }
       .toDF("cand_lang", "marker")
@@ -61,19 +62,27 @@ object TextFunctions {
       .partitionBy("doc_id").orderBy(col("hits").desc, col("cand_lang"))
     val pred = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("cand_lang").as("predicted"))
-    val allPred = docs.select("doc_id", "lang")
+    docs.select("doc_id", "lang")
       .join(pred.select("doc_id", "predicted"), Seq("doc_id"), "left")
       .withColumn("predicted", coalesce(col("predicted"), lit("und")))
-    allPred.groupBy("lang", "predicted")
+  }
+
+  /** Language ID confusion matrix: per (actual lang, predicted) counts —
+    * which also oracle-checks the argmax logic. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    langPredictions(spark, dir)
+      .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted")
   }
 
-  val langIdSql: String = {
+  /** CTE chain producing per-doc (doc_id, lang, predicted) — shared by
+    * the confusion-matrix oracle and the pipeline-audit oracle. */
+  val langPredictionsCtes: String = {
     val markerValues = Markers.flatMap { case (l, ws) =>
       ws.map(w => s"('$l', '$w')")
     }.mkString(", ")
-    s"""WITH markers(cand_lang, marker) AS (VALUES $markerValues),
+    s"""markers(cand_lang, marker) AS (VALUES $markerValues),
        |toks AS (
        |  SELECT doc_id, lang,
        |    UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok
@@ -90,13 +99,18 @@ object TextFunctions {
        |        FROM hits) t
        |  WHERE rn = 1),
        |all_pred AS (
-       |  SELECT d.lang, coalesce(p.predicted, 'und') AS predicted
-       |  FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id)
+       |  SELECT d.doc_id, d.lang, coalesce(p.predicted, 'und') AS predicted
+       |  FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id)""".stripMargin
+  }
+
+  val langIdSql: String =
+    s"""WITH $langPredictionsCtes
        |SELECT lang, predicted, count(*) AS n_docs
        |FROM all_pred
        |GROUP BY 1, 2
        |ORDER BY lang, predicted""".stripMargin
-  }
+
+
 
   /** BPE-ish tokenizer: letter runs, digit runs, or single non-space
     * symbols; counts per doc aggregated per source. */
