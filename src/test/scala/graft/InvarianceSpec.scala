@@ -18,7 +18,11 @@ class InvarianceSpec extends SparkTestBase {
   private val queries = Seq(
     "a_sessionize", "d_minhash_lsh", "d_lsh_jaccard", "d_dup_clusters",
     "w_topk_per_group", "j_asof_last_view", "t_pack_sequences",
-    "e_retention", "s_kmeans_ivf", "q1_pricing_summary", "j_salted_type")
+    "e_retention", "s_kmeans_ivf", "q1_pricing_summary", "j_salted_type",
+    // exact-integer boundary predicates (min/max/fraction thresholds) and
+    // multi-stage trained artifacts must also survive repartitioning
+    "q2_min_cost_supplier", "q11_important_parts", "q15_top_supplier",
+    "q16_supplier_counts", "s_pq_topk", "t_pipeline_audit")
 
   private def runAt(q: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -21,6 +21,27 @@ class StoreSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == total)
   }
 
+  test("partition filters prune the directory scan, not just the rows") {
+    // the 100 TB property of the partitioned layout: a day-filter must
+    // show up as a PartitionFilter (directory pruning before any IO),
+    // not merely as a data filter evaluated over every file
+    val out = tmp()
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Store.writePartitioned(ev, out, Seq("day"))
+    val oneDay = spark.read.parquet(out).filter(col("day") === "2024-01-05")
+    val scan = oneDay.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("expected a FileSourceScanExec leaf"))
+    assert(scan.partitionFilters.nonEmpty,
+      s"day predicate must prune partitions: ${scan.partitionFilters}")
+    val allDirs = new java.io.File(out).listFiles().count(_.getName.startsWith("day="))
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .map(_.files.size).sum < allDirs,
+      "pruned scan must touch fewer files than there are day partitions")
+    assert(oneDay.count() == ev.filter(col("day") === "2024-01-05").count())
+  }
+
   test("skipExisting anti-joins away already-written keys") {
     val out = tmp()
     val ev = Tables.events(spark, sfDir)
