@@ -184,4 +184,72 @@ object Windows {
       |FROM customer
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_custkey""".stripMargin
+
+  /** Time-series resampling to a regular daily grid with
+    * last-observation-carried-forward — the gap-filling operator every
+    * irregular event stream needs before joining against calendar-keyed
+    * data. Three steps, each with a fixed distributed shape:
+    *
+    *   1. per (user, day) closing value: argmax by (ts, event_id) — one
+    *      exchange on user_id via the row_number window;
+    *   2. grid densification: sequence(min_day, max_day) exploded per
+    *      user — generated rows, no join against a calendar table;
+    *   3. LOCF: last(value, ignoreNulls) over an unbounded-preceding
+    *      window — reuses the user_id partitioning from step 1.
+    *
+    * Values ride as exact micros BIGINTs; days start at each user's first
+    * observation, so no nulls can survive the fill. Output is one row per
+    * (user, grid day) with the filled value and an is_observed flag. */
+  def resampleLocf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"), $"ts", $"event_id",
+        micros($"value").as("v_u"))
+    val perDay = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id", $"day")
+          .orderBy($"ts".desc, $"event_id".desc)))
+      .filter($"rn" === 1)
+      .select($"user_id", $"day", $"v_u")
+    val grid = ev.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    grid.join(perDay, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day", $"v_u",
+        last($"v_u", ignoreNulls = true).over(
+          Window.partitionBy($"user_id").orderBy($"day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("filled_u"))
+      .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
+        ($"filled_u" / lit(1e6)).as("value"),
+        $"v_u".isNotNull.cast("int").as("is_observed"))
+      .orderBy($"user_id", $"day")
+  }
+
+  val resampleLocfSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+       |    ${Num.sqlMicros("value")} AS v_u
+       |  FROM events),
+       |perday AS (
+       |  SELECT user_id, day, v_u FROM (
+       |    SELECT user_id, day, v_u,
+       |      row_number() OVER (PARTITION BY user_id, day
+       |                         ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM ev) t
+       |  WHERE rn = 1),
+       |grid AS (
+       |  SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+       |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+       |        FROM ev GROUP BY 1) b)
+       |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+       |  (last_value(p.v_u IGNORE NULLS) OVER (
+       |     PARTITION BY g.user_id ORDER BY g.day
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000.0)
+       |    AS value,
+       |  CAST(p.v_u IS NOT NULL AS INT) AS is_observed
+       |FROM grid g
+       |LEFT JOIN perday p ON g.user_id = p.user_id AND g.day = p.day
+       |ORDER BY g.user_id, day""".stripMargin
 }
