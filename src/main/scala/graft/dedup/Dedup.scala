@@ -254,6 +254,97 @@ object Dedup {
        |JOIN sizes sb ON sb.doc_id = i.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Word n-gram width and posting-list cap for [[ngramJaccard]]. */
+  val NgramN = 3
+  /** Grams appearing in more than this many documents are "stop grams" —
+    * dropped from candidate generation (they pair everything with
+    * everything); grams in only one document can't generate a pair. */
+  val NgramMaxDf = 20
+
+  /** Word-n-gram Jaccard dedup via an inverted index (`d_ngram_jaccard`)
+    * — the candidate mechanism the MinHash family does NOT use: instead
+    * of probabilistic band collisions, two documents become a candidate
+    * pair iff they share at least one RARE gram (document frequency in
+    * [2, NgramMaxDf]). Exact recall for any pair sharing a rare gram,
+    * and the df cap is the scale lever: candidate pairs are bounded by
+    * Σ_grams C(df, 2) ≤ NgramMaxDf · |postings|, so the self-join can
+    * never go quadratic no matter how skewed the corpus vocabulary is —
+    * the stop-gram drop is exactly the classic inverted-index trick.
+    *
+    * Per-doc gram sets are one in-row codegen pass (tokenize → slice →
+    * hash → distinct-sort), so the posting table costs a single explode;
+    * verification reuses the per-doc sorted arrays with the same
+    * graft_sorted_intersect merge as the MinHash verifier. Docs with
+    * fewer than NgramN tokens have empty sets and never pair. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ShingleExpressions.register(spark)
+    graft.functions.HashExpressions.register(spark)
+    val grams = Tables.documents(spark, dir)
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("gs", expr(
+        s"""CASE WHEN size(toks) >= $NgramN THEN
+           |  array_sort(array_distinct(transform(
+           |    sequence(1, size(toks) - ${NgramN - 1}),
+           |    i -> graft_md5_prefix64(
+           |           concat_ws(' ', slice(toks, i, $NgramN)), 15) % ${P}L)))
+           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+      .select(col("doc_id"), col("gs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = grams.select(col("doc_id"), explode(col("gs")).as("h"))
+    val rareGrams = posting.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= NgramMaxDf)
+      .select(col("h"))
+    val rarePosting = posting.join(rareGrams, "h")
+    val pairs = rarePosting.select(col("h"), col("doc_id").as("doc_a"))
+      .join(rarePosting.select(col("h"), col("doc_id").as("doc_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    pairs
+      .join(grams.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.ShingleExpressions
+          .sortedIntersect(col("gs_a"), col("gs_b")).as("n_inter"),
+        size(col("gs_a")).cast("long").as("n_a"),
+        size(col("gs_b")).cast("long").as("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        floor(col("n_inter") * 10000 / (col("n_a") + col("n_b") - col("n_inter")))
+          .cast("long").as("jaccard_bp"))
+      .withColumn("is_dup", (col("jaccard_bp") >= 5000).cast("int"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH toklist AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |    (CAST(('0x' || substring(md5(l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]), 1, 15))
+       |      AS BIGINT) % $P) AS h
+       |  FROM toklist, UNNEST(range(0, greatest(len(l) - ${NgramN - 1}, 0))) t(i)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |rare AS (SELECT h FROM g GROUP BY h
+       |         HAVING count(*) BETWEEN 2 AND $NgramMaxDf),
+       |pr AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM g a JOIN rare USING (h)
+       |  JOIN g b ON b.h = a.h AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+       |  FROM pr p
+       |  JOIN g a ON a.doc_id = p.doc_a
+       |  JOIN g b ON b.doc_id = p.doc_b AND b.h = a.h
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, i.n_inter,
+       |  CAST(floor(n_inter * 10000 / (sa.n + sb.n - n_inter)) AS BIGINT) AS jaccard_bp,
+       |  CAST(CAST(floor(n_inter * 10000 / (sa.n + sb.n - n_inter)) AS BIGINT) >= 5000 AS INT) AS is_dup
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_a
+       |JOIN sizes sb ON sb.doc_id = i.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Long char-shingle width for benchmark decontamination (≈ a 4–5 word
     * n-gram): only near-verbatim text overlap collides, unlike the K=7
     * near-dup shingles where common words alone collide. */
