@@ -407,6 +407,9 @@ object Ann {
       .select(col("vec_id"), col("x"),
         floor(col("i") / SubDim).cast("int").as("m"),
         (col("i") % SubDim).as("j"))
+      // read by both assignment rounds, the update, and the LUT build —
+      // persist so the explode runs once (at 100 TB: checkpoint)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed codebook: the PqK hash-smallest vectors, sliced per subspace
     val h = graft.functions.HashExpressions.md5Prefix64(
       concat(lit("pqseed:"), col("vec_id").cast("string")), 15)
