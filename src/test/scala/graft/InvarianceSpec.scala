@@ -22,7 +22,8 @@ class InvarianceSpec extends SparkTestBase {
     // exact-integer boundary predicates (min/max/fraction thresholds) and
     // multi-stage trained artifacts must also survive repartitioning
     "q2_min_cost_supplier", "q11_important_parts", "q15_top_supplier",
-    "q16_supplier_counts", "s_pq_topk", "t_pipeline_audit")
+    "q16_supplier_counts", "s_pq_topk", "t_pipeline_audit",
+    "d_ngram_jaccard", "w_resample_locf")
 
   private def runAt(q: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

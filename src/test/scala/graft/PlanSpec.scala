@@ -210,4 +210,28 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("LeftSemi")) >= 2,
       s"expected nation + big-pair semi joins:\n${p.take(1500)}")
   }
+
+  test("pq: ADC scoring broadcasts the query LUTs, never shuffles the codes") {
+    val df = SparkEntry.queries("s_pq_topk")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the scoring join must be a broadcast nested-loop/hash with the LUT
+    // side broadcast; the codes side reaching it without a hash exchange
+    // is implied by the only exchanges being aggregation/window ones
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("CartesianProduct"),
+      s"codes x luts must broadcast, not cartesian:\n${p.take(1500)}")
+  }
+
+  test("ngram jaccard: posting self-join is an equi-join on the gram hash") {
+    val p = plan(SparkEntry.queries("d_ngram_jaccard")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"inverted-index join degraded:\n${p.take(1500)}")
+  }
+
+  test("resample: one user_id exchange serves close, grid, and LOCF fill") {
+    val p = plan(SparkEntry.queries("w_resample_locf")(spark, sfDir))
+    assert(p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }
