@@ -366,6 +366,19 @@ object Dedup {
     * corpus rows until the per-doc hit aggregation, which is map-side
     * combinable on doc_id. Same graft_shingle_set codegen pass as the
     * near-dup family, so a shared scan could feed both in one job. */
+  /** The held-out eval subset's distinct long-shingle hashes, collected
+    * driver-side (eval suites are broadcast-sized by nature) — the side
+    * input for streaming admission control
+    * ([[graft.streaming.EventStreams.curationFlags]]). */
+  def evalGramHashes(spark: SparkSession, dir: String): Array[Long] = {
+    graft.functions.ShingleExpressions.register(spark)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % DecontamEvalMod === 0)
+      .select(explode(graft.functions.ShingleExpressions
+        .shingleSet(lower(col("text")), DecontamK, 15, P, "md5")).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted
+  }
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ShingleExpressions.register(spark)
     val sets = Tables.documents(spark, dir).select(col("doc_id"),

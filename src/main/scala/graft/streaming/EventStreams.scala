@@ -258,6 +258,62 @@ object EventStreams {
       .select(col("doc_id"), col("corpus_doc_id"), col("band"))
   }
 
+  /** Streaming admission control: the curation pipeline's row-local
+    * stages — quality gates, language consistency, eval-overlap probe —
+    * as STATELESS column expressions over incoming documents. No keyed
+    * state, no watermark, no output-mode constraints: every flag is
+    * decidable from the row itself plus broadcast-sized side data, so
+    * this runs at ingest line rate at any scale. (The one corpus-global
+    * admission stage, near-dup banding, is [[nearDupFlags]]; the
+    * corpus-global canonicalization stages are inherently batch.)
+    *
+    * The language argmax is restated in-row: per-language marker-hit
+    * counts via filter() over the token array, argmax with lexicographic
+    * tie-break as an ordered when-chain — exactly the semantics of the
+    * batch [[graft.functions.TextFunctions.langPredictions]]
+    * (StreamingMultimodalSpec pins the parity). The decontamination
+    * probe is one array_intersect against the eval-set gram hashes
+    * passed as a literal (eval suites are MBs by nature — the same
+    * broadcast argument as batch [[graft.dedup.Dedup.decontaminate]]).
+    * Thresholds come from [[graft.pipelines.TrainingPipeline]] so batch
+    * and stream agree by construction. */
+  def curationFlags(docsStream: DataFrame, evalHashes: Array[Long]): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.pipelines.TrainingPipeline
+    graft.functions.ShingleExpressions.register(docsStream.sparkSession)
+    val langs = graft.functions.TextFunctions.Markers
+    val hitCol = (ws: Seq[String]) => {
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter(tks, t -> t IN ($inList)))")
+    }
+    val withHits = docsStream
+      .withColumn("tks", split(trim(lower(col("text"))), "\\s+"))
+      .withColumns(langs.map { case (l, ws) => s"hits_$l" -> hitCol(ws) }.toMap)
+    val best = greatest(langs.map { case (l, _) => col(s"hits_$l") }: _*)
+    // ordered when-chain = lexicographically-smallest argmax (Markers is
+    // sorted by language code)
+    val pred = langs.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (l, _)) => acc.when(col(s"hits_$l") === best, lit(l))
+    }
+    val spaceBp = floor((length(col("text")) -
+      length(regexp_replace(col("text"), " ", ""))) * lit(10000) /
+      length(col("text")).cast("double")).cast("long")
+    withHits
+      .withColumn("predicted", pred)
+      .withColumn("hs", graft.functions.ShingleExpressions
+        .shingleSet(lower(col("text")), Dedup.DecontamK, 15, Dedup.P, "md5"))
+      .withColumn("n_hit",
+        size(array_intersect(col("hs"), typedLit(evalHashes))).cast("long"))
+      .select(col("doc_id"),
+        (length(col("text")) >= TrainingPipeline.MinChars &&
+          spaceBp <= TrainingPipeline.MaxSpaceBp).as("q_keep"),
+        col("predicted"),
+        (col("predicted") === col("lang") || col("predicted") === "und").as("l_keep"),
+        col("n_hit"),
+        (col("doc_id") % Dedup.DecontamEvalMod =!= 0 &&
+          col("n_hit") < Dedup.DecontamMinHits).as("c_keep"))
+  }
+
   /** Stream-stream interval join: attribute each purchase to the same
     * user's views in the preceding hour. Both sides carry watermarks and
     * the join condition bounds event time in BOTH directions, so Spark

@@ -91,6 +91,37 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(gotKeys.toSet == batchKeys.toSet)
   }
 
+  test("streaming curation flags match the batch pipeline stages") {
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.functions._
+    val evalHashes = graft.dedup.Dedup.evalGramHashes(spark, sfDir)
+    val flags = EventStreams.curationFlags(
+      EventStreams.readDocuments(spark, stageDir("documents")), evalHashes)
+    val got = EventStreams.drainToMemory(flags, "curation_flags").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("q_keep"), r.getAs[String]("predicted"),
+          r.getAs[Boolean]("l_keep"), r.getAs[Boolean]("c_keep")))).toMap
+    // batch references, stage by stage
+    val q = graft.ops.TextOps.qualityScore(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars") >= graft.pipelines.TrainingPipeline.MinChars &&
+         r.getAs[Long]("space_bp") <= graft.pipelines.TrainingPipeline.MaxSpaceBp)).toMap
+    val lp = graft.functions.TextFunctions.langPredictions(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("predicted"), r.getAs[String]("lang")))).toMap
+    val contam = graft.dedup.Dedup.decontaminate(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got.keySet == lp.keySet, "streaming must emit every document")
+    got.foreach { case (id, (qk, pred, lk, ck)) =>
+      assert(qk == q(id), s"doc $id quality flag diverges")
+      val (bPred, bLang) = lp(id)
+      assert(pred == bPred, s"doc $id: stream predicted $pred, batch $bPred")
+      assert(lk == (bPred == bLang || bPred == "und"), s"doc $id lang flag")
+      val bCk = id % graft.dedup.Dedup.DecontamEvalMod != 0 && !contam(id)
+      assert(ck == bCk, s"doc $id decontam flag diverges")
+    }
+  }
+
   test("streaming as-of join matches the batch asof operator") {
     import graft.streaming.EventStreams
     val stream = EventStreams.streamingAsofLastView(spark,
