@@ -68,6 +68,98 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- custom codegen kernels vs independent naive references ----
+
+  private def md5 = java.security.MessageDigest.getInstance("MD5")
+
+  /** Independent md5-prefix reference: hex-string path (the oracle-SQL
+    * semantics, `conv(substring(md5(s),1,15),16,10)`), not the byte fold
+    * the kernel uses. */
+  private def refMd5Prefix60(s: String): Long = {
+    val hex = md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Random strings over an alphabet with 1-, 2-, and 3-byte UTF-8 chars —
+    * shingle windows are CHARACTER windows, so multibyte offsets are
+    * exactly what the kernel's code-point bookkeeping must get right. */
+  private def randomText(rng: scala.util.Random, maxLen: Int): String = {
+    val alphabet = "abc déé中文 xyz!"
+    val n = rng.nextInt(maxLen + 1)
+    (0 until n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+  }
+
+  test("shingle-set kernel matches the hex-string md5 oracle path (300 trials)") {
+    import graft.functions.ShingleUtil
+    val rng = new scala.util.Random(47)
+    val P = 2147483647L
+    for (trial <- 1 to 300) {
+      val s = randomText(rng, 40)
+      val k = 1 + rng.nextInt(9)
+      val cps = s.codePoints().toArray
+      val count = math.max(cps.length - k + 1, 1)
+      val expected = (0 until count).map { i =>
+        val sh = new String(cps, i, math.min(k, cps.length - i).max(0))
+        refMd5Prefix60(sh) % P
+      }.distinct.sorted
+      val got = ShingleUtil.md5ShingleSet(UTF8String.fromString(s), k, 60, P)
+      val gotSeq = (0 until got.numElements()).map(got.getLong)
+      assert(gotSeq == expected, s"trial $trial k=$k s='$s'")
+    }
+  }
+
+  test("minhash signature kernel matches a BigInt reference (200 trials)") {
+    import graft.functions.ShingleUtil
+    val rng = new scala.util.Random(48)
+    val P = 2147483647L
+    for (_ <- 1 to 200) {
+      val hs = Array.fill(1 + rng.nextInt(50))(rng.nextLong().abs % P)
+      val m = 1 + rng.nextInt(16)
+      val expected = (0 until m).map { j =>
+        hs.map(h => ((BigInt(h) * (2 * j + 1) + (101 * j + 7)) mod BigInt(P)).toLong).min
+      }
+      val arr = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(hs)
+      val got = ShingleUtil.minhashSig(arr, m, P)
+      assert((0 until m).map(got.getLong) == expected)
+    }
+  }
+
+  test("sorted-intersect kernel equals set intersection (300 trials)") {
+    import graft.functions.ShingleUtil
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    val rng = new scala.util.Random(49)
+    for (_ <- 1 to 300) {
+      val a = Array.fill(rng.nextInt(60))(rng.nextInt(40).toLong).distinct.sorted
+      val b = Array.fill(rng.nextInt(60))(rng.nextInt(40).toLong).distinct.sorted
+      val got = ShingleUtil.sortedIntersectCount(
+        UnsafeArrayData.fromPrimitiveArray(a), UnsafeArrayData.fromPrimitiveArray(b))
+      assert(got == (a.toSet intersect b.toSet).size.toLong)
+    }
+  }
+
+  test("simhash kernel matches a naive bit-vote reference (200 trials)") {
+    import graft.functions.ShingleUtil
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rng = new scala.util.Random(50)
+    for (_ <- 1 to 200) {
+      val toks = Array.fill(rng.nextInt(30))(randomText(rng, 8))
+      val nBits = 32
+      val bal = new Array[Int](nBits)
+      toks.foreach { t =>
+        // 32-bit prefix = top 8 hex digits of the md5
+        val hex = md5.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        for (i <- 0 until nBits)
+          if (((h >> i) & 1L) == 1L) bal(i) += 1 else bal(i) -= 1
+      }
+      val expected = (0 until nBits)
+        .map(i => if (bal(i) > 0) 1L << i else 0L).sum
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      assert(ShingleUtil.simhashFromTokens(arr, nBits) == expected)
+    }
+  }
+
   test("Misra–Gries guarantees survive random partitionings and merge orders") {
     val rng = new scala.util.Random(46)
     for (trial <- 1 to 60) {
