@@ -182,4 +182,51 @@ object Joins {
        |       OVER (PARTITION BY o_custkey))) AS BIGINT) AS share_bp
        |FROM orders
        |ORDER BY o_orderkey""".stripMargin
+
+  /** Max edit distance for [[fuzzyNameMatch]] candidates. */
+  val FuzzyMaxDist = 4
+
+  /** Entity-resolution fuzzy join with blocking: part names that are
+    * edit-distance neighbors of each other within a block. The classic
+    * approximate-string-join problem is O(n²) in comparisons; the scale
+    * answer is the same as every dedup operator here — BLOCK first, so
+    * the quadratic term applies per block, not per corpus. The block key
+    * (the name's last token — "entity type") is exact and cheap; the
+    * expensive predicate (levenshtein, a codegen builtin in both
+    * engines) runs only inside the equi-join's residual condition.
+    * De-duplicating to distinct names BEFORE pairing collapses the n²
+    * term to distinct-name counts — at any corpus size the name
+    * dictionary is orders of magnitude smaller than the row count, the
+    * same dictionary-first trick record linkage systems use. Per-name
+    * part counts re-attach afterwards so the output reads as a
+    * resolution table (how many records each surface form covers). */
+  def fuzzyNameMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = Tables.part(spark, dir)
+      .groupBy($"p_name")
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("noun", element_at(split($"p_name", " "), -1))
+    val a = names.select($"noun", $"p_name".as("name_a"), $"n_parts".as("n_a"))
+    val b = names.select($"noun".as("noun_b"), $"p_name".as("name_b"),
+      $"n_parts".as("n_b"))
+    a.join(b, $"noun" === $"noun_b" && $"name_a" < $"name_b" &&
+        levenshtein($"name_a", $"name_b") <= FuzzyMaxDist)
+      .select($"noun", $"name_a", $"name_b",
+        levenshtein($"name_a", $"name_b").cast("long").as("dist"),
+        $"n_a", $"n_b")
+      .orderBy($"noun", $"name_a", $"name_b")
+  }
+
+  val fuzzyNameMatchSql: String =
+    s"""WITH names AS (
+       |  SELECT p_name, count(*) AS n_parts,
+       |    string_split(p_name, ' ')[-1] AS noun
+       |  FROM part GROUP BY p_name)
+       |SELECT a.noun AS noun, a.p_name AS name_a, b.p_name AS name_b,
+       |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       |  a.n_parts AS n_a, b.n_parts AS n_b
+       |FROM names a
+       |JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+       |  AND levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
+       |ORDER BY a.noun, name_a, name_b""".stripMargin
 }
