@@ -23,7 +23,7 @@ class InvarianceSpec extends SparkTestBase {
     // multi-stage trained artifacts must also survive repartitioning
     "q2_min_cost_supplier", "q11_important_parts", "q15_top_supplier",
     "q16_supplier_counts", "s_pq_topk", "t_pipeline_audit",
-    "d_ngram_jaccard", "w_resample_locf")
+    "d_ngram_jaccard", "w_resample_locf", "j_fuzzy_names", "t_dq_audit")
 
   private def runAt(q: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
