@@ -174,6 +174,11 @@ object TpchShapes {
         micros($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("v_u"))
       .groupBy($"l_partkey")
       .agg(sum($"v_u").as("value_u"))
+      // feeds BOTH the global total and the threshold filter; Spark does
+      // not materialize shared subtrees, so without this the lineitem
+      // scan and aggregation run twice (plan-audited). The persisted
+      // object is part-count-sized at any corpus scale.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = value.agg(sum($"value_u").as("total_u"))
     value.crossJoin(broadcast(total))
       .filter($"value_u" * 1000 > $"total_u")
@@ -282,6 +287,9 @@ object TpchShapes {
               $"l_shipdate" < ts("1996-04-01 00:00:00"))
       .groupBy($"l_suppkey")
       .agg(sum(micros($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("rev_u"))
+      // shared by the max subquery and the equality filter — persist the
+      // supplier-count-sized aggregate so lineitem scans once (plan-audited)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxRev = revenue.agg(max($"rev_u").as("max_u"))
     revenue.crossJoin(broadcast(maxRev))
       .filter($"rev_u" === $"max_u")
