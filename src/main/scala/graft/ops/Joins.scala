@@ -209,8 +209,11 @@ object Joins {
     val a = names.select($"noun", $"p_name".as("name_a"), $"n_parts".as("n_a"))
     val b = names.select($"noun".as("noun_b"), $"p_name".as("name_b"),
       $"n_parts".as("n_b"))
+    // the bounded form levenshtein(a, b, t) early-exits the DP once the
+    // distance exceeds t (returns -1) — on a block of far-apart names the
+    // common case costs O(t·len) instead of O(len²)
     a.join(b, $"noun" === $"noun_b" && $"name_a" < $"name_b" &&
-        levenshtein($"name_a", $"name_b") <= FuzzyMaxDist)
+        levenshtein($"name_a", $"name_b", FuzzyMaxDist) =!= -1)
       .select($"noun", $"name_a", $"name_b",
         levenshtein($"name_a", $"name_b").cast("long").as("dist"),
         $"n_a", $"n_b")

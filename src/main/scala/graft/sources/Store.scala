@@ -45,6 +45,22 @@ object Store {
     input.join(broadcast(existing), keyCols, "left_anti")
   }
 
+  /** Parquet sink with column-level bloom filters: point-lookup pruning
+    * for high-cardinality identifier columns whose values shuffle-scatter
+    * across files, where min/max row-group stats prune nothing (every
+    * file spans nearly the full id range). At 100 TB a needle query like
+    * `user_id = X` skips row groups whose bloom filter rejects X —
+    * complementary to [[writePartitioned]] (coarse directory pruning) and
+    * sorted/bucketed layout (stats pruning on the cluster key). Note
+    * parquet only materializes the filter where the column overflows
+    * dictionary encoding — for low-cardinality columns the dictionary
+    * already is an exact membership filter (StoreSpec pins both sides). */
+  def writeWithBloomFilters(df: DataFrame, path: String,
+                            bloomCols: Seq[String]): Unit =
+    bloomCols.foldLeft(df.write.mode(SaveMode.Overwrite)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }.parquet(path)
+
   /** Bucketed managed table: hash-clustered and sorted by the join key.
     * Requires a warehouse-backed catalog (default in-memory catalog
     * works locally; external metastore on a cluster). */

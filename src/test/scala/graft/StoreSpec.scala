@@ -42,6 +42,36 @@ class StoreSpec extends SparkTestBase {
     assert(oneDay.count() == ev.filter(col("day") === "2024-01-05").count())
   }
 
+  test("bloom-filter sink writes real per-column bloom filters") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val out = tmp() + "/ev_bloom"
+    // bloom on event_id: unique ids overflow the dictionary encoder, the
+    // case bloom filters exist for (parquet skips them on fully
+    // dictionary-encoded columns — the dictionary already IS an exact
+    // membership filter, so low-cardinality user_id would get none)
+    Store.writeWithBloomFilters(
+      Tables.events(spark, sfDir).select(col("event_id"), col("user_id"),
+        col("event_type")),
+      out, Seq("event_id"))
+    val file = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      val idCol = cols.find(_.getPath.toDotString == "event_id").get
+      assert(idCol.getBloomFilterOffset > 0, "event_id must carry a bloom filter")
+      assert(reader.readBloomFilter(idCol) != null)
+      // negative control: columns not opted in carry none
+      val userCol = cols.find(_.getPath.toDotString == "user_id").get
+      assert(userCol.getBloomFilterOffset <= 0,
+        "user_id must not pay for a bloom filter it didn't ask for")
+    } finally reader.close()
+  }
+
   test("skipExisting anti-joins away already-written keys") {
     val out = tmp()
     val ev = Tables.events(spark, sfDir)
