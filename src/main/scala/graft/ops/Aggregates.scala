@@ -243,6 +243,36 @@ object Aggregates {
        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
        |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** CUBE: all four (flag × status) grouping combinations in one pass —
+    * the full-lattice member of the rollup/grouping-sets family. Same
+    * expand-then-aggregate plan as ROLLUP (one exchange, partial aggs);
+    * GROUPING() masks disambiguate a real NULL key from a subtotal row,
+    * which is what makes the result joinable downstream. */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(exactSum(col("l_quantity")).as("sum_qty"),
+           count(lit(1)).as("n_rows"),
+           grouping(col("l_returnflag")).cast("long").as("is_flag_total"),
+           grouping(col("l_linestatus")).cast("long").as("is_status_total"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+              col("is_flag_total"), col("is_status_total"),
+              col("sum_qty"), col("n_rows"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  val cubeSummarySql: String =
+    s"""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+       |  coalesce(l_linestatus, '(all)') AS linestatus,
+       |  CAST(grouping(l_returnflag) AS BIGINT) AS is_flag_total,
+       |  CAST(grouping(l_linestatus) AS BIGINT) AS is_status_total,
+       |  ${sqlExactSum("l_quantity")} AS sum_qty,
+       |  count(*) AS n_rows
+       |FROM lineitem
+       |GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
   /** PIVOT: per-user spend by event type as columns, written as static
     * conditional aggregates. Spark's `.pivot(col, values)` plans TWO
     * aggregation exchanges (pre-agg by (key, pivot) then PivotFirst);
