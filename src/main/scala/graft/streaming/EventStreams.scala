@@ -38,6 +38,21 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), (col("value_micros") / 1e6).as("total_value"))
 
+  /** Sliding 6-hour windows advancing every 2 hours — the rate-monitoring
+    * shape (each event lands in exactly duration/slide = 3 overlapping
+    * windows). State is bounded by watermark × slide granularity; the
+    * overlap factor multiplies STATE rows, not input rows — Spark expands
+    * each event to its windows before the aggregation, so the exchange
+    * carries (event × 3) pre-aggregated partials, map-side combined. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "2 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(graft.ops.Num.micros(col("value"))).as("value_micros"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), (col("value_micros") / 1e6).as("total_value"))
+
   /** Session windows (30-minute gap) per user — the streaming twin of
     * graft.ops.Aggregates.sessionize. */
   def sessionCounts(events: DataFrame): DataFrame =

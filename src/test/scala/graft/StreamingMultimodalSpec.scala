@@ -31,6 +31,30 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() == 0)
   }
 
+  test("sliding windows match batch and cover each event exactly 3 times") {
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.slidingCounts(
+      EventStreams.readEvents(spark, stageDir("events")))
+    val got = EventStreams.drainToMemory(stream, "sliding_counts",
+      org.apache.spark.sql.streaming.OutputMode.Complete()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "6 hours", "2 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(graft.ops.Num.micros(col("value"))) / 1e6).as("v"))
+      .collect()
+      .map(r => (r.getStruct(0).getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == batch, "stream must agree with the batch sliding window")
+    // overlap invariant: every event is counted in duration/slide windows
+    val totalCounted = got.values.map(_._1).sum
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(totalCounted == 3 * nEvents,
+      s"each event must land in exactly 3 sliding windows: $totalCounted vs 3*$nEvents")
+  }
+
   test("streaming session windows agree with batch gaps-and-islands") {
     val stream = EventStreams.readEvents(spark, eventsPath)
     val got = EventStreams.drainToMemory(
