@@ -278,6 +278,33 @@ object Aggregates {
     * aggregation exchanges (pre-agg by (key, pivot) then PivotFirst);
     * the `sum(when(...))` form is the single-pass plan — one exchange,
     * map-side combined, and exactly what the oracle SQL spells. */
+  /** DYNAMIC pivot: `.pivot(col)` with no value list — Spark runs its own
+    * distinct-values job first (capped by spark.sql.pivotMaxValues), then
+    * plans the same conditional aggregation as the static form. The
+    * two-phase shape is the honest way to pivot a column whose domain
+    * ships with the data, at the cost of that extra pass; when the domain
+    * is known, [[pivotSpend]]'s static single-pass form wins. Daily event
+    * counts by type: output schema is data-dependent, which the oracle
+    * accommodates because the distinct job is deterministic. */
+  def pivotDynamic(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type")
+      .agg(count(lit(1)))
+      .orderBy("day")
+  }
+
+  val pivotDynamicSql: String = {
+    val cols = Seq("click", "error", "purchase", "signup", "view").map { t =>
+      s"  count(*) FILTER (WHERE event_type = '$t') AS $t"
+    }.mkString(",\n")
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |$cols
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY day""".stripMargin
+  }
+
   def pivotSpend(spark: SparkSession, dir: String): DataFrame = {
     val types = Seq("click", "view", "purchase", "signup", "error")
     val aggs = types.map { t =>
