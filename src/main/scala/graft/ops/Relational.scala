@@ -313,7 +313,12 @@ object Relational {
     * boundary rows engine-dependent, so the predicate is restated in
     * exact integer arithmetic — `5·q·n < Σq` over BIGINTs (quantities are
     * integral) — which is the same inequality with both sides multiplied
-    * by 5n. The brand filter shrinks the part side to broadcast size. */
+    * by 5n. The brand filter shrinks the part side to broadcast size.
+    * The brand-filtered lineitem subtree is deliberately NOT persisted
+    * although it feeds both the aggregate and the probe side: unlike
+    * Q11/Q15 (where the shared piece is the part/supplier-sized
+    * AGGREGATE), the shared piece here is fact-sized — re-scanning a
+    * pruned columnar projection is cheaper than caching it at scale. */
   def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val parts = Tables.part(spark, dir)
@@ -351,7 +356,10 @@ object Relational {
     * scale factors, where every customer has some order). The average
     * comparison is restated exactly as `bal_micros · n > Σ micros` over
     * BIGINTs, so no float average crosses engines. The one-row global
-    * aggregate broadcasts; the anti join runs on the orders key. */
+    * aggregate broadcasts; the anti join runs on the orders key. (The
+    * customer projection is scanned twice — once for the global average,
+    * once for the probe; like Q17 and unlike Q11/Q15, the shared subtree
+    * is table-sized, so the re-scan beats caching it.) */
   def q22NoOrders(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cust = Tables.customer(spark, dir)
