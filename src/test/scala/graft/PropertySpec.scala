@@ -160,6 +160,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopKOrdered equals exact sort under random partitionings and merges (100 trials)") {
+    import org.apache.spark.sql.types._
+    val rng = new scala.util.Random(51)
+    val itemType = StructType(Seq(
+      StructField("v", LongType, nullable = false),
+      StructField("id", LongType, nullable = false)))
+    for (trial <- 1 to 100) {
+      val k = 1 + rng.nextInt(12)
+      // value DESC, id ASC — the mixed-direction shape the rewrite targets
+      val agg = graft.functions.TopKOrdered(
+        BoundReference(0, itemType, nullable = false), k, Seq(false, true))
+      val items = Array.fill(rng.nextInt(300)) {
+        (rng.nextInt(40).toLong, rng.nextInt(1000).toLong)
+      }
+      val P = 1 + rng.nextInt(5)
+      val states = Array.fill(P)(agg.createAggregationBuffer())
+      items.foreach { case (v, id) =>
+        agg.update(states(rng.nextInt(P)),
+          InternalRow(InternalRow(v, id)))
+      }
+      val thawed = states.map(s => agg.deserialize(agg.serialize(s)))
+      val merged = rng.shuffle(thawed.toList)
+        .reduce((a, b) => agg.merge(a, b))
+      val out = agg.eval(merged).asInstanceOf[ArrayData]
+      val got = (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
+      val expected = items.sortBy { case (v, id) => (-v, id) }.take(k).toSeq
+      assert(got == expected,
+        s"trial $trial k=$k P=$P:\n  got      $got\n  expected $expected")
+    }
+  }
+
   test("Misra–Gries guarantees survive random partitionings and merge orders") {
     val rng = new scala.util.Random(46)
     for (trial <- 1 to 60) {

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   */
 class SkewSpec extends SparkTestBase {
   import graft.ops.Skew
+  import scala.jdk.CollectionConverters._
 
   private def skewed() = {
     import spark.implicits._
@@ -44,5 +45,43 @@ class SkewSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(salted == plain)
     assert(salted.size > 9000, "hot key rows must survive the salting")
+  }
+
+  test("AQE splits the skewed partition at runtime (skew=true in the SMJ)") {
+    // The runtime complement of manual salting: with thresholds scaled to
+    // test-sized data, AQE detects that key 0's partition dwarfs the
+    // median and splits it into multiple tasks — the mechanism that at
+    // 100 TB absorbs moderate skew with no query rewrite at all (manual
+    // salting stays for the extreme tail).
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (key, _) =>
+      key -> spark.conf.getOption(key)
+    }
+    confs.foreach { case (key, v) => spark.conf.set(key, v) }
+    try {
+      val probe = spark.range(200000).select(
+        when(col("id") < 180000, 0L).otherwise(col("id") % 97).as("k"),
+        col("id").as("row_id"))
+      val build = spark.range(100).select(col("id").as("k"),
+        (col("id") * 7).as("label"))
+      val joined = probe.join(build, "k")
+      // execute THIS dataframe (count() would plan its own execution and
+      // leave joined's adaptive plan unfinalized)
+      val n = joined.toLocalIterator().asScala.length
+      assert(n == 200000) // every key (hot 0, tail 0..96) matches
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed join side:\n${plan.take(1500)}")
+    } finally saved.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
+    }
   }
 }
