@@ -42,6 +42,27 @@ class StoreSpec extends SparkTestBase {
     assert(oneDay.count() == ev.filter(col("day") === "2024-01-05").count())
   }
 
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    // the lake reality: files written before a column existed must stay
+    // readable next to files written after. mergeSchema pays a footer
+    // read per file at planning, so it's an explicit opt-in here — at
+    // 100 TB you promote the merged schema into the table definition and
+    // read WITHOUT merging once the schema settles.
+    val out = tmp()
+    import spark.implicits._
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "value")
+      .write.parquet(s"$out/gen=1")
+    Seq((3L, 30.0, "es"), (4L, 40.0, "de")).toDF("id", "value", "lang")
+      .write.parquet(s"$out/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.sorted.toSeq == Seq("gen", "id", "lang", "value"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 4)
+    // old-generation rows surface the new column as null, not as a failure
+    assert(rows.take(2).forall(_.isNullAt(merged.columns.indexOf("lang"))))
+    assert(rows.drop(2).map(_.getAs[String]("lang")).toSeq == Seq("es", "de"))
+  }
+
   test("bloom-filter sink writes real per-column bloom filters") {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile

@@ -31,6 +31,38 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() == 0)
   }
 
+  test("file-source stream resumes from checkpoint without reprocessing") {
+    // exactly-once at the file granularity: the checkpoint's file log
+    // remembers which inputs each committed batch consumed, so a restart
+    // processes only files that arrived while the query was down — the
+    // property that makes a crashed 100 TB ingest re-runnable without a
+    // dedup pass over its own output
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.functions._
+    val src = stageDir("events")
+    val outDir = java.nio.file.Files.createTempDirectory("stream_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("stream_chk").toString
+    def drainOnce(): Unit = {
+      val q = EventStreams.readEvents(spark, src).select(col("event_id"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    drainOnce()
+    val n1 = spark.read.parquet(outDir).count()
+    assert(n1 == Tables.events(spark, sfDir).count())
+    // new data lands while the query is down: a second file, disjoint ids
+    spark.read.schema(Tables.eventsRawSchema).parquet(s"$src/events.parquet")
+      .withColumn("event_id", col("event_id") + 10000000L)
+      .write.mode("append").parquet(src)
+    drainOnce()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 2 * n1, "restart must process ONLY the new file")
+    assert(out.select("event_id").distinct().count() == 2 * n1,
+      "no event may be emitted twice across the restart")
+  }
+
   test("sliding windows match batch and cover each event exactly 3 times") {
     import graft.streaming.EventStreams
     import org.apache.spark.sql.functions._
