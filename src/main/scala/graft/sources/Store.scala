@@ -45,6 +45,22 @@ object Store {
     input.join(broadcast(existing), keyCols, "left_anti")
   }
 
+  /** Interchange sinks: header'd CSV and JSON-lines, for handing result
+    * tables to systems that don't speak parquet. Columnar stays the
+    * format for anything an engine will read back — these are edges. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Parquet with an explicit codec. The 100 TB default trade: snappy
+    * decompresses fastest (scan-bound tables), zstd compresses text-heavy
+    * columns several times smaller (storage- and network-bound tables);
+    * StoreSpec measures the gap on the documents corpus. */
+  def writeParquet(df: DataFrame, path: String, codec: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", codec).parquet(path)
+
   /** Parquet sink with column-level bloom filters: point-lookup pruning
     * for high-cardinality identifier columns whose values shuffle-scatter
     * across files, where min/max row-group stats prune nothing (every

@@ -42,6 +42,29 @@ class StoreSpec extends SparkTestBase {
     assert(oneDay.count() == ev.filter(col("day") === "2024-01-05").count())
   }
 
+  test("interchange sinks round-trip; zstd beats snappy on text columns") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val csvOut = tmp() + "/docs_csv"
+    Store.writeCsv(docs.select(col("doc_id"), col("lang"), col("source")), csvOut)
+    val backCsv = spark.read.option("header", "true").csv(csvOut)
+    assert(backCsv.count() == n)
+    assert(backCsv.columns.toSeq == Seq("doc_id", "lang", "source"))
+    val jsonOut = tmp() + "/docs_json"
+    Store.writeJsonl(docs, jsonOut)
+    assert(spark.read.json(jsonOut).count() == n)
+    // codec trade measured, not asserted from folklore
+    def bytes(dir: String): Long = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val snappyOut = tmp() + "/docs_snappy"; val zstdOut = tmp() + "/docs_zstd"
+    Store.writeParquet(docs.coalesce(1), snappyOut, "snappy")
+    Store.writeParquet(docs.coalesce(1), zstdOut, "zstd")
+    assert(spark.read.parquet(zstdOut).count() == n)
+    assert(bytes(zstdOut) < bytes(snappyOut),
+      s"zstd (${bytes(zstdOut)}) must compress the text corpus tighter " +
+        s"than snappy (${bytes(snappyOut)})")
+  }
+
   test("schema evolution: mergeSchema unions columns across file generations") {
     // the lake reality: files written before a column existed must stay
     // readable next to files written after. mergeSchema pays a footer
