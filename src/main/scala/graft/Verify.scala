@@ -28,6 +28,11 @@ object Verify {
     }
     tasks.foreach(_.get())
     pool.shutdown()
+    // Release point for caches persisted inside query builders (the dedup
+    // family persists shared scans it references twice; the lazy result
+    // can't unpersist them itself without defeating the share).
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

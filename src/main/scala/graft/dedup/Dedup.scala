@@ -275,7 +275,14 @@ object Dedup {
     * hash → distinct-sort), so the posting table costs a single explode;
     * verification reuses the per-doc sorted arrays with the same
     * graft_sorted_intersect merge as the MinHash verifier. Docs with
-    * fewer than NgramN tokens have empty sets and never pair. */
+    * fewer than NgramN tokens have empty sets and never pair.
+    *
+    * Cache lifetime: the returned plan references the persisted gram
+    * table twice (posting build + pair verify), so it cannot be
+    * unpersisted here without defeating the share; the release point is
+    * the runner — Bench clears all caches between queries and Verify
+    * clears after its pool drains. MEMORY_AND_DISK bounds the worst case
+    * at spill, not OOM. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ShingleExpressions.register(spark)
     graft.functions.HashExpressions.register(spark)
@@ -517,15 +524,18 @@ object Dedup {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.collect().foreach { row =>
-      val a = row.getLong(0); val b = row.getLong(1)
+    // Primitive-encoder collect: as[(Long, Long)] lands as unboxed tuples
+    // (~16 B/edge + tuple header) instead of GenericRow objects with boxed
+    // Longs, keeping a max-size 5M-edge collect in the low hundreds of MB
+    // rather than OOMing the driver just under the threshold.
+    import edges.sparkSession.implicits._
+    edges.as[(Long, Long)].collect().foreach { case (a, b) =>
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))
       // union by MIN root keeps "label = component minimum" invariant
       if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
     }
     val rows = parent.keysIterator.map(k => (k, find(k))).toSeq
-    import spark.implicits._
     rows.toDF("doc_id", "lab")
   }
 

@@ -67,10 +67,13 @@ object PngCodec {
     while (!sawEnd && p + 8 <= bytes.length) {
       val len = readIntBE(bytes, p)
       val dataOff = p + 8
-      if (len < 0 || dataOff + len + 4 > bytes.length) return None
+      // Long arithmetic: a crafted len near Int.MaxValue would overflow an
+      // Int sum to negative and slip past the bounds check.
+      if (len < 0 || dataOff.toLong + len + 4 > bytes.length) return None
       val typ = new String(bytes, p + 4, 4, "US-ASCII")
       typ match {
         case "IHDR" =>
+          if (len < 13) return None
           w = readIntBE(bytes, dataOff)
           h = readIntBE(bytes, dataOff + 4)
           val bitDepth = bytes(dataOff + 8) & 0xff
@@ -86,6 +89,10 @@ object PngCodec {
     }
     if (w <= 0 || h <= 0 || colorType < 0 || !sawEnd) return None
     val bpp = if (colorType == 6) 4 else 3
+    // Unvalidated IHDR dimensions would otherwise reach the raw-buffer
+    // allocation as an overflowed/huge size; cap total pixels (64M ≈ any
+    // sane frame) so w*h*bpp stays far inside Int range.
+    if (w.toLong * h > (1L << 26)) return None
     val stride = w * bpp
 
     val raw = new Array[Byte](h * (1 + stride))

@@ -51,17 +51,25 @@ object Y4mCodec {
     val nl = bytes.indexOf('\n'.toByte)
     if (nl < 0) return None
     val header = new String(bytes, 0, nl, "US-ASCII")
-    var w = 0; var h = 0; var fn = 25; var fd = 1; var c444 = true
-    header.split(' ').drop(1).foreach { p =>
-      if (p.nonEmpty) p.head match {
-        case 'W' => w = p.tail.toInt
-        case 'H' => h = p.tail.toInt
-        case 'F' => val xs = p.tail.split(':'); fn = xs(0).toInt; fd = xs(1).toInt
-        case 'C' => c444 = p.tail == "444"
-        case _ => () // interlace/aspect/extension params — skipped
+    // No C parameter means 4:2:0 per the YUV4MPEG2 spec default — an
+    // unsupported layout here, so it must be rejected, not read as C444.
+    var w = 0; var h = 0; var fn = 25; var fd = 1; var c444 = false
+    val parsed = scala.util.Try {
+      header.split(' ').drop(1).foreach { p =>
+        if (p.nonEmpty) p.head match {
+          case 'W' => w = p.tail.toInt
+          case 'H' => h = p.tail.toInt
+          case 'F' => val xs = p.tail.split(':'); fn = xs(0).toInt; fd = xs(1).toInt
+          case 'C' => c444 = p.tail == "444"
+          case _ => () // interlace/aspect/extension params — skipped
+        }
       }
     }
-    if (w <= 0 || h <= 0 || !c444) return None
+    // Malformed numeric tails or an F without ':' return None, as
+    // documented, instead of escaping as NumberFormat/ArrayIndex errors.
+    if (parsed.isFailure) return None
+    if (w <= 0 || h <= 0 || !c444 || fn <= 0 || fd <= 0 ||
+        w.toLong * h > (1L << 26)) return None
     val planeLen = w * h
     val frameMark = "FRAME".getBytes("US-ASCII")
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]

@@ -8,13 +8,24 @@ import graft.ml.GbdtScorer
   * epvals = [7,-7,3,-3,2,-2,0] (TD, opp TD, FG, opp FG, safety, opp
   * safety, no score — `play_eppa_cpu.py:136`).
   *
-  * The reference's trained EP artifact is a compiled treelite binary that
-  * is not shipped in the repo (`epa_no_time_mymodel.so` is loaded at
-  * `play_eppa_cpu.py:87` but absent from `analysis/models/in/`), so we
-  * ship a small hand-authored fixture ensemble in the standard XGBoost
-  * text-dump format — same 7-class structure, same feature surface, same
-  * scoring path (`GbdtScorer`) a real dump would use. Swapping in a real
-  * model is `EpModel.load(path)`.
+  * The reference's trained EP artifact is NOT shipped in its checkout:
+  * `play_eppa_cpu.py:84` loads
+  * `analysis/models/in/epa_model_rishav_no_time.model` via joblib and
+  * `play_eppa_cpu.py:87` dlopens a compiled treelite
+  * `epa_no_time_mymodel.so`, but neither file exists anywhere under the
+  * reference tree — `analysis/models/in/` ships only the xyac artifacts
+  * (`xyac_model.model`, which we DO parse for real in
+  * [[graft.nfl.XyacModel]]) plus the L/T prior tables. A full-tree
+  * `find` for `*epa*`/`*.joblib` confirms only the path *string* exists,
+  * in source. There is consequently no byte stream to point
+  * `XgbBinary.indexOfMagic` at, and no EP training labels in the repo to
+  * re-train from. We therefore ship a small hand-authored fixture
+  * ensemble in the standard XGBoost text-dump format — same 7-class
+  * structure, same feature surface, same scoring path (`GbdtScorer`) a
+  * real dump would use. Swapping in a real model is
+  * `EpModel.load(path)`, which auto-detects the xgboost binary format
+  * (and scans for an embedded binary inside a pickle/joblib wrapper)
+  * before falling back to the text-dump parser.
   */
 object EpModel {
 

@@ -287,13 +287,22 @@ object Aggregates {
     * counts by type: output schema is data-dependent, which the oracle
     * accommodates because the distinct job is deterministic. */
   def pivotDynamic(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir)
+    val pivoted = Tables.events(spark, dir)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .pivot("event_type")
       .agg(count(lit(1)))
-      .orderBy("day")
+    // .pivot() leaves NULL in a (day, type) cell with no rows, where the
+    // oracle's `count(*) FILTER` emits 0 — coalesce every pivoted column
+    // so the match doesn't depend on the corpus populating every cell.
+    val counts = pivoted.columns.filterNot(_ == "day")
+      .map(c => coalesce(col(c), lit(0L)).as(c))
+    pivoted.select(col("day") +: counts.toSeq: _*).orderBy("day")
   }
 
+  /** The oracle's column list hardcodes the generator's five event types;
+    * a type absent from the data would be a missing column on the Spark
+    * side (pivot derives columns from the data) and a hash mismatch —
+    * that narrowing is deliberate and documented here, not silent. */
   val pivotDynamicSql: String = {
     val cols = Seq("click", "error", "purchase", "signup", "view").map { t =>
       s"  count(*) FILTER (WHERE event_type = '$t') AS $t"

@@ -123,4 +123,31 @@ class PngCodecSpec extends AnyFunSuite {
     // PPM magic is not PNG
     assert(!PngCodec.isPng("P6\n2 2\n255\n".getBytes))
   }
+
+  test("crafted chunk lengths and dimensions return None, never throw") {
+    // chunk len near Int.MaxValue: Int arithmetic would overflow the
+    // bounds check to negative and read past the array
+    val bomb = new java.io.ByteArrayOutputStream()
+    bomb.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bomb.write(Array(0x7f, 0xff, 0xff, 0xf0).map(_.toByte)) // len = 2^31-16
+    bomb.write("IHDR".getBytes("US-ASCII"))
+    bomb.write(new Array[Byte](16))
+    assert(PngCodec.decode(bomb.toByteArray).isEmpty)
+    // undersized IHDR (len < 13) must not read into the next chunk
+    val shortIhdr = new java.io.ByteArrayOutputStream()
+    shortIhdr.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    PngCodec.writeChunk(shortIhdr, "IHDR", new Array[Byte](4))
+    assert(PngCodec.decode(shortIhdr.toByteArray).isEmpty)
+    // absurd IHDR dimensions are rejected before the raw-buffer allocation
+    val huge = new java.io.ByteArrayOutputStream()
+    huge.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = 0x7f; ihdr(1) = -1; ihdr(2) = -1; ihdr(3) = -1 // w = 2^31-1
+    ihdr(4) = 0x7f; ihdr(5) = -1; ihdr(6) = -1; ihdr(7) = -1 // h = 2^31-1
+    ihdr(8) = 8; ihdr(9) = 2
+    PngCodec.writeChunk(huge, "IHDR", ihdr)
+    PngCodec.writeChunk(huge, "IDAT", Array[Byte](0x78, 0x01))
+    PngCodec.writeChunk(huge, "IEND", Array.emptyByteArray)
+    assert(PngCodec.decode(huge.toByteArray).isEmpty)
+  }
 }

@@ -47,4 +47,18 @@ class Y4mCodecSpec extends AnyFunSuite {
       new Array[Byte](4 * 4 * 3 / 2)
     assert(Y4mCodec.decode(c420).isEmpty)
   }
+
+  test("malformed headers return None instead of throwing") {
+    def hdr(s: String): Array[Byte] =
+      s.getBytes("US-ASCII") ++ "FRAME\n".getBytes ++ new Array[Byte](4 * 4 * 3)
+    // non-numeric tails must not escape as NumberFormatException
+    assert(Y4mCodec.decode(hdr("YUV4MPEG2 W4x H4 F25:1 C444\n")).isEmpty)
+    assert(Y4mCodec.decode(hdr("YUV4MPEG2 W4 Hx F25:1 C444\n")).isEmpty)
+    // F without ':' must not escape as ArrayIndexOutOfBoundsException
+    assert(Y4mCodec.decode(hdr("YUV4MPEG2 W4 H4 F25 C444\n")).isEmpty)
+    // no C parameter = spec default 4:2:0 — unsupported, must be refused
+    assert(Y4mCodec.decode(hdr("YUV4MPEG2 W4 H4 F25:1\n")).isEmpty)
+    // absurd dimensions are rejected before any allocation
+    assert(Y4mCodec.decode(hdr("YUV4MPEG2 W100000 H100000 F25:1 C444\n")).isEmpty)
+  }
 }
