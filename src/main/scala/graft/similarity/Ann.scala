@@ -42,9 +42,9 @@ object Ann {
   def intDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** Brute-force top-5 neighbors for query vectors (vec_id < 20) by
+  /** Brute-force top-k neighbors for query vectors (vec_id < 20) by
     * quantized dot product; deterministic tie-break on neighbor id. */
-  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
@@ -57,7 +57,7 @@ object Ann {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "dot")
       .orderBy("query_id", "rank")
   }
@@ -355,10 +355,16 @@ object Ann {
 
   /** Product-quantization geometry: M subspaces of SubDim coords each,
     * K centroids per subspace → a Dim-float vector compresses to M small
-    * ints (here 3 bits each; 256-cell codebooks at production scale). */
-  val PqM = 8
-  val PqK = 8
+    * ints (here 4 bits each; 256-cell codebooks at production scale). */
+  val PqM = 16
+  val PqK = 16
   val SubDim: Int = Dim / PqM
+
+  /** ADC candidates kept per query for the exact-dot re-rank stage. */
+  val PqRerankN = 50
+
+  /** Final neighbors returned per query. */
+  val PqTopN = 10
 
   /** PQ-compressed ANN with ADC scoring (`s_pq_topk`).
     *
@@ -381,6 +387,14 @@ object Ann {
     * whole scoring stage is the final per-query top-k (which the
     * RewriteWindowTopK rule bounds map-side). That is the 100 TB shape:
     * codes live with the data, LUTs travel with the query.
+    *
+    * Re-ranking: ADC ordering is lossy, so the top [[PqRerankN]]
+    * candidates per query are re-scored with the EXACT integer dot
+    * product and the final top [[PqTopN]] ranks on that. The candidate
+    * set is Q·[[PqRerankN]] rows — broadcast against the corpus scan to
+    * fetch exact vectors, so re-rank costs one broadcast-hash probe of
+    * the corpus, never a shuffle. This is the standard IVF-ADC+re-rank
+    * shape (Johnson et al., "Billion-scale similarity search with GPUs").
     *
     * Everything is integer-exact (quantized coords, integer products
     * summed exactly as doubles < 2^53), so codebooks, codes, and ADC
@@ -470,11 +484,22 @@ object Ann {
         expr(s"CAST(aggregate(transform(zip_with(sequence(0, ${PqM - 1}), code, " +
           s"(m, c) -> m * $PqK + c), k -> element_at(lut, CAST(k AS INT))), " +
           "0D, (a, v) -> a + v) AS BIGINT)"))
-    scored.withColumn("rank", row_number().over(
+    val candidates = scored.withColumn("adc_rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("approx_dot").desc, col("vec_id"))))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("approx_dot"))
+      .filter(col("adc_rank") <= PqRerankN)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // exact re-rank: Q·RerankN candidate rows broadcast against the corpus
+    // scan (no shuffle of the corpus), then exact integer dot
+    val exact = emb.select(col("vec_id").as("neighbor_id"), col("q").as("nv"))
+      .join(broadcast(candidates), "neighbor_id")
+      .join(broadcast(emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("q").as("qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        intDot(col("qv"), col("nv")).cast("long").as("dot"))
+    exact.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))))
+      .filter(col("rank") <= PqTopN)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
       .orderBy("query_id", "rank")
   }
 
@@ -522,19 +547,32 @@ object Ann {
        |  SELECT c.vec_id AS query_id, k.m, k.cell, sum(c.x * k.cx) AS qdot
        |  FROM pcoords c JOIN pcents1 k ON c.m = k.m AND c.j = k.j
        |  WHERE c.vec_id < 20
-       |  GROUP BY 1, 2, 3)
-       |SELECT query_id, rank, neighbor_id, approx_dot FROM (
-       |  SELECT query_id, neighbor_id, approx_dot,
+       |  GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY approx_dot DESC, neighbor_id) AS adc_rank
+       |    FROM (
+       |      SELECT l.query_id, a.vec_id AS neighbor_id,
+       |        CAST(sum(l.qdot) AS BIGINT) AS approx_dot
+       |      FROM pa2 a
+       |      JOIN luts l ON l.m = a.m AND l.cell = a.cell
+       |      WHERE a.vec_id <> l.query_id
+       |      GROUP BY 1, 2) s) r
+       |  WHERE adc_rank <= $PqRerankN),
+       |rer AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(list_dot_product(qa.q, qb.q) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN qv qa ON qa.vec_id = c.query_id
+       |  JOIN qv qb ON qb.vec_id = c.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, dot FROM (
+       |  SELECT query_id, neighbor_id, dot,
        |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY approx_dot DESC, neighbor_id) AS rank
-       |  FROM (
-       |    SELECT l.query_id, a.vec_id AS neighbor_id,
-       |      CAST(sum(l.qdot) AS BIGINT) AS approx_dot
-       |    FROM pa2 a
-       |    JOIN luts l ON l.m = a.m AND l.cell = a.cell
-       |    WHERE a.vec_id <> l.query_id
-       |    GROUP BY 1, 2) s) t
-       |WHERE rank <= 3
+       |      ORDER BY dot DESC, neighbor_id) AS rank
+       |  FROM rer) t
+       |WHERE rank <= $PqTopN
        |ORDER BY query_id, rank""".stripMargin
   }
 

@@ -86,24 +86,23 @@ class DedupSpec extends SparkTestBase {
     assert(mean >= 0.35, f"mean recall@3 $mean%.2f — probe ordering broken")
   }
 
-  test("pq: adc top-k beats the random-ranking floor and codes are compact") {
-    // PQ quantizes 64 floats to PqM 3-bit codes — a lossy 16×+ compression;
-    // the gate is that ADC ordering still carries signal on isotropic data
-    // (deterministic inputs → fixed values, not flaky bounds)
-    val truth = Ann.bruteForceTopK(spark, sfDir).filter(col("rank") <= 3)
+  test("pq: adc + exact re-rank recalls most of the true top-10") {
+    // PQ quantizes 64 floats to PqM 4-bit codes; ADC alone is lossy, so
+    // the production shape re-ranks the ADC top-PqRerankN with the exact
+    // dot. The gate is real usefulness: mean recall@10 vs the brute-force
+    // truth must clear 0.5 (random top-10 of a ~500-candidate corpus
+    // would recall ~0.02). Deterministic inputs → a fixed value.
+    val truth = Ann.bruteForceTopK(spark, sfDir, k = 10)
       .collect().groupBy(_.getAs[Long]("query_id"))
       .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
     val pq = Ann.pqTopK(spark, sfDir).collect()
-    // structural: dense ranks, scores descending within each query
+    // structural: dense ranks, exact scores descending within each query
     pq.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
       val sorted = rs.sortBy(_.getAs[Int]("rank"))
       assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
-      val dots = sorted.map(_.getAs[Long]("approx_dot")).toSeq
-      assert(dots == dots.sorted.reverse, s"ADC scores not descending: $dots")
+      val dots = sorted.map(_.getAs[Long]("dot")).toSeq
+      assert(dots == dots.sorted.reverse, s"exact scores not descending: $dots")
     }
-    // quality: mean recall@3 of the 500-candidate corpus. Random top-3
-    // would recall 3/499 ≈ 0.006; require an order of magnitude above
-    // chance — on clustered production embeddings this rises sharply.
     val approx = pq.groupBy(_.getAs[Long]("query_id"))
       .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
     val recalls = truth.keys.toSeq.map { q =>
@@ -111,7 +110,8 @@ class DedupSpec extends SparkTestBase {
       (t intersect approx.getOrElse(q, Set.empty)).size.toDouble / t.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.06, f"mean recall@3 $mean%.2f — ADC ordering carries no signal")
+    info(f"pq mean recall@10 = $mean%.3f (gate 0.5)")
+    assert(mean >= 0.5, f"mean recall@10 $mean%.2f — re-ranked PQ below the usefulness bar")
   }
 
   test("pq: one lloyd round does not worsen total quantization error") {
