@@ -382,6 +382,41 @@ object TextOps {
       .orderBy($"lang", $"est".desc, $"item")
   }
 
+  /** Exact-count twin of [[freqTokens]] (`t_freq_tokens_exact`): the same
+    * per-language token stream, but counted exactly and top-16 per
+    * language — viable whenever the token domain fits a shuffle, and the
+    * oracle-able pin for the sketch (same k, same grouping, same
+    * tokenization; FreqItemsSpec separately proves every token the exact
+    * twin surfaces above n/(k+1) also appears in the sketch). The
+    * per-group top-k goes through RewriteWindowTopK, so counting is one
+    * map-side-combined aggregation and the rank never materializes the
+    * full (lang, token) domain past the heap. */
+  def freqTokensExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select($"lang", explode(split(trim(lower($"text")), "\\s+")).as("tok"))
+      .groupBy($"lang", $"tok")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"tok")
+    counts.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 16)
+      .select($"lang", $"rank", $"tok", $"cnt")
+      .orderBy($"lang", $"rank")
+  }
+
+  val freqTokensExactSql: String =
+    """WITH toks AS (
+      |  SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |c AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2)
+      |SELECT lang, rank, tok, cnt FROM (
+      |  SELECT lang, tok, cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rank
+      |  FROM c) t
+      |WHERE rank <= 16
+      |ORDER BY lang, rank""".stripMargin
+
   val normalizeTextSql: String =
     """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_raw,
       |  CAST(len(norm) AS BIGINT) AS n_norm, md5(norm) AS norm_md5
