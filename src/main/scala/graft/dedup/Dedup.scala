@@ -214,9 +214,16 @@ object Dedup {
     // so the shingle hashing runs once (at 100 TB: checkpoint to parquet)
     val sh = sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = bandCandidates(signaturesFromSets(sh)).select("doc_a", "doc_b")
-    cands
+    val attached = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+    scoreAttachedPairs(attached)
+  }
+
+  /** Shared verify tail: exact Jaccard from the attached sorted-set
+    * arrays, identical arithmetic for the persisted and bucketed paths. */
+  private def scoreAttachedPairs(attached: DataFrame): DataFrame =
+    attached
       .select(col("doc_a"), col("doc_b"),
         graft.functions.ShingleExpressions
           .sortedIntersect(col("hs_a"), col("hs_b")).as("n_inter"),
@@ -227,6 +234,33 @@ object Dedup {
           .cast("long").as("jaccard_bp"))
       .withColumn("is_dup", (col("jaccard_bp") >= 8000).cast("int"))
       .orderBy("doc_a", "doc_b")
+
+  /** [[lshJaccard]] with its pair-attach joins running over BUCKETED
+    * storage (`d_lsh_bucketed`) — the layout a production dedup pipeline
+    * keeps between stages. The shingle-set table is written hash-bucketed
+    * by doc_id and the band candidates bucketed by doc_a with the same
+    * bucket count, so the doc_a attach is a sort-merge join with ZERO
+    * exchanges (both scans are already co-partitioned and sorted; Spark
+    * propagates the scan's bucket partitioning through the rename
+    * projections). The doc_b attach then needs exactly ONE shuffle — the
+    * pair intermediate redistributing by doc_b onto the bucketed set
+    * table's layout. Against the unbucketed path's three-plus exchanges,
+    * that is the whole point of bucketing at 100 TB: the big set table
+    * never moves again after the one-time bucketed write. Results are
+    * bit-identical to [[lshJaccard]] — same oracle SQL gates both.
+    * PlanSpec pins the exchange counts. */
+  def lshJaccardBucketedAttach(spark: SparkSession, dir: String,
+                               nBuckets: Int = 8): DataFrame = {
+    graft.functions.ShingleExpressions.register(spark)
+    graft.sources.Store.writeBucketed(
+      shingleSets(Tables.documents(spark, dir)), "graft_d3_sets", "doc_id", nBuckets)
+    val setsT = spark.table("graft_d3_sets")
+    val cands = bandCandidates(signaturesFromSets(setsT)).select("doc_a", "doc_b")
+    graft.sources.Store.writeBucketed(cands, "graft_d3_cands", "doc_a", nBuckets)
+    val attached = spark.table("graft_d3_cands")
+      .join(setsT.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(setsT.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+    scoreAttachedPairs(attached)
   }
 
   val lshJaccardSql: String =

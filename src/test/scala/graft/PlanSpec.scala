@@ -234,4 +234,34 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Window"), p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("d3 bucketed: doc_a attach joins with zero exchange, doc_b with one") {
+    // force the sort-merge path a 100 TB fact-fact join takes — broadcast
+    // would hide the exchange question the bucketing answers
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.dedup.Dedup.lshJaccardBucketedAttach(spark, sfDir)
+      df.collect()
+      // AQE's toString prints the final plan AND the initial plan — count
+      // exchanges in the final section only
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("Bucketed: true"),
+        s"attach must scan the bucketed tables:\n${p.take(1500)}")
+      // the only hash exchange is the pair intermediate redistributing by
+      // doc_b; the doc_a attach is exchange-free on both sides because the
+      // candidate and set tables are co-bucketed
+      val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hashEx == 1,
+        s"expected exactly one hash exchange (doc_b redistribution), got $hashEx:\n${p.take(3000)}")
+
+      // control: the unbucketed pair-attach shuffles more — bucketing
+      // removed exchanges, not work
+      val un = graft.dedup.Dedup.lshJaccard(spark, sfDir)
+      un.collect()
+      val pU = un.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val hashExU = pU.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hashExU > 1, s"unbucketed control unexpectedly shuffle-free ($hashExU):\n${pU.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
