@@ -354,6 +354,35 @@ object EventStreams {
         col("view_id"), col("p_ts"), col("v_ts"), col("p_value"))
   }
 
+  /** Left-outer variant of [[purchaseAttribution]]: every purchase is
+    * emitted — matched ones per qualifying view, unattributed ones ONCE
+    * with a null view — so downstream revenue accounting never loses a
+    * purchase to missing impressions. The null row for an unmatched
+    * purchase is emitted only when the watermark passes the end of its
+    * match interval (no earlier view can still arrive), which is exactly
+    * the state-eviction point — outer results cost no extra state over
+    * the inner join, they ride the same bounded buffers. Spark requires
+    * the outer (purchase) side watermark + the two-sided time bound for
+    * precisely this reason: null emission is a watermark decision, and an
+    * unbounded condition would make it undecidable. */
+  def purchaseAttributionLeftOuter(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("view_id"), col("p_ts"), col("v_ts"), col("p_value"))
+  }
+
   /** Drain a streaming DataFrame through a memory sink synchronously
     * (local verification harness; production would writeStream to a real
     * sink with a trigger). */

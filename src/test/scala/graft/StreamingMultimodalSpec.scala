@@ -338,6 +338,51 @@ class StreamingMultimodalSpec extends SparkTestBase {
       s"stream emitted too little: $missing of ${batch.count()} missing")
   }
 
+  test("stream-stream LEFT OUTER join emits watermark-expired null rows") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    val got = EventStreams.drainToMemory(
+      EventStreams.purchaseAttributionLeftOuter(stream), "attribution_lo")
+    // batch twin over the static table
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    val batch = p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"), "left_outer")
+      .select(col("purchase_id"), col("view_id"))
+    val batchNullIds = batch.filter(col("view_id").isNull)
+      .select("purchase_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(batchNullIds.nonEmpty, "corpus has no unattributed purchases — spec is vacuous")
+
+    // 1. the nulls the stream emitted must be genuinely unattributed
+    val gotNullIds = got.filter(col("view_id").isNull)
+      .select("purchase_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(gotNullIds.nonEmpty,
+      "no null rows emitted — watermark expiry path never fired")
+    val wrongNulls = gotNullIds -- batchNullIds
+    assert(wrongNulls.isEmpty,
+      s"stream emitted null for purchases that HAVE views: ${wrongNulls.take(5)}")
+    // 2. ...and each at most once
+    val dupNulls = got.filter(col("view_id").isNull)
+      .groupBy("purchase_id").count().filter(col("count") > 1).count()
+    assert(dupNulls == 0, s"$dupNulls purchases got more than one null row")
+    // 3. matched pairs are exactly the inner-join semantics
+    val gotPairs = got.filter(col("view_id").isNotNull)
+      .select(col("purchase_id"), col("view_id"))
+    val extra = gotPairs.join(batch.filter(col("view_id").isNotNull),
+      Seq("purchase_id", "view_id"), "left_anti").count()
+    assert(extra == 0, s"$extra streamed pairs not in the batch join")
+    // 4. coverage: only the still-open watermark tail may be missing
+    val missingNulls = batchNullIds -- gotNullIds
+    assert(missingNulls.size < batchNullIds.size / 2,
+      s"too few nulls: ${missingNulls.size} of ${batchNullIds.size} never emitted")
+  }
+
   test("frame sampling fans out by duration") {
     val items = Multimodal.synthesize(spark, sfDir)
     val frames = Multimodal.sampleFrames(items, everyMs = 40)
