@@ -21,6 +21,52 @@ class StoreSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == total)
   }
 
+  test("idempotent rerun heals a lost or corrupted partition, hash-exact") {
+    // the job-level resume story at 100 TB: a run dies mid-write (or an
+    // object-store partition rots) — the rerun must converge to the same
+    // bytes without rewriting the world
+    def fingerprint(path: String): (Long, java.math.BigDecimal) = {
+      val df = spark.read.parquet(path)
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(df.columns.sorted.map(col): _*).cast("decimal(38,0)")))
+        .collect()(0)
+      (r.getLong(0), r.getDecimal(1))
+    }
+    val out = tmp()
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Store.writePartitioned(ev, out, Seq("day"))
+    val clean = fingerprint(out)
+
+    // case 1: a partition is LOST (failed task cleanup, deleted prefix) —
+    // resume = skipExisting keeps only the missing day, dynamic overwrite
+    // rewrites just that directory
+    val lostDay = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("day=")).map(_.getName).sorted.apply(3)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete()
+    }
+    rmTree(new java.io.File(out, lostDay))
+    val remaining = Store.skipExisting(ev, out, Seq("day"))
+    assert(remaining.select("day").distinct().count() == 1,
+      "resume must reduce to exactly the lost partition")
+    Store.writePartitioned(remaining, out, Seq("day"))
+    assert(fingerprint(out) == clean, "healed output differs from the clean run")
+
+    // case 2: a partition is PRESENT BUT CORRUPT — the operator's runbook
+    // is to re-push that day; dynamic overwrite replaces only it and the
+    // result is again bit-identical
+    val badDay = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("day=")).map(_.getName).sorted.apply(5)
+    val victim = new java.io.File(out, badDay).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.write(victim.toPath, "not parquet".getBytes)
+    val dayKey = badDay.stripPrefix("day=")
+    Store.writePartitioned(ev.filter(col("day") === dayKey), out, Seq("day"))
+    assert(fingerprint(out) == clean, "repushed partition differs from the clean run")
+  }
+
   test("partition filters prune the directory scan, not just the rows") {
     // the 100 TB property of the partitioned layout: a day-filter must
     // show up as a PartitionFilter (directory pruning before any IO),
