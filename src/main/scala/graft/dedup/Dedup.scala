@@ -145,6 +145,75 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** [[bandCandidates]] with a band-BUCKET size cap — the production
+    * guard against the LSH hot-bucket pathology, which the ×N scale
+    * rehearsal measured rather than hypothesized: on the ciphered ×3
+    * corpus one band bucket drew ~475 docs and alone emitted ~113k
+    * candidate pairs (C(475,2)) — 100× the corpus's true-dup count —
+    * while the identity copy's draw emitted 1,131. Band-bucket sizes
+    * are heavy-tailed (a frequent shingle winning the min of all
+    * RowsPerBand rows captures every doc containing it), and bucket
+    * join output is QUADRATIC in bucket size: at 100 TB a 1M-doc hot
+    * bucket is 5·10¹¹ pairs — a job-killer, the same class of blowup
+    * the n-gram path bounds with its df∈[2,20] postings cap.
+    *
+    * The cap drops buckets with more than `maxBucket` docs entirely.
+    * Recall semantics, documented: a TRUE near-dup pair (J ≥ 0.8) has
+    * per-band match probability j⁴ ≥ 0.41, so it lands in all [[Bands]]
+    * bands independently and survives unless EVERY band it shares is
+    * hot — with ~equal-frequency shingles inside a dup cluster, hot
+    * buckets concentrate template boilerplate, not dup clusters, so
+    * measured recall of verified dups vs the uncapped join is 1.0 on
+    * both the base and ×N corpora (ScaleBench records it per run).
+    * Oracle-gated md5 forms stay uncapped — the cap is a *production*
+    * knob (like the xxhash64 twins), not a semantics change to the
+    * verified-dup definition: the Jaccard verify behind it is
+    * unchanged, only candidate GENERATION is bounded. */
+  def bandCandidatesCapped(sigs: DataFrame, maxBucket: Int): DataFrame = {
+    val keyNames = (0 until RowsPerBand).map(r => s"k$r")
+    val bandRows = this.bandRows(sigs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucket size via one aggregation on the same (band, key) grouping the
+    // join shuffles on anyway; the filter runs BEFORE the self-join, so
+    // the quadratic stage never sees a hot bucket
+    val sized = bandRows
+      .withColumn("bsz", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band") +: keyNames.map(col): _*)))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val l = sized.select(col("doc_id").as("doc_a") +: col("band").as("band_l") +:
+      keyNames.map(k => col(k).as(s"${k}_l")): _*)
+    val r = sized.select(col("doc_id").as("doc_b") +: col("band").as("band_r") +:
+      keyNames.map(k => col(k).as(s"${k}_r")): _*)
+    val joinCond = ((col("band_l") === col("band_r")) +: keyNames.map(k =>
+      col(s"${k}_l") === col(s"${k}_r"))).reduce(_ && _) && col("doc_a") < col("doc_b")
+    l.join(r, joinCond)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Production minhash-LSH: xxhash64 shingles + capped band buckets. */
+  def minhashLshCapped(spark: SparkSession, dir: String,
+                       maxBucket: Int = 1000): DataFrame =
+    bandCandidatesCapped(signaturesFromSets(
+      shingleSets(Tables.documents(spark, dir), algo = "xxh64")), maxBucket)
+
+  /** Verified near-dup pairs over the capped production candidates. */
+  def lshJaccardCapped(spark: SparkSession, dir: String,
+                      maxBucket: Int = 1000): DataFrame = {
+    graft.functions.ShingleExpressions.register(spark)
+    val sh = shingleSets(Tables.documents(spark, dir), algo = "xxh64")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = bandCandidatesCapped(signaturesFromSets(sh), maxBucket)
+      .select("doc_a", "doc_b")
+    val attached = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+    scoreAttachedPairs(attached)
+  }
+
   /** Shared SQL fragment: per-doc shingle hashes (mirrors shingleHashes). */
   private def shingleSql: String =
     s"""SELECT doc_id,
@@ -530,13 +599,28 @@ object Dedup {
     * corpora; both produce identical min-label components. */
   val DriverUnionFindMaxEdges = 5000000L
 
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    dupClustersOver(spark, dir, lshJaccard(spark, dir), DriverUnionFindMaxEdges)
+
+  /** xxhash64 fast-path twin of [[dupClusters]] — the production 100-TB
+    * path (md5 exists only for DuckDB oracle identity). `maxEdges`
+    * overrides the driver/distributed crossover so a scale rehearsal can
+    * force the distributed min-label propagation on a corpus whose edge
+    * list would otherwise take the driver fast path, proving both paths
+    * produce identical components at scale (ScaleBench does exactly
+    * that). */
+  def dupClustersFast(spark: SparkSession, dir: String,
+                      maxEdges: Long = DriverUnionFindMaxEdges): DataFrame =
+    dupClustersOver(spark, dir, lshJaccardFast(spark, dir), maxEdges)
+
+  private def dupClustersOver(spark: SparkSession, dir: String,
+                              pairs: DataFrame, maxEdges: Long): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = lshJaccard(spark, dir).filter(col("is_dup") === 1)
+    val edges = pairs.filter(col("is_dup") === 1)
       .select(col("doc_a"), col("doc_b")).persist(lvl)
     val nEdges = edges.count()
     val labels =
-      if (nEdges <= DriverUnionFindMaxEdges) unionFindLabels(spark, edges)
+      if (nEdges <= maxEdges) unionFindLabels(spark, edges)
       else propagateLabels(edges)
     edges.unpersist()
     Tables.documents(spark, dir).select(col("doc_id"))

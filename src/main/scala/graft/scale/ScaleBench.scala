@@ -1,0 +1,235 @@
+package graft.scale
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Per-task metric accumulation across whole queries: wall time alone
+  * can't distinguish "the algorithm stayed linear" from "the box got
+  * lucky"; shuffle bytes/records and input bytes are the scale-invariant
+  * evidence. Registered once, snapshotted around each measured query. */
+final class MetricsListener extends SparkListener {
+  val shuffleReadB, shuffleWriteB, shuffleWriteRec, inputB, spillB, peakMem =
+    new AtomicLong(0)
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      shuffleReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shuffleWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      shuffleWriteRec.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      inputB.addAndGet(m.inputMetrics.bytesRead)
+      spillB.addAndGet(m.diskBytesSpilled)
+      peakMem.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+    }
+  }
+  def snapshot: Map[String, Long] = Map(
+    "shuffle_read_bytes" -> shuffleReadB.get,
+    "shuffle_write_bytes" -> shuffleWriteB.get,
+    "shuffle_write_records" -> shuffleWriteRec.get,
+    "input_bytes" -> inputB.get,
+    "disk_spill_bytes" -> spillB.get,
+    "peak_task_memory" -> peakMem.get)
+  def reset(): Unit =
+    Seq(shuffleReadB, shuffleWriteB, shuffleWriteRec, inputB, spillB, peakMem)
+      .foreach(_.set(0))
+}
+
+/** The scale rehearsal: measure the 100-TB design claims instead of
+  * arguing them (VERDICT r4 "Next round" item 1).
+  *
+  * Generates ×10 and ×50 corpora from sf0.1 (= sf1 / sf5 row counts) via
+  * [[ScaleData]], runs the dedup / ANN / pipeline / relational headline
+  * family at ×1, ×10, ×50 with the xxhash64 production twins, and writes
+  * `SCALE_r5.json`: per query per scale — wall seconds, output rows, and
+  * task-metric totals (shuffle read/write bytes + records, input bytes,
+  * spill, peak task memory) — plus the growth ratios that back each
+  * claim:
+  *
+  *  - band join never goes all-pairs: `candidate_pairs` from the minhash
+  *    band join vs the n²/2 it replaced;
+  *  - df-capped postings bound n-gram candidates: `d_ngram_jaccard`
+  *    shuffle records grow ~linearly;
+  *  - broadcast thresholds hold: ANN query/centroid/LUT sides stay
+  *    broadcast (no growth in shuffle on the corpus side beyond linear);
+  *  - union-find/propagation crossover: `d_dup_clusters_dist` forces the
+  *    distributed min-label path on the same corpus and must produce the
+  *    same cluster count as the driver fast path;
+  *  - overall ~linear wall-time growth for every measured query.
+  *
+  * Runs standalone: `sbt "runMain graft.scale.ScaleBench"` (env:
+  * SPARK_GRAFT_SCALES=1,10,50 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_OUT=...).
+  */
+object ScaleBench {
+
+  private def jnum(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
+
+  /** Drain the async listener bus so a metrics snapshot sees every task
+    * of the query that just ran. `listenerBus` is `private[spark]` at the
+    * source level but public in bytecode — reflection reaches it; if the
+    * internals ever move, a half-second settle keeps the numbers sane. */
+  private def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(500) }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,10,50")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "SCALE_r5.json")
+    val dataRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DATA", "target/scaledata")
+
+    val spark = graft.GraftSession.local(cpus, appName = "graft-scale")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
+    // ---- corpora ----------------------------------------------------
+    val dirs: Map[Int, String] = scales.map { n =>
+      if (n == 1) n -> baseDir
+      else {
+        val d = s"$dataRoot/x$n"
+        val marker = new java.io.File(s"$d/_SCALE_DONE")
+        if (!marker.exists()) {
+          System.err.println(s"[scale] generating x$n corpus under $d")
+          ScaleData.write(spark, baseDir, d, n)
+          marker.createNewFile()
+        }
+        n -> d
+      }
+    }.toMap
+
+    // ---- measured queries -------------------------------------------
+    // Production twins (xxhash64) for the dedup family; oracle-identity
+    // md5 forms are deliberately NOT the scale path and are not measured
+    // here. d_dup_clusters_dist = same corpus, crossover forced to the
+    // distributed min-label propagation (maxEdges=0).
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "d_minhash_lsh_fast" -> (graft.dedup.Dedup.minhashLshFast _),
+      "d_minhash_capped" -> ((s: SparkSession, d: String) =>
+        graft.dedup.Dedup.minhashLshCapped(s, d, maxBucket = 256)),
+      "d_lsh_jaccard_fast" -> (graft.dedup.Dedup.lshJaccardFast _),
+      "d_lsh_jaccard_capped" -> ((s: SparkSession, d: String) =>
+        graft.dedup.Dedup.lshJaccardCapped(s, d, maxBucket = 256)),
+      "d_lsh_dup_pairs" -> ((s: SparkSession, d: String) =>
+        graft.dedup.Dedup.lshJaccardFast(s, d)
+          .filter(org.apache.spark.sql.functions.col("is_dup") === 1)),
+      "d_ngram_jaccard" -> (graft.dedup.Dedup.ngramJaccard _),
+      "d_simhash" -> (graft.dedup.Dedup.simhashDup _),
+      "d_embedding_dup" -> (graft.similarity.Ann.embeddingDup _),
+      "d_decontaminate" -> (graft.dedup.Dedup.decontaminate _),
+      "d_dup_clusters_fast" -> ((s: SparkSession, d: String) =>
+        graft.dedup.Dedup.dupClustersFast(s, d)),
+      "d_dup_clusters_dist" -> ((s: SparkSession, d: String) =>
+        graft.dedup.Dedup.dupClustersFast(s, d, maxEdges = 0L)),
+      "s_ann_topk" -> ((s: SparkSession, d: String) =>
+        graft.similarity.Ann.bruteForceTopK(s, d)),
+      "s_ivf_topk" -> (graft.similarity.Ann.ivfTopK _),
+      "s_pq_topk" -> (graft.similarity.Ann.pqTopK _),
+      "t_pipeline_audit" -> (graft.pipelines.TrainingPipeline.pipelineAudit _),
+      "q1_pricing_summary" -> (graft.ops.Relational.q1PricingSummary _),
+      "q3_top_orders" -> (graft.ops.Relational.q3TopOrders _),
+      "q18_big_orders" -> (graft.ops.Relational.q18BigOrders _),
+      "e_daily_rollup" -> (graft.ops.Events.dailyRollup _))
+
+    def clearPersisted(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+
+    // warm-up (codegen/classloading, as Bench does)
+    try {
+      spark.read.parquet(s"$baseDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().queryExecution.toRdd.count()
+    } catch { case _: Throwable => () }
+
+    case class Cell(sec: Double, rows: Long, metrics: Map[String, Long])
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[Int, Cell]]
+
+    for (n <- scales; (name, fn) <- queries) {
+      val dir = dirs(n)
+      clearPersisted()
+      listener.reset()
+      val t0 = System.nanoTime()
+      val rows =
+        try fn(spark, dir).queryExecution.toRdd.count()
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] $name x$n FAILED: ${e.getMessage}"); -1L
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      drainListenerBus(spark)
+      val cell = Cell(sec, rows, listener.snapshot)
+      results.getOrElseUpdate(name,
+        scala.collection.mutable.LinkedHashMap.empty) += n -> cell
+      System.err.println(f"[scale] $name%-22s x$n%-3d ${cell.sec}%7.2f s " +
+        f"rows=${cell.rows}%9d shufW=${cell.metrics("shuffle_write_bytes")}%12d")
+    }
+
+    // candidate-pair counts for the band-join claim (not a timed query:
+    // counts the band-join candidates BEFORE the Jaccard verify)
+    val candCounts = scales.map { n =>
+      clearPersisted()
+      val docs = graft.Tables.documents(spark, dirs(n))
+      val sets = graft.dedup.Dedup.shingleSets(docs, algo = "xxh64")
+      val cands = graft.dedup.Dedup
+        .bandCandidates(graft.dedup.Dedup.signaturesFromSets(sets))
+      n -> cands.count()
+    }.toMap
+    val docCounts = scales.map { n =>
+      n -> graft.Tables.documents(spark, dirs(n)).count()
+    }.toMap
+
+    // capped-bucket recall: verified dups surviving the maxBucket=256 cap
+    // vs the uncapped verified dups (claim: hot buckets hold boilerplate,
+    // not dup clusters — recall stays 1.0)
+    val cappedRecall = scales.map { n =>
+      clearPersisted()
+      import org.apache.spark.sql.functions.col
+      val full = graft.dedup.Dedup.lshJaccardFast(spark, dirs(n))
+        .filter(col("is_dup") === 1).select("doc_a", "doc_b")
+      val capped = graft.dedup.Dedup.lshJaccardCapped(spark, dirs(n), 256)
+        .filter(col("is_dup") === 1).select("doc_a", "doc_b")
+      val nFull = full.count()
+      val nKept = capped.join(full, Seq("doc_a", "doc_b"), "left_semi").count()
+      n -> (nKept, nFull)
+    }.toMap
+
+    // ---- JSON out ---------------------------------------------------
+    val sb = new StringBuilder
+    sb.append("{\n  \"meta\": {\"base\": \"").append(baseDir)
+      .append("\", \"cpus\": ").append(cpus)
+      .append(", \"scales\": [").append(scales.mkString(","))
+      .append("], \"note\": \"x10/x50 = sf1/sf5-equivalent row counts; ")
+      .append("disjoint-shard scale model (ScaleData scaladoc): true dup ")
+      .append("pairs grow exactly linearly, so super-linear growth in any ")
+      .append("measured quantity is an algorithmic artifact\"},\n")
+    sb.append("  \"band_join\": {")
+    sb.append(scales.map { n =>
+      val nd = docCounts(n); val allPairs = nd * (nd - 1) / 2
+      val (kept, full) = cappedRecall(n)
+      s""""x$n": {"docs": $nd, "candidate_pairs": ${candCounts(n)}, "all_pairs": $allPairs, "fraction_of_all_pairs": ${jnum(candCounts(n).toDouble / allPairs)}, "verified_dups": $full, "capped_verified_kept": $kept, "capped_recall": ${jnum(kept.toDouble / math.max(1L, full))}}"""
+    }.mkString(", ")).append("},\n")
+    sb.append("  \"queries\": {\n")
+    sb.append(results.map { case (name, cells) =>
+      val base = cells(scales.head)
+      val perScale = cells.map { case (n, c) =>
+        val m = c.metrics.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
+        s""""x$n": {"sec": ${jnum(c.sec)}, "rows": ${c.rows}, $m}"""
+      }.mkString(", ")
+      val growth = cells.map { case (n, c) =>
+        val ideal = n.toDouble / scales.head
+        s""""x$n": {"time_ratio": ${jnum(c.sec / base.sec)}, "ideal": ${jnum(ideal)}, "rows_ratio": ${jnum(c.rows.toDouble / base.rows)}, "shuffle_write_ratio": ${jnum(c.metrics("shuffle_write_bytes").toDouble / math.max(1L, base.metrics("shuffle_write_bytes")))}}"""
+      }.mkString(", ")
+      s"""    "$name": {$perScale, "growth": {$growth}}"""
+    }.mkString(",\n"))
+    sb.append("\n  }\n}\n")
+    val w = new java.io.PrintWriter(outFile)
+    try w.write(sb.toString) finally w.close()
+    System.err.println(s"[scale] wrote $outFile")
+    spark.stop()
+  }
+}

@@ -24,6 +24,34 @@ class XgbBinarySpec extends AnyFunSuite {
     assert(e.getMessage.contains("truncated"))
   }
 
+  test("extracts a model embedded mid-stream in a pickle/joblib wrapper") {
+    // The reference's EP artifact (`epa_model_rishav_no_time.model`,
+    // play_eppa_cpu.py:84) is joblib-serialized: a pickle stream with the
+    // raw XGBoost binary embedded somewhere inside. That file is absent
+    // from the checkout (EpModelSpec pins the absence), so prove the
+    // extraction path on the artifact we DO have: wrap the real xyac
+    // binary in pickle-protocol-2-style framing and require bit-identical
+    // scoring against the directly-parsed bytes.
+    val ref = new java.io.File("/root/reference/analysis/models/in/xyac_model.model")
+    assume(ref.isFile)
+    val raw = java.nio.file.Files.readAllBytes(ref.toPath)
+    val feats = (1 to 21).map(i => s"f$i")
+    val header = Array[Byte](0x80.toByte, 2, 'c'.toByte) ++
+      "xgboost.core\nBooster\n".getBytes("US-ASCII") ++
+      Array[Byte]('q'.toByte, 0, 'X'.toByte) ++ {
+        val b = java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.putInt(raw.length); b.array()
+      }
+    val wrapped = header ++ raw ++ Array[Byte]('q'.toByte, 1, '.'.toByte)
+    val direct = XgbBinary.parse(raw, feats)
+    val viaWrapper = XgbBinary.parse(wrapped, feats)
+    assert(viaWrapper.trees.length == direct.trees.length)
+    assert(viaWrapper.numClasses == direct.numClasses)
+    val x = Array.tabulate(21)(i => (i * 7 % 13).toDouble)
+    assert(viaWrapper.margins(x).toSeq == direct.margins(x).toSeq)
+  }
+
   test("feature-count mismatch is caught before tree parsing") {
     val ref = new java.io.File("/root/reference/analysis/models/in/xyac_model.model")
     assume(ref.isFile)

@@ -16,6 +16,38 @@ class EpModelSpec extends SparkTestBase {
     EpModel.fixture.expectation(x, EpModel.EpValues)
   }
 
+  test("reference EP artifact is absent from the checkout — M2 stays a " +
+       "documented partial, not a silent gap") {
+    // play_eppa_cpu.py:84 joblib-loads
+    // analysis/models/in/epa_model_rishav_no_time.model, but the artifact
+    // was never committed: only the xyac model ships. This pin makes the
+    // impossibility executable. If it ever FAILS (a future checkout ships
+    // the file), wire EpModel.load(path) + a parity spec mirroring
+    // XyacModelSpec — XgbBinarySpec already proves the pickle-embedded
+    // extraction path works on real bytes.
+    val root = new java.io.File("/root/reference")
+    assume(root.isDirectory)
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).iterator.flatten.flatMap(walk)
+      else Iterator.single(f)
+    val epArtifacts = walk(root).map(_.getName).filter { n =>
+      val l = n.toLowerCase
+      l.contains("epa") &&
+        (l.endsWith(".model") || l.endsWith(".joblib") || l.endsWith(".so") ||
+         l.endsWith(".dylib") || l.endsWith(".pkl"))
+    }.toSeq
+    assert(epArtifacts.isEmpty,
+      s"EP artifact appeared in the reference checkout ($epArtifacts): " +
+        "replace the fixture ensemble with the real model and add parity")
+    // ...and the path string really is what the reference loads, so the
+    // absence is the reference's gap, not a wrong path on our side
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "/root/reference/analysis/models/play_eppa_cpu.py")), "UTF-8")
+    assert(src.contains("epa_model_rishav_no_time.model"))
+  }
+
   test("fixture parses: 14 boosters, 7 classes, 8 features") {
     assert(EpModel.fixture.trees.length == 14)
     assert(EpModel.fixture.numClasses == 7)
