@@ -149,6 +149,31 @@ class DedupSpec extends SparkTestBase {
     assert(total == Tables.documents(spark, sfDir).count())
   }
 
+  test("capped band join: generous cap is identity, cap=1 empties, recall holds") {
+    import spark.implicits._
+    val sigs = Dedup.signaturesFromSets(
+      Dedup.shingleSets(Tables.documents(spark, sfDir), algo = "xxh64"))
+      .cache()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val full = pairs(Dedup.bandCandidates(sigs))
+    // a cap above any bucket size must change nothing
+    assert(pairs(Dedup.bandCandidatesCapped(sigs, Int.MaxValue)) == full)
+    // cap=1 drops every multi-doc bucket → no candidates at all
+    assert(Dedup.bandCandidatesCapped(sigs, 1).count() == 0)
+    // a moderate cap yields a subset, and verified-dup recall stays 1.0
+    // on this corpus (hot buckets hold boilerplate, not dup clusters)
+    val capped = pairs(Dedup.bandCandidatesCapped(sigs, 256))
+    assert(capped.subsetOf(full))
+    val fullDups = pairs(Dedup.lshJaccardFast(spark, sfDir)
+      .filter(col("is_dup") === 1))
+    val cappedDups = pairs(Dedup.lshJaccardCapped(spark, sfDir, 256)
+      .filter(col("is_dup") === 1))
+    assert(cappedDups == fullDups,
+      s"cap lost ${(fullDups -- cappedDups).size} verified dups")
+    sigs.unpersist()
+  }
+
   test("dup-cluster label paths agree: driver union-find vs distributed propagation") {
     import spark.implicits._
     // chain 1-2-3, triangle 10-11-12 + tail 13, isolated edge 20-21;
