@@ -548,11 +548,36 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: share ≥1 of 4 byte-bands, hamming ≤ 6. */
-  def simhashDup(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhash(Tables.documents(spark, dir))
+  def simhashDup(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(simhash(Tables.documents(spark, dir)), nBands = 4)
+
+  /** Wide (56-bit) production twin of [[simhashDup]] (rows-only — the
+    * oracle pins the 32-bit arithmetic; this is the width a corpus-scale
+    * run needs). The ×50 scale rehearsal measured WHY 32 bits stop
+    * working: pair output grew 89× at 50× docs (SCALE_r5.json) because
+    * two UNRELATED documents collide at hamming ≤ 6 with probability
+    * ≈ Σ_{k≤6} C(32,k)/2³² ≈ 2.7·10⁻⁴ — a false-positive floor that is
+    * QUADRATIC in corpus size and already ~8M pairs at 250k docs. At 56
+    * bits (7 byte-bands; the md5-prefix hash behind graft_simhash yields
+    * at most 60 bits, and 56 keeps the banding on clean byte edges) the
+    * same sum is ≈ 5·10⁻¹⁰ — ~16 false pairs at 250k docs, and the
+    * floor stays ignorable until ~10⁷ docs, where 64-bit token hashing
+    * (xxhash64-based simhash) would be the next step. Same banding
+    * scheme, same hamming gate, same md5 token hashing. */
+  def simhashDupWide(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.functions.ShingleExpressions.register(docs.sparkSession)
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.ShingleExpressions
+        .simhash(split(trim(lower(col("text"))), "\\s+"), 56).as("sig"))
+    simhashPairs(sigs, nBands = 7)
+  }
+
+  private def simhashPairs(sigs: DataFrame, nBands: Int): DataFrame = {
     // persisted: both sides of the self-join read it, and without the
     // persist each side re-runs the whole split+md5 signature pass
-    val banded = sigs.withColumn("band", explode(expr("sequence(0, 3)")))
+    val banded = sigs
+      .withColumn("band", explode(expr(s"sequence(0, ${nBands - 1})")))
       .withColumn("bkey", expr("(sig >> (band * 8)) & 255"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("band").as("band_l"), col("bkey").as("bkey_l"),

@@ -119,6 +119,7 @@ object ScaleBench {
           .filter(org.apache.spark.sql.functions.col("is_dup") === 1)),
       "d_ngram_jaccard" -> (graft.dedup.Dedup.ngramJaccard _),
       "d_simhash" -> (graft.dedup.Dedup.simhashDup _),
+      "d_simhash_wide" -> (graft.dedup.Dedup.simhashDupWide _),
       "d_embedding_dup" -> (graft.similarity.Ann.embeddingDup _),
       "d_decontaminate" -> (graft.dedup.Dedup.decontaminate _),
       "d_dup_clusters_fast" -> ((s: SparkSession, d: String) =>
@@ -183,6 +184,33 @@ object ScaleBench {
       n -> graft.Tables.documents(spark, dirs(n)).count()
     }.toMap
 
+    // generator honesty: cross-copy pair counts. The scale model promises
+    // disjoint shards, so any cross-copy pair in a VERIFIED output is
+    // either a generator bug or a false positive of the algorithm (the
+    // 32-bit simhash floor shows up here as cross-copy pairs; Jaccard-
+    // verified and rotation-decorrelated outputs must be ~0).
+    val crossCopy = scales.filter(_ > 1).map { n =>
+      clearPersisted()
+      import org.apache.spark.sql.functions.col
+      def crossFrac(df: DataFrame, a: String, b: String, stride: Long) = {
+        val total = df.count()
+        val cross = df
+          .filter((col(a) / stride).cast("long") =!=
+                  (col(b) / stride).cast("long")).count()
+        (cross, total)
+      }
+      val emb = crossFrac(graft.similarity.Ann.embeddingDup(spark, dirs(n)),
+        "vec_a", "vec_b", ScaleData.VecStride)
+      val jac = crossFrac(graft.dedup.Dedup.lshJaccardFast(spark, dirs(n))
+        .filter(col("is_dup") === 1), "doc_a", "doc_b", ScaleData.DocStride)
+      val sh32 = crossFrac(graft.dedup.Dedup.simhashDup(spark, dirs(n)),
+        "doc_a", "doc_b", ScaleData.DocStride)
+      val shW = crossFrac(graft.dedup.Dedup.simhashDupWide(spark, dirs(n)),
+        "doc_a", "doc_b", ScaleData.DocStride)
+      n -> Map("d_embedding_dup" -> emb, "d_lsh_dup_pairs" -> jac,
+        "d_simhash" -> sh32, "d_simhash_wide" -> shW)
+    }.toMap
+
     // capped-bucket recall: verified dups surviving the maxBucket=256 cap
     // vs the uncapped verified dups (claim: hot buckets hold boilerplate,
     // not dup clusters — recall stays 1.0)
@@ -212,6 +240,13 @@ object ScaleBench {
       val nd = docCounts(n); val allPairs = nd * (nd - 1) / 2
       val (kept, full) = cappedRecall(n)
       s""""x$n": {"docs": $nd, "candidate_pairs": ${candCounts(n)}, "all_pairs": $allPairs, "fraction_of_all_pairs": ${jnum(candCounts(n).toDouble / allPairs)}, "verified_dups": $full, "capped_verified_kept": $kept, "capped_recall": ${jnum(kept.toDouble / math.max(1L, full))}}"""
+    }.mkString(", ")).append("},\n")
+    sb.append("  \"cross_copy_pairs\": {")
+    sb.append(crossCopy.toSeq.sortBy(_._1).map { case (n, qs) =>
+      val inner = qs.toSeq.sortBy(_._1).map { case (q, (cross, total)) =>
+        s""""$q": {"cross": $cross, "total": $total, "fraction": ${jnum(cross.toDouble / math.max(1L, total))}}"""
+      }.mkString(", ")
+      s""""x$n": {$inner}"""
     }.mkString(", ")).append("},\n")
     sb.append("  \"queries\": {\n")
     sb.append(results.map { case (name, cells) =>

@@ -31,13 +31,16 @@ import org.apache.spark.sql.functions._
   *    such artifact.) True near-dup pairs therefore grow exactly
   *    linearly, so any super-linear growth in candidates or output is an
   *    artifact of the ALGORITHM, which is what the rehearsal detects.
-  *  - embeddings: copy c applies a signed permutation of the dimensions
-  *    (orthogonal transform: x'_j = ±x_perm(j)). Orthogonality preserves
-  *    every within-copy cosine exactly; across copies even mass-
-  *    concentrated ("spiky") vectors decorrelate, because matching the
-  *    heavy dimensions requires two independent permutations to agree —
-  *    a plain per-dimension sign flip is NOT enough for spiky vectors
-  *    (cos(F₁x, F₂x) stays near ±1 when one dimension dominates).
+  *  - embeddings: copy c applies a DENSE random rotation (Gaussian QR,
+  *    seeded per copy). Orthogonality preserves every within-copy cosine
+  *    to float precision; across copies any vector maps to a uniformly
+  *    random direction, so P(|cos| ≥ 0.95) ≈ e^(−d·t²/2) ≈ 10⁻¹³ at
+  *    d=64. Two cheaper constructions fail on this corpus and were
+  *    measured failing: a per-dimension sign flip keeps cos(F₁x, F₂x)
+  *    near ±1 when one dimension dominates, and a signed PERMUTATION
+  *    still collides at ~1/(2d) per cross pair for axis-aligned vectors
+  *    (the x50 run emitted 22.7M cross-copy "near-dups" from exactly
+  *    that — the corpus clusters are near-axis-aligned).
   *  - events / orders / lineitem: id-shifted copies (facts grow ×N,
   *    dimension tables stay fixed — the realistic shape of growth; the
   *    TPC-H dims are at most `customer`, which stays broadcast-sized).
@@ -87,27 +90,65 @@ object ScaleData {
     }.reduce(_ unionByName _)
   }
 
-  /** Embeddings ×n: per-copy signed dimension permutation (orthogonal,
-    * cosine-preserving within a copy; see object doc). */
+  /** Deterministic random rotation: Gaussian matrix, Gram–Schmidt rows.
+    * Copy 0 is the identity. */
+  private[scale] def rotation(d: Int, c: Int): Array[Array[Double]] = {
+    if (c == 0) return Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val rnd = new scala.util.Random(104729L * c + 7)
+    val m = Array.fill(d, d)(rnd.nextGaussian())
+    for (i <- 0 until d) {
+      for (k <- 0 until i) {
+        var dot = 0.0
+        var j = 0
+        while (j < d) { dot += m(i)(j) * m(k)(j); j += 1 }
+        j = 0
+        while (j < d) { m(i)(j) -= dot * m(k)(j); j += 1 }
+      }
+      var nrm = 0.0
+      var j = 0
+      while (j < d) { nrm += m(i)(j) * m(i)(j); j += 1 }
+      nrm = math.sqrt(nrm)
+      j = 0
+      while (j < d) { m(i)(j) /= nrm; j += 1 }
+    }
+    m
+  }
+
+  /** Embeddings ×n: per-copy dense random rotation (orthogonal,
+    * cosine-preserving within a copy; see object doc). The rotations for
+    * all copies (n·d² doubles — ~1.6 MB at n=50, d=64) ride into the
+    * tasks as a closure constant; the map itself is one typed pass. */
   def embeddings(spark: SparkSession, baseDir: String, n: Int): DataFrame = {
+    import spark.implicits._
     val base = graft.Tables.embeddings(spark, baseDir)
     val dim = base.select(size(col("embedding"))).first().getInt(0)
-    (0 until n).map { c =>
-      val emb =
-        if (c == 0) col("embedding")
-        else {
-          val rnd = new scala.util.Random(104729L * c + 7)
-          val perm = rnd.shuffle((0 until dim).toVector)
-          val sign = Vector.fill(dim)(if (rnd.nextBoolean()) 1f else -1f)
-          array((0 until dim).map { j =>
-            (element_at(col("embedding"), perm(j) + 1) * lit(sign(j)))
-              .cast("float")
-          }: _*)
+    val qs: Array[Array[Array[Double]]] =
+      Array.tabulate(n)(c => rotation(dim, c))
+    val stride = VecStride
+    base.select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)]
+      .flatMap { case (id, v, label) =>
+        val x = v.toArray
+        (0 until n).map { c =>
+          val out =
+            if (c == 0) x
+            else {
+              val q = qs(c)
+              val o = new Array[Float](dim)
+              var j = 0
+              while (j < dim) {
+                var s = 0.0
+                var i = 0
+                while (i < dim) { s += q(j)(i) * x(i); i += 1 }
+                o(j) = s.toFloat
+                j += 1
+              }
+              o
+            }
+          (id + c.toLong * stride, out, label)
         }
-      base.select(
-        (col("vec_id") + lit(c.toLong * VecStride)).as("vec_id"),
-        emb.as("embedding"), col("label"))
-    }.reduce(_ unionByName _)
+      }
+      .toDF("vec_id", "embedding", "label")
   }
 
   /** Events ×n: id/user-shifted copies (raw INT64-nanos ts preserved). */

@@ -20,7 +20,12 @@ class OpsSpec extends SparkTestBase {
     // t_freq_tokens is a Misra-Gries sketch: contents depend on merge
     // order and are not an engine-portable artifact (FreqItemsSpec pins
     // its guarantees against exact counts instead)
+    // d_*_capped / d_simhash_wide are production scale knobs from the
+    // round-5 rehearsal: xxhash64- or wide-hash-based, so rows-only like
+    // the other fast twins (DedupSpec pins capped recall; SCALE_r5.json
+    // measures them per scale)
     val rowsOnly = Set("d_minhash_lsh_fast", "d_lsh_jaccard_fast",
+      "d_minhash_capped", "d_lsh_jaccard_capped", "d_simhash_wide",
       "a_quantiles_approx", "a_approx_ndv", "t_freq_tokens")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")

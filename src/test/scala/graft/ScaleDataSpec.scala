@@ -27,6 +27,16 @@ class ScaleDataSpec extends SparkTestBase {
   private val base = "/root/testdata/sf0.001"
   private def haveData = new java.io.File(s"$base/documents.parquet").exists()
 
+  test("rotation matrices are orthogonal (QᵀQ = I to 1e-9)") {
+    val d = 16
+    val q = ScaleData.rotation(d, 5)
+    for (i <- 0 until d; k <- 0 until d) {
+      val dot = (0 until d).map(j => q(i)(j) * q(k)(j)).sum
+      val want = if (i == k) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"QᵀQ[$i][$k] = $dot")
+    }
+  }
+
   test("cipher is a bijection commuting with lower()") {
     val (from, to) = ScaleData.cipher(3)
     assert(from.length == to.length)
