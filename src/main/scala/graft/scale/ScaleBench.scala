@@ -121,6 +121,10 @@ object ScaleBench {
       "d_simhash" -> (graft.dedup.Dedup.simhashDup _),
       "d_simhash_wide" -> (graft.dedup.Dedup.simhashDupWide _),
       "d_embedding_dup" -> (graft.similarity.Ann.embeddingDup _),
+      "d_embedding_capped" -> ((s: SparkSession, d: String) =>
+        graft.similarity.Ann.embeddingDupCapped(s, d)),
+      "d_embedding_scaled" -> ((s: SparkSession, d: String) =>
+        graft.similarity.Ann.embeddingDupScaled(s, d)),
       "d_decontaminate" -> (graft.dedup.Dedup.decontaminate _),
       "d_dup_clusters_fast" -> ((s: SparkSession, d: String) =>
         graft.dedup.Dedup.dupClustersFast(s, d)),
@@ -199,8 +203,11 @@ object ScaleBench {
                   (col(b) / stride).cast("long")).count()
         (cross, total)
       }
-      val emb = crossFrac(graft.similarity.Ann.embeddingDup(spark, dirs(n)),
-        "vec_a", "vec_b", ScaleData.VecStride)
+      // embeddingDup emits CANDIDATES with flags; the honesty gate is on
+      // the verified subset (candidates legitimately cross copies when two
+      // copies' clusters share a bucket — that is the capped variant's job)
+      val emb = crossFrac(graft.similarity.Ann.embeddingDup(spark, dirs(n))
+        .filter(col("is_dup") === 1), "vec_a", "vec_b", ScaleData.VecStride)
       val jac = crossFrac(graft.dedup.Dedup.lshJaccardFast(spark, dirs(n))
         .filter(col("is_dup") === 1), "doc_a", "doc_b", ScaleData.DocStride)
       val sh32 = crossFrac(graft.dedup.Dedup.simhashDup(spark, dirs(n)),

@@ -84,9 +84,14 @@ object Ann {
   /** Deterministic ±1 hyperplane matrix: sign(p,i) = +1 iff the first hex
     * digit of md5("p_i") is >= '8'. Computed driver-side once; the oracle
     * reproduces the identical md5 logic in SQL. */
-  lazy val planes: Array[Array[Int]] = {
+  lazy val planes: Array[Array[Int]] = planesFor(NumPlanes)
+
+  /** First `n` planes of the same md5-seeded deterministic family —
+    * [[planes]] is the prefix, so scaled variants agree with the fixed
+    * oracle construction on their shared planes. */
+  def planesFor(n: Int): Array[Array[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NumPlanes, Dim) { (p, i) =>
+    Array.tabulate(n, Dim) { (p, i) =>
       val hex = md.digest(s"${p}_$i".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       if ("89abcdef".contains(hex.charAt(0))) 1 else -1
@@ -94,12 +99,15 @@ object Ann {
   }
 
   /** LSH bucket id: NumPlanes sign bits of plane·v (exact int arithmetic). */
-  def bucketExpr(q: Column): Column = {
-    (0 until NumPlanes).map { p =>
-      val planeLit = array(planes(p).toIndexedSeq.map(s => lit(s.toDouble)): _*)
-      when(intDot(q, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
+  def bucketExpr(q: Column): Column = bucketExprSlice(q, 0, NumPlanes, planes)
+
+  /** Bucket id from plane rows [from, from+width) of `ps`. */
+  private def bucketExprSlice(q: Column, from: Int, width: Int,
+                              ps: Array[Array[Int]]): Column =
+    (0 until width).map { b =>
+      val planeLit = array(ps(from + b).toIndexedSeq.map(s => lit(s.toDouble)): _*)
+      when(intDot(q, planeLit) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** LSH-bucketed near-dup pairs: same bucket, dot >= threshold. The
     * bucket equi-join is the scale path — pair space shrinks ~2^NumPlanes×
@@ -122,13 +130,99 @@ object Ann {
     * cos²(a,b) ≥ 0.9 ⇔ 10·(a·b)² ≥ 9·‖a‖²·‖b‖² on integer-quantized
     * vectors (scale 100 keeps 10·dot⁴-order products inside int64), so
     * no floating sqrt ever happens — bit-stable in any engine. */
-  def embeddingDup(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingDupOver(spark, dir, maxBucket = Int.MaxValue)
+
+  /** [[embeddingDup]] with a bucket-size cap — the hyperplane-LSH
+    * sibling of `Dedup.bandCandidatesCapped`, and the same measured
+    * motivation: the ×50 scale rehearsal put 100k vectors through the
+    * FIXED 2^NumPlanes bucket space and the candidate join emitted 23M
+    * pairs, because clusters stay clustered under rotation and bucket
+    * occupancy is heavy-tailed — with the bucket count not scaling in
+    * corpus size, expected candidates grow ≥ C(n,2)/2^planes, i.e.
+    * QUADRATICALLY. Production levers, in order: more planes as the
+    * corpus grows (buckets ∝ n keeps the uniform part linear) and this
+    * cap (bounds the adversarial/hot part regardless). Over-cap buckets
+    * are dropped before the self-join ever sees them. */
+  def embeddingDupCapped(spark: SparkSession, dir: String,
+                         maxBucket: Int = 1000): DataFrame =
+    embeddingDupOver(spark, dir, maxBucket)
+
+  /** Corpus-scaled multi-table LSH near-dup candidates — the STRUCTURAL
+    * fix for what the ×50 rehearsal measured: with the oracle form's
+    * FIXED 2⁸ buckets, expected candidates are ≥ C(n,2)/256 — quadratic
+    * in corpus size, 23M pairs at 100k vectors. Here the plane count
+    * grows with the corpus (planes = max(8, ⌈log₂(n/targetBucket)⌉), so
+    * expected bucket occupancy stays ≈ targetBucket and candidates stay
+    * ≈ T·n·targetBucket/2 — LINEAR in n. Single-table recall for a
+    * true near-dup falls as (1−θ/π)^planes, so `tables` independent
+    * plane sets OR together (the classic multi-table construction, the
+    * same AND/OR logic as minhash banding): recall 1−(1−p^k)^T.
+    * All T buckets per vector come from one posexplode pass; the join
+    * key is (table, bucket); pairs are distinct-ed before the exact
+    * rational cosine verify, which is unchanged from [[embeddingDup]].
+    * Rows-only (`d_embedding_scaled`): same reason as the xxhash twins —
+    * the production construction has no cheap cross-engine twin, and
+    * the fixed-plane oracle form pins the verify arithmetic. */
+  def embeddingDupScaled(spark: SparkSession, dir: String,
+                         targetBucket: Int = 16, tables: Int = 4,
+                         maxBucket: Int = 4096): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
-    val emb = Tables.embeddings(spark, dir)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 100)).as("q"))
+    val nVec = base.count()
+    val nPlanes = math.max(NumPlanes,
+      64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, nVec / targetBucket - 1)).toInt)
+    val ps = planesFor(tables * nPlanes)
+    val emb = base
+      .select(col("vec_id"), col("q"),
+        posexplode(array((0 until tables).map(t =>
+          bucketExprSlice(col("q"), t * nPlanes, nPlanes, ps)): _*))
+          .as(Seq("tbl", "bucket")))
+      .withColumn("norm2", intDot(col("q"), col("q")).cast("long"))
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("bsz") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = emb.select(col("tbl").as("t_l"), col("bucket").as("bkt"),
+      col("vec_id").as("vec_a"), col("q").as("qa"), col("norm2").as("na"))
+    val r = emb.select(col("tbl").as("t_r"), col("bucket").as("bkt_r"),
+      col("vec_id").as("vec_b"), col("q").as("qb"), col("norm2").as("nb"))
+    l.join(r, col("t_l") === col("t_r") && col("bkt") === col("bkt_r") &&
+        col("vec_a") < col("vec_b"))
+      // dot computed per occurrence (≤ T times/pair) so the distinct
+      // dedupes narrow scalar rows instead of carrying the q arrays
+      .select(col("vec_a"), col("vec_b"),
+        intDot(col("qa"), col("qb")).cast("long").as("dot"),
+        col("na"), col("nb"))
+      .distinct()
+      .withColumn("is_dup", (col("dot") > 0 &&
+        col("dot") * col("dot") * 10 >= col("na") * col("nb") * 9).cast("int"))
+      .withColumn("is_similar", (col("dot") > 0 &&
+        col("dot") * col("dot") * 25 >= col("na") * col("nb")).cast("int"))
+      .select(col("vec_a"), col("vec_b"), col("dot"),
+        col("is_dup"), col("is_similar"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private def embeddingDupOver(spark: SparkSession, dir: String,
+                               maxBucket: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val emb0 = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => round(x.cast("double") * 100)).as("q"))
       .withColumn("bucket", bucketExpr(col("q")))
       .withColumn("norm2", intDot(col("q"), col("q")).cast("long"))
+    val emb =
+      if (maxBucket == Int.MaxValue) emb0
+      else emb0
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+        .filter(col("bsz") <= maxBucket)
+        .drop("bsz")
     val l = emb.select(col("bucket").as("bkt"), col("vec_id").as("vec_a"),
       col("q").as("qa"), col("norm2").as("na"))
     val r = emb.select(col("bucket").as("bkt_r"), col("vec_id").as("vec_b"),

@@ -174,6 +174,24 @@ class DedupSpec extends SparkTestBase {
     sigs.unpersist()
   }
 
+  test("scaled multi-table embedding LSH degenerates to the fixed form") {
+    import spark.implicits._
+    // one table + tiny corpus → plane count floors at NumPlanes and the
+    // plane family prefix is shared, so candidates and flags must match
+    // the oracle-gated fixed construction exactly
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "dot", "is_dup", "is_similar")
+        .as[(Long, Long, Long, Int, Int)].collect().toSet
+    val fixed = pairs(Ann.embeddingDup(spark, sfDir))
+    val scaled = pairs(Ann.embeddingDupScaled(spark, sfDir,
+      targetBucket = Int.MaxValue, tables = 1, maxBucket = Int.MaxValue))
+    assert(scaled == fixed)
+    // multi-table is a superset of any single table's candidates
+    val multi = pairs(Ann.embeddingDupScaled(spark, sfDir,
+      targetBucket = Int.MaxValue, tables = 4, maxBucket = Int.MaxValue))
+    assert(fixed.subsetOf(multi))
+  }
+
   test("dup-cluster label paths agree: driver union-find vs distributed propagation") {
     import spark.implicits._
     // chain 1-2-3, triangle 10-11-12 + tail 13, isolated edge 20-21;
