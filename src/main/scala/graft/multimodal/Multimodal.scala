@@ -8,17 +8,18 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real (schemas, partition-preserving
   * mapPartitions batch transforms, explode-based frame sampling). The
-  * codec layer is REAL for P6 PPM + PNG images (PpmCodec, PngCodec — PNG
-  * incl. DEFLATE, chunk CRCs, and all five scanline filters), PCM16 WAV
-  * audio (WavCodec), and YUV4MPEG2 video (Y4mCodec, C444 + BT.601
-  * conversion) — all pure JVM, zero dependencies: synthesize emits
-  * actual PPMs / PNGs / WAVs / Y4Ms, and decode / feature-extract /
-  * resize / resample / frame-sample operate on true pixels, samples,
-  * and frames. Only compressed formats that need external libraries
-  * (JPEG, H.264-class video) stay behind `decodeBytesStub`, a
-  * deterministic byte-level fake — at production scale that stub body is
-  * the only thing that changes (swap in a JNI/codec call; everything
-  * around it is the distributed shape).
+  * codec layer is REAL for P6 PPM + PNG + baseline JPEG images
+  * (PpmCodec, PngCodec — PNG incl. DEFLATE, chunk CRCs, and all five
+  * scanline filters; JpegCodec — Huffman + DCT, subsampling, restart
+  * markers, spec-validated against the JDK's independent decoder),
+  * PCM16 WAV audio (WavCodec), and YUV4MPEG2 video (Y4mCodec, C444 +
+  * BT.601 conversion) — all pure JVM, zero dependencies: synthesize
+  * emits actual PPMs / PNGs / JPEGs / WAVs / Y4Ms, and decode /
+  * feature-extract / resize / resample / frame-sample operate on true
+  * pixels, samples, and frames. Only H.264-class compressed video stays
+  * behind `decodeBytesStub`, a deterministic byte-level fake — at
+  * production scale that stub body is the only thing that changes (swap
+  * in a JNI/codec call; everything around it is the distributed shape).
   *
   * At 100 TB: payloads live in parquet binary columns, read lazily; decode
   * runs partition-local with zero shuffle; per-item fan-out (frames)
@@ -34,9 +35,9 @@ object Multimodal {
                                  meanByte: Double, entropyMilli: Long,
                                  histogram: Array[Long])
 
-  /** STUB — deterministic fake decode for formats without a pure-JVM
-    * codec here (JPEG, audio). A real build replaces this body with a
-    * codec call; signature and batch shape stay. */
+  /** STUB — deterministic fake decode for the one format family without
+    * a pure-JVM codec here (H.264-class video). A real build replaces
+    * this body with a codec call; signature and batch shape stay. */
   private[multimodal] def decodeBytesStub(payload: Array[Byte]): Array[Int] =
     payload.map(b => (b & 0xff)) // "pixels" = raw bytes
 
@@ -44,6 +45,7 @@ object Multimodal {
   private[multimodal] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     if (PpmCodec.isPpm(payload)) PpmCodec.decode(payload)
     else if (PngCodec.isPng(payload)) PngCodec.decode(payload)
+    else if (JpegCodec.isJpeg(payload)) JpegCodec.decode(payload)
     else None
 
   /** Dispatching decode: REAL pixels for PPM/PNG payloads, REAL per-frame
@@ -143,6 +145,7 @@ object Multimodal {
         case Some((sw, sh, rgb)) =>
           val resized = PpmCodec.resizeNearest(sw, sh, rgb, w, h)
           val out = if (PngCodec.isPng(m.payload)) PngCodec.encode(w, h, resized)
+                    else if (JpegCodec.isJpeg(m.payload)) JpegCodec.encode(w, h, resized)
                     else PpmCodec.encode(w, h, resized)
           m.copy(payload = out, meta = m.meta.copy(width = w, height = h, channels = 3))
         case None =>
@@ -231,10 +234,12 @@ object Multimodal {
             rgb(i * 3 + 2) = ((255 - d + i / w) & 0xff).toByte
             i += 1
           }
-          // alternate formats so both real image codecs are exercised
-          val (payload, mime) =
-            if (docId % 2 == 0) (PngCodec.encode(w, h, rgb), "image/png")
-            else (PpmCodec.encode(w, h, rgb), "image/x-portable-pixmap")
+          // rotate formats so all three real image codecs are exercised
+          val (payload, mime) = (docId / 3) % 3 match {
+            case 0 => (PngCodec.encode(w, h, rgb), "image/png")
+            case 1 => (PpmCodec.encode(w, h, rgb), "image/x-portable-pixmap")
+            case _ => (JpegCodec.encode(w, h, rgb, quality = 92), "image/jpeg")
+          }
           MediaItem(docId, kind, payload,
             MediaMeta(width = w, height = h, channels = 3,
               sampleRate = 0, durationMs = 0, mime = mime))

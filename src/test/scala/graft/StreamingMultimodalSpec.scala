@@ -262,12 +262,21 @@ class StreamingMultimodalSpec extends SparkTestBase {
     resized.foreach { m =>
       if (m.kind == "image") {
         // real codec path: payload is a valid 2×2 image in its ORIGINAL
-        // format (synthesize alternates PNG and P6 PPM by doc id)
-        val expectPng = m.mediaId % 2 == 0
-        assert(graft.multimodal.PngCodec.isPng(m.payload) == expectPng,
-          "resize must re-encode in the source format")
-        val dec = if (expectPng) graft.multimodal.PngCodec.decode(m.payload)
-                  else graft.multimodal.PpmCodec.decode(m.payload)
+        // format (synthesize rotates PNG / P6 PPM / JPEG by doc id)
+        val dec = (m.mediaId / 3) % 3 match {
+          case 0 =>
+            assert(graft.multimodal.PngCodec.isPng(m.payload),
+              "resize must re-encode in the source format")
+            graft.multimodal.PngCodec.decode(m.payload)
+          case 1 =>
+            assert(graft.multimodal.PpmCodec.isPpm(m.payload),
+              "resize must re-encode in the source format")
+            graft.multimodal.PpmCodec.decode(m.payload)
+          case _ =>
+            assert(graft.multimodal.JpegCodec.isJpeg(m.payload),
+              "resize must re-encode in the source format")
+            graft.multimodal.JpegCodec.decode(m.payload)
+        }
         val Some((w, h, rgb)) = dec
         assert(w == 2 && h == 2 && rgb.length == 12)
       } else assert(m.payload.length == 2 * 2 * m.meta.channels)
