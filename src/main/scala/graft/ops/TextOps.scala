@@ -87,6 +87,61 @@ object TextOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Trained quality classifier, frozen-weights scoring form: a logistic
+    * model over the [[qualityScore]] features, with weights fit offline
+    * by [[graft.ml.LogReg.train]] and published here as integer micros
+    * (the `params.py` pattern — fit once, ship constants). The logit is
+    * computed ENTIRELY in BIGINT arithmetic (integer features × integer
+    * micro-weights), so the oracle hash is exact with no float in either
+    * engine; the decision is the logit's sign. [[graft.ml.LogReg]] holds
+    * the general float-weight trainer/scorer this freezes. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val txt = $"text"
+    val nChars = length(txt).cast("long")
+    val nDigits = (length(txt) - length(regexp_replace(txt, "[0-9]", ""))).cast("long")
+    val nUpper = (length(txt) - length(regexp_replace(txt, "[A-Z]", ""))).cast("long")
+    val nSpaces = (length(txt) - length(regexp_replace(txt, " ", ""))).cast("long")
+    val digitBp = floor(nDigits * lit(10000) / nChars).cast("long")
+    val upperBp = floor(nUpper * lit(10000) / nChars).cast("long")
+    val spaceBp = floor(nSpaces * lit(10000) / nChars).cast("long")
+    val logit = lit(ClassifierBiasMicros) +
+      digitBp * lit(ClassifierWeightsMicros(0)) +
+      upperBp * lit(ClassifierWeightsMicros(1)) +
+      spaceBp * lit(ClassifierWeightsMicros(2)) +
+      least(nChars, lit(2000L)) * lit(ClassifierWeightsMicros(3))
+    Tables.documents(spark, dir)
+      .select($"doc_id", logit.as("logit_micros"),
+        (logit > 0).cast("long").as("is_quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Frozen classifier constants (micros): bias, then weights for
+    * digit_bp, upper_bp, space_bp, min(n_chars, 2000). */
+  val ClassifierBiasMicros: Long = -545000L
+  val ClassifierWeightsMicros: Array[Long] = Array(-300L, -200L, 150L, 900L)
+
+  val qualityClassifierSql: String =
+    """SELECT doc_id,
+      |  CAST(-545000
+      |   - 300 * CAST(floor(len(regexp_replace(text, '[^0-9]', '', 'g')) * 10000.0
+      |         / len(text)) AS BIGINT)
+      |   - 200 * CAST(floor(len(regexp_replace(text, '[^A-Z]', '', 'g')) * 10000.0
+      |         / len(text)) AS BIGINT)
+      |   + 150 * CAST(floor((len(text) - len(replace(text, ' ', ''))) * 10000.0
+      |         / len(text)) AS BIGINT)
+      |   + 900 * least(len(text), 2000) AS BIGINT) AS logit_micros,
+      |  CAST(CASE WHEN -545000
+      |   - 300 * CAST(floor(len(regexp_replace(text, '[^0-9]', '', 'g')) * 10000.0
+      |         / len(text)) AS BIGINT)
+      |   - 200 * CAST(floor(len(regexp_replace(text, '[^A-Z]', '', 'g')) * 10000.0
+      |         / len(text)) AS BIGINT)
+      |   + 150 * CAST(floor((len(text) - len(replace(text, ' ', ''))) * 10000.0
+      |         / len(text)) AS BIGINT)
+      |   + 900 * least(len(text), 2000) > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_quality
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Corpus n-gram statistics: the top-5 word bigrams per language by
     * document frequency (count DESC, bigram ASC tiebreak — a total order,
     * so rank assignment is deterministic). Written as the row_number
