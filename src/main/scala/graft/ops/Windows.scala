@@ -252,4 +252,54 @@ object Windows {
        |FROM grid g
        |LEFT JOIN perday p ON g.user_id = p.user_id AND g.day = p.day
        |ORDER BY g.user_id, day""".stripMargin
+
+  /** SCD type-2 dimension build from an event stream: collapse each
+    * user's event-type sequence into validity intervals — one row per
+    * STATE CHANGE with [valid_from, valid_to) and an is_current flag.
+    * The warehouse dimension-history pattern (Kimball SCD2), expressed
+    * as two window passes over the change key: a lag() change filter,
+    * then lead()/row_number() over the survivors. Both windows share the
+    * same (user_id × time) partitioning, so the second pass reuses the
+    * first's exchange; ties at one timestamp are totalized by the state
+    * string. At 100 TB this is one shuffle on user_id regardless of
+    * history depth. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_type")
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_type")
+    val changes = ev
+      .withColumn("prev_state", lag($"event_type", 1).over(w))
+      .filter($"prev_state".isNull || $"prev_state" =!= $"event_type")
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_us", lead($"ts_us", 1).over(w))
+      .select($"user_id", $"version", $"event_type".as("state"),
+        $"ts_us".as("valid_from_us"), $"valid_to_us",
+        $"valid_to_us".isNull.cast("long").as("is_current"))
+      .orderBy($"user_id", $"version")
+  }
+
+  val scd2IntervalsSql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |chg AS (
+      |  SELECT user_id, ts_us, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts_us, event_type) AS prev_state
+      |  FROM ev),
+      |scd AS (
+      |  SELECT user_id, ts_us, event_type FROM chg
+      |  WHERE prev_state IS NULL OR prev_state <> event_type)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  event_type AS state,
+      |  ts_us AS valid_from_us,
+      |  lead(ts_us) OVER w AS valid_to_us,
+      |  CAST(CASE WHEN lead(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_current
+      |FROM scd
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_type)
+      |ORDER BY user_id, version""".stripMargin
 }

@@ -515,8 +515,8 @@ object Ann {
       .select(col("vec_id"), col("x"),
         floor(col("i") / SubDim).cast("int").as("m"),
         (col("i") % SubDim).as("j"))
-      // read by both assignment rounds, the update, and the LUT build —
-      // persist so the explode runs once (at 100 TB: checkpoint)
+      // read by the codebook update and the LUT build — persist so the
+      // explode runs once (at 100 TB: checkpoint)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed codebook: the PqK hash-smallest vectors, sliced per subspace
     val h = graft.functions.HashExpressions.md5Prefix64(
@@ -530,15 +530,27 @@ object Ann {
         }
       }.toSeq
     val cents0 = seeds.toDF("m", "cell", "j", "cx")
-    // argmin assignment, all subspaces in one aggregation (m is a column)
-    def assign(cents: DataFrame): DataFrame =
-      coords.join(broadcast(cents), Seq("m", "j"))
-        .groupBy(col("vec_id"), col("m"), col("cell"))
-        .agg(sum(col("cx") * col("cx") - col("x") * col("cx") * 2).as("dist"))
+    // argmin assignment, all subspaces at once: pack each (m, cell)
+    // centroid into an array, broadcast all M·K of them against the
+    // vector scan, and fold the SubDim products in-row. Same integer
+    // arithmetic as the long-format join (products < 2^53, so the sum is
+    // exact and order-free — the oracle replay still hash-matches), but
+    // no n·Dim·K-row intermediate feeding a hash aggregate: the only
+    // per-row work is a SubDim-element codegen fold, and the only
+    // aggregation left is the M·K-per-vector argmin.
+    def assign(cents: DataFrame): DataFrame = {
+      val centArr = cents.groupBy(col("m"), col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, cx))), p -> p.cx)")
+          .as("carr"))
+      emb.crossJoin(broadcast(centArr))
+        .withColumn("dist", expr(
+          s"aggregate(zip_with(slice(q, m * $SubDim + 1, $SubDim), carr, " +
+            "(x, c) -> c * c - x * c * 2D), 0D, (a, v) -> a + v)"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cell"))))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("m"), col("cell"), col("dist"))
+    }
     PqParts(emb, coords, cents0, assign)
   }
 

@@ -108,4 +108,45 @@ object Store {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** MERGE-style keyed upsert onto a partitioned parquet table, without
+    * a table format: rows in `updates` replace base rows with the same
+    * key; new keys append. Only partitions that CONTAIN an updated key
+    * are rewritten — the rest of the table (at 100 TB: almost all of it)
+    * is never read or written:
+    *
+    *  1. the touched partition list comes from the updates alone
+    *     (broadcast-small by construction — an update batch touching
+    *     millions of partitions is a rewrite, not an upsert);
+    *  2. only those partitions' base rows are scanned (directory pruning
+    *     does the skipping), anti-joined on the key, unioned with the
+    *     updates;
+    *  3. dynamic partition overwrite swaps just those directories —
+    *     re-running the same batch is idempotent (S9's resume story at
+    *     the partition level, StoreSpec pins the heal-and-rerun case).
+    *
+    * `localCheckpoint` materializes the merged slice before the write so
+    * the plan doesn't read the path it is overwriting; its size is
+    * proportional to the touched partitions, not the table. */
+  def upsertPartitions(updates: DataFrame, path: String, keyCols: Seq[String],
+                       partitionCols: Seq[String]): Unit = {
+    val spark = updates.sparkSession
+    val base = try spark.read.parquet(path) catch {
+      case _: Exception => // first batch: the upsert IS the table
+        writePartitioned(updates, path, partitionCols)
+        return
+    }
+    val touched = updates.select(partitionCols.map(col): _*).distinct()
+    val merged = base
+      .join(broadcast(touched), partitionCols, "left_semi")
+      .join(broadcast(updates.select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_anti")
+      .unionByName(updates)
+      .localCheckpoint()
+    merged.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
 }

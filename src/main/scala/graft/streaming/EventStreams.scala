@@ -207,6 +207,45 @@ object EventStreams {
     * (everything above n/(k+1) present; est ≤ true ≤ est + err) hold at
     * every emission because they are invariant under the update/merge
     * rules, not a property of batch boundaries. */
+  final case class Scd2State(state: String, sinceUs: Long, version: Long)
+  final case class Scd2Closed(user_id: Long, version: Long, state: String,
+                              valid_from_us: Long, valid_to_us: Long)
+
+  /** Streaming SCD2: the stream twin of [[graft.ops.Windows.scd2Intervals]].
+    * Keyed state is the OPEN interval (current state, since-when, version
+    * counter) — O(1) per user; each arriving state CHANGE closes the open
+    * interval and emits it (append mode can't retract, so only CLOSED
+    * intervals are emitted — the open one lives in state until the next
+    * change, and the batch operator's is_current row is exactly that
+    * open interval). Within-batch disorder is absorbed by the same
+    * (ts, state) sort the batch window uses; consecutive duplicates
+    * collapse identically to the batch lag() change filter. */
+  def streamingScd2(spark: SparkSession, events: DataFrame): Dataset[Scd2Closed] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[(Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, String)],
+         state: GroupState[Scd2State]) =>
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, tsUs, et) =>
+            cur match {
+              case Some(s) if s.state == et => () // same state: no interval edge
+              case Some(s) =>
+                out += Scd2Closed(userId, s.version, s.state, s.sinceUs, tsUs)
+                cur = Some(Scd2State(et, tsUs, s.version + 1))
+              case None =>
+                cur = Some(Scd2State(et, tsUs, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def streamingFreqTokens(spark: SparkSession, docs: DataFrame,
                           k: Int): Dataset[TrendingRow] = {
     import spark.implicits._

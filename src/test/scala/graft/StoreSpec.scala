@@ -174,6 +174,41 @@ class StoreSpec extends SparkTestBase {
     assert(Store.skipExisting(ev, tmp() + "/nope", Seq("day")).count() == ev.count())
   }
 
+  test("keyed upsert rewrites only the partitions containing updated keys") {
+    import spark.implicits._
+    val out = tmp()
+    val base = (1 to 100).map(k => (k.toLong, s"v$k", k % 5))
+      .toDF("key", "value", "part")
+    Store.upsertPartitions(base, out, Seq("key"), Seq("part"))
+    assert(spark.read.parquet(out).count() == 100)
+
+    def partFiles(p: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$out/part=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouchedBefore = Map(0 -> partFiles(0), 4 -> partFiles(4))
+
+    // update two keys (parts 2 and 3) and insert a new one (part 1)
+    val updates = Seq((7L, "NEW7", 2), (3L, "NEW3", 3), (101L, "NEW101", 1))
+      .toDF("key", "value", "part")
+    Store.upsertPartitions(updates, out, Seq("key"), Seq("part"))
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == 101)
+    val byKey = back.select("key", "value").as[(Long, String)].collect().toMap
+    assert(byKey(7L) == "NEW7" && byKey(3L) == "NEW3" && byKey(101L) == "NEW101")
+    assert(byKey(8L) == "v8" && byKey(12L) == "v12") // same-partition neighbors intact
+    // untouched partitions' FILES are bit-identical — never rewritten
+    assert(partFiles(0) == untouchedBefore(0) && partFiles(4) == untouchedBefore(4),
+      "upsert rewrote a partition with no updated keys")
+    // re-running the same batch is idempotent
+    Store.upsertPartitions(updates, out, Seq("key"), Seq("part"))
+    assert(spark.read.parquet(out).count() == 101)
+    assert(spark.read.parquet(out).select("key", "value").as[(Long, String)]
+      .collect().toMap == byKey)
+  }
+
   test("same-bucketed join plans with zero exchanges") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sfDir)

@@ -194,6 +194,25 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("streaming SCD2 closed intervals match the batch operator") {
+    import graft.streaming.EventStreams
+    val stream = EventStreams.streamingScd2(spark,
+      EventStreams.readEvents(spark, stageDir("events")))
+    val got = EventStreams.drainToMemory(stream.toDF(), "scd2_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // batch twin: every interval with a valid_to (the open/current row is
+    // the streaming state, not an emission)
+    val batch = graft.ops.Windows.scd2Intervals(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("valid_to_us").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got.nonEmpty)
+    assert(got == batch)
+  }
+
   test("streaming funnel matches the batch funnel operator") {
     import graft.streaming.EventStreams
     val stream = EventStreams.streamingFunnel(spark,

@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.ZOrder
+import org.apache.spark.sql.functions._
+
+class ZOrderSpec extends SparkTestBase {
+
+  /** Reference Morton interleave on the driver. */
+  private def morton(xs: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    val k = xs.size
+    for (b <- 0 until bits; i <- 0 until k)
+      z |= ((xs(i) >> b) & 1L) << (b * k + i)
+    z
+  }
+
+  test("zValue matches a driver-side Morton reference on exact grid points") {
+    import spark.implicits._
+    val bits = 8
+    val maxV = (1 << bits) - 1 // 255
+    // ranges (0, 255) with 255 quantization steps → quantized value = raw
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (170L, 85L), (7L, 200L))
+    val df = pts.toDF("x", "y")
+    val z = ZOrder.zValue(Seq($"x", $"y"), Seq((0.0, maxV.toDouble), (0.0, maxV.toDouble)), bits)
+    val got = df.select($"x", $"y", z.as("z")).collect()
+    got.foreach { r =>
+      val expect = morton(Seq(r.getLong(0), r.getLong(1)), bits)
+      assert(r.getLong(2) == expect, s"(${r.getLong(0)},${r.getLong(1)})")
+    }
+  }
+
+  test("z-ordered layout prunes row groups on the non-sorted dimension") {
+    import spark.implicits._
+    val n = 200000
+    val rng = new scala.util.Random(42)
+    val data = (1 to n).map(_ => (rng.nextInt(1000), rng.nextInt(1000), rng.nextLong()))
+      .toDF("x", "y", "payload")
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val linPath = s"$base/linear"
+    val zPath = s"$base/zordered"
+
+    // layout A: sorted by x only — the single-column clustering baseline
+    data.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linPath)
+    // layout B: z-ordered on (x, y)
+    ZOrder.writeZOrdered(data, zPath, Seq("x", "y"), numFiles = 16)
+
+    /** Rows the parquet scan actually produced (post row-group/page
+      * pruning, pre any later filtering) for a selective y-band. */
+    def scanRows(path: String): (Long, Long) = {
+      val q = spark.read.parquet(path).filter($"y" >= 100 && $"y" <= 140)
+      val result = q.queryExecution.toRdd.count() // executes THIS plan
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      (scan.metrics("numOutputRows").value, result)
+    }
+
+    val (linScan, linCount) = scanRows(linPath)
+    val (zScan, zCount) = scanRows(zPath)
+    assert(linCount == zCount, "layouts must hold identical data")
+    // x-sorted layout has no y locality: the scan emits ~everything
+    assert(linScan > n / 2, s"baseline unexpectedly pruned: $linScan")
+    // z-ordered layout skips most row groups on the y predicate alone
+    assert(zScan < linScan / 2,
+      s"z-order pruned $zScan vs linear $linScan — expected < half")
+
+    // and the z layout still prunes on x too (no dimension sacrificed)
+    def scanRowsX(path: String): Long = {
+      val q = spark.read.parquet(path).filter($"x" >= 800 && $"x" <= 840)
+      q.queryExecution.toRdd.count()
+      q.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    assert(scanRowsX(zPath) < n / 2, "z layout lost x locality")
+  }
+}
