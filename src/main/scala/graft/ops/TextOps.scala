@@ -481,4 +481,103 @@ object TextOps {
       |         '\s+', ' ', 'g')) AS norm
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  /** RAG/context chunking: fixed character windows with overlap. Each
+    * doc fans out to ceil(max(n−overlap,1) / stride) chunks via an
+    * in-row sequence + posexplode — map-only, chunks co-partitioned with
+    * their parent doc, no shuffle (the same fan-out shape as video frame
+    * sampling). Chunk identity is the md5 of the exact substring, so
+    * the oracle pins the window arithmetic AND the text slicing. */
+  val ChunkSize = 200
+  val ChunkStride = 150 // = size − overlap
+
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text", length($"text").cast("long").as("n"))
+      .select($"doc_id", $"text", $"n",
+        posexplode(sequence(lit(0L), greatest($"n" - 1, lit(0L)), lit(ChunkStride.toLong)))
+          .as(Seq("chunk_idx", "start")))
+      .filter($"chunk_idx" === 0 || $"start" < $"n") // last stride may overshoot
+      .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+        $"start",
+        length(substring($"text", ($"start" + 1).cast("int"), lit(ChunkSize)))
+          .cast("long").as("chunk_len"),
+        md5(substring($"text", ($"start" + 1).cast("int"), lit(ChunkSize))).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val chunkDocsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(i AS BIGINT) AS chunk_idx,
+       |  CAST(i * $ChunkStride AS BIGINT) AS start,
+       |  CAST(len(substring(text, i * $ChunkStride + 1, $ChunkSize)) AS BIGINT)
+       |    AS chunk_len,
+       |  md5(substring(text, i * $ChunkStride + 1, $ChunkSize)) AS chunk_md5
+       |FROM documents,
+       |  UNNEST(generate_series(0, CAST(floor((greatest(len(text) - 1, 0))
+       |         / $ChunkStride) AS BIGINT))) AS s(i)
+       |WHERE i = 0 OR i * $ChunkStride < len(text)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Distinctive keywords per document — the tf-idf role with a total
+    * order and ZERO floats: rank tokens by (corpus df ASC, in-doc tf
+    * DESC, token ASC) and keep the top 3. Rare-in-corpus but
+    * frequent-in-doc tokens surface exactly as with idf·tf scoring, and
+    * every comparison is integer/string, so the oracle hash is exact.
+    * Plan shape: one explode → two aggregations (tf, df) → shuffle join
+    * on token → per-doc top-k through the heap rewrite. */
+  def docKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(trim(lower($"text")), "\\s+")).as("tok"))
+    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy($"tok").agg(countDistinct($"doc_id").as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"df", $"tf".desc, $"tok")
+    tf.join(df, "tok")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"tok", $"tf", $"df")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val docKeywordsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+      |SELECT doc_id, rank, tok, tf, df FROM (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY df.df, tf.tf DESC, tf.tok) AS BIGINT) AS rank
+      |  FROM tf JOIN df USING (tok)) t
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  /** PII redaction (curation-pipeline scrubbing stage): map-only
+    * regexp_replace chain for emails, E.164-ish phone numbers, IPv4
+    * addresses, and 13–19-digit card-like runs, each replaced with a
+    * typed tag; emits per-row match counts so a pipeline can audit
+    * redaction volume. The synthetic corpus contains no PII (spec
+    * injects it), so this ships as a generic transform, not an oracle
+    * row — all patterns are in the Java/RE2-common syntax subset. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    // order matters: specific before general (a bare 16-digit card run
+    // would otherwise match the looser phone pattern first)
+    val pats = Seq(
+      "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "ipv4" -> "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
+      "card" -> "\\b[0-9]{13,19}\\b",
+      "phone" -> "\\+?[0-9][0-9()\\-\\s]{7,14}[0-9]")
+    // counts run against the progressively-redacted text, so each match
+    // is attributed to exactly one tag
+    val (counted, redacted) = pats.foldLeft((df, col(textCol))) {
+      case ((d, c), (tag, p)) =>
+        (d.withColumn(s"n_$tag", (size(split(c, p, -1)) - 1).cast("long")),
+         regexp_replace(c, p, s"[$tag]"))
+    }
+    counted.withColumn(s"${textCol}_redacted", redacted)
+  }
 }

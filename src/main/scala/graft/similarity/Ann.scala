@@ -498,10 +498,16 @@ object Ann {
     * the seed codebook, and the exact-integer argmin assignment. */
   private final case class PqParts(emb: DataFrame, coords: DataFrame,
       cents0: DataFrame, assign: DataFrame => DataFrame) {
-    /** Codebook after one Lloyd round: floor-mean per (m, cell, coord). */
+    /** Codebook after one Lloyd round: floor-mean per (m, cell, coord).
+      * Materialized (localCheckpoint): it feeds BOTH the encoding
+      * assignment and the LUT build, and it is model-sized (M·K·SubDim
+      * rows) at any corpus scale — cutting its lineage halves the
+      * optimizer's work in every downstream plan instead of replaying
+      * the training subtree twice. */
     lazy val cents1: DataFrame = assign(cents0).join(coords, Seq("vec_id", "m"))
       .groupBy(col("m"), col("cell"), col("j"))
       .agg(floor(sum(col("x")) / count(lit(1))).as("cx"))
+      .localCheckpoint()
   }
 
   private def pqParts(spark: SparkSession, dir: String): PqParts = {
