@@ -23,7 +23,11 @@ class InvarianceSpec extends SparkTestBase {
     // multi-stage trained artifacts must also survive repartitioning
     "q2_min_cost_supplier", "q11_important_parts", "q15_top_supplier",
     "q16_supplier_counts", "s_pq_topk", "t_pipeline_audit",
-    "d_ngram_jaccard", "w_resample_locf", "j_fuzzy_names", "t_dq_audit")
+    "d_ngram_jaccard", "w_resample_locf", "j_fuzzy_names", "t_dq_audit",
+    // round-5 additions: interval building, chunk fan-out, df/tf ranking,
+    // frozen-classifier integer logit, Morton keys, KMV sketches
+    "w_scd2_intervals", "t_chunk_docs", "t_doc_keywords",
+    "t_quality_classifier", "s_zorder_key", "a_kmv_overlap")
 
   private def runAt(q: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -264,4 +264,35 @@ class PlanSpec extends SparkTestBase {
       assert(hashExU > 1, s"unbucketed control unexpectedly shuffle-free ($hashExU):\n${pU.take(1500)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("chunking fans out map-side: no hash exchange before the final sort") {
+    val p = plan(SparkEntry.queries("t_chunk_docs")(spark, sfDir))
+    assert(p.contains("Generate"), p) // the posexplode fan-out
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunk fan-out must not shuffle:\n$p")
+  }
+
+  test("scd2: both windows share one user_id exchange") {
+    val p = plan(SparkEntry.queries("w_scd2_intervals")(spark, sfDir))
+    // expected exchanges: the distinct's composite-key shuffle and ONE
+    // user_id shuffle shared by the change-filter and interval windows
+    val windowKeyExchanges = p.linesIterator.count(l =>
+      l.contains("hashpartitioning(user_id") && !l.contains("ts_us"))
+    assert(windowKeyExchanges == 1,
+      s"change filter + interval windows must reuse one exchange:\n$p")
+  }
+
+  test("zorder key: pure projection over a pruned scan") {
+    val p = plan(SparkEntry.queries("s_zorder_key")(spark, sfDir))
+    assert(!p.contains("Exchange hashpartitioning"), p) // map-only + sort
+    assert(p.contains("ReadSchema") && !p.contains("text"),
+      s"z-key scan must not read the text column:\n$p")
+    assert(!p.contains("ScalaUDF"), "interleave must be codegen column math")
+  }
+
+  test("frozen classifier: single scan, no exchange but the output sort") {
+    val p = plan(SparkEntry.queries("t_quality_classifier")(spark, sfDir))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
 }
