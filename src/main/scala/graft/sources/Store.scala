@@ -109,6 +109,36 @@ object Store {
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetFileBytes) files. Streaming sinks and per-batch
+    * upserts accrete small files until scan task scheduling, footer
+    * reads, and the namenode dominate query time — at 100 TB compaction
+    * is routine maintenance, pointed at one PARTITION directory at a
+    * time (so the rewrite unit stays bounded and directory-pruned reads
+    * of other partitions never notice). The rewrite goes to a sibling
+    * temp dir, then swaps in via two renames; production would swap a
+    * manifest/metastore pointer instead — the data movement is the same.
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles(hPath)
+    val totalBytes = before.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).repartition(n).write.parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "_compact_old")
+    fs.delete(old, true)
+    require(fs.rename(hPath, old), s"could not move $path aside")
+    require(fs.rename(tmp, hPath), s"could not install compacted $path")
+    fs.delete(old, true)
+    (before.length, dataFiles(hPath).length)
+  }
+
   /** MERGE-style keyed upsert onto a partitioned parquet table, without
     * a table format: rows in `updates` replace base rows with the same
     * key; new keys append. Only partitions that CONTAIN an updated key

@@ -207,6 +207,33 @@ object EventStreams {
     * (everything above n/(k+1) present; est ≤ true ≤ est + err) hold at
     * every emission because they are invariant under the update/merge
     * rules, not a property of batch boundaries. */
+  /** Streaming maintenance of the materialized daily rollup: the
+    * medallion sink pattern — each micro-batch lands raw in the bronze
+    * event log, then [[graft.pipelines.IncrementalRollup.ingest]]
+    * recomputes exactly the days the batch touched from the full bronze
+    * set and swaps those partitions. Exactly-once BY IDEMPOTENCE, not by
+    * transactions: a replayed batch re-appends to bronze, but the rollup
+    * reads bronze through a dropDuplicates(event_id), and the partition
+    * swap rewrites the same days to the same bytes — so checkpoint
+    * recovery cannot corrupt the table (the spec replays a batch to
+    * prove it). At 100 TB the per-batch cost is the touched days'
+    * volume, never the table's. */
+  def rollupSink(events: DataFrame, bronzePath: String,
+                 rollupPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.persist()
+        batch.write.mode("append").parquet(bronzePath)
+        val bronze = batch.sparkSession.read.parquet(bronzePath)
+          .dropDuplicates("event_id")
+        graft.pipelines.IncrementalRollup.ingest(bronze, batch.toDF(), rollupPath)
+        batch.unpersist()
+        ()
+      }
+      .start()
+
   final case class Scd2State(state: String, sinceUs: Long, version: Long)
   final case class Scd2Closed(user_id: Long, version: Long, state: String,
                               valid_from_us: Long, valid_to_us: Long)

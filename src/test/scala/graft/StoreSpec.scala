@@ -209,6 +209,23 @@ class StoreSpec extends SparkTestBase {
       .collect().toMap == byKey)
   }
 
+  test("compaction collapses small files, preserves data, bounds file size") {
+    val out = tmp() + "/frag"
+    val ev = Tables.events(spark, sfDir)
+    ev.repartition(64).write.parquet(out) // the streaming-sink fragmentation shape
+    val before = spark.read.parquet(out)
+      .orderBy("event_id").collect().map(_.toSeq)
+    val (nBefore, nAfter) = Store.compact(spark, out, targetFileBytes = 256 * 1024)
+    assert(nBefore == 64)
+    assert(nAfter < nBefore, s"$nBefore -> $nAfter")
+    val after = spark.read.parquet(out)
+      .orderBy("event_id").collect().map(_.toSeq)
+    assert(after.toSeq == before.toSeq, "compaction changed the data")
+    // leftovers cleaned up
+    assert(!new java.io.File(out + "_compact_tmp").exists())
+    assert(!new java.io.File(out + "_compact_old").exists())
+  }
+
   test("same-bucketed join plans with zero exchanges") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sfDir)

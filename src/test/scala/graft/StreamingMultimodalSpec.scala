@@ -194,6 +194,35 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("foreachBatch rollup sink maintains the table; batch replay is harmless") {
+    import graft.streaming.EventStreams
+    import graft.pipelines.IncrementalRollup
+    val bronze = java.nio.file.Files.createTempDirectory("bronze").toString
+    val rollup = java.nio.file.Files.createTempDirectory("rollup_s").toString
+    val chk = java.nio.file.Files.createTempDirectory("rollup_chk").toString
+    val q = EventStreams.rollupSink(
+      EventStreams.readEvents(spark, stageDir("events")), bronze, rollup, chk)
+    q.processAllAvailable(); q.stop()
+
+    def tableNow(): Set[Seq[Any]] = IncrementalRollup.read(spark, rollup)
+      .select("day", "event_type", "n_events", "total_value", "n_users")
+      .collect().map(_.toSeq).toSet
+    val got = tableNow()
+    val expected = IncrementalRollup.rollup(Tables.events(spark, sfDir))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected, "streamed rollup differs from batch recompute")
+
+    // simulate checkpoint-recovery REPLAY of an already-committed batch:
+    // re-append the same raw events to bronze and re-ingest — the
+    // dedup-by-event_id read plus idempotent partition swap must leave
+    // the table unchanged
+    val replayBatch = Tables.events(spark, sfDir).limit(500)
+    replayBatch.write.mode("append").parquet(bronze)
+    val bronzeAll = spark.read.parquet(bronze).dropDuplicates("event_id")
+    IncrementalRollup.ingest(bronzeAll, replayBatch, rollup)
+    assert(tableNow() == expected, "batch replay corrupted the rollup")
+  }
+
   test("streaming SCD2 closed intervals match the batch operator") {
     import graft.streaming.EventStreams
     val stream = EventStreams.streamingScd2(spark,
