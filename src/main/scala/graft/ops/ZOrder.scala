@@ -48,11 +48,16 @@ object ZOrder {
     parts.reduce(_.bitwiseOR(_))
   }
 
-  /** One aggregation pass for the normalization ranges. */
+  /** One aggregation pass for the normalization ranges. Empty input (or
+    * an all-null column) yields the degenerate (0, 0) range — zValue
+    * clamps everything to bucket 0, and an empty write stays valid. */
   def columnRanges(df: DataFrame, cols: Seq[String]): Seq[(Double, Double)] = {
     val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    cols.indices.map { i =>
+      if (r.isNullAt(2 * i)) (0.0, 0.0)
+      else (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+    }
   }
 
   /** Rewrite `df` as `numFiles` z-clustered parquet files. Two jobs: the

@@ -138,7 +138,17 @@ object ScaleBench {
       "q1_pricing_summary" -> (graft.ops.Relational.q1PricingSummary _),
       "q3_top_orders" -> (graft.ops.Relational.q3TopOrders _),
       "q18_big_orders" -> (graft.ops.Relational.q18BigOrders _),
-      "e_daily_rollup" -> (graft.ops.Events.dailyRollup _))
+      "e_daily_rollup" -> (graft.ops.Events.dailyRollup _),
+      // round-5 additions: the map-only family must scale exactly
+      // linearly; scd2 is one exchange; the KMV cross stays G²-sized no
+      // matter the corpus (the point of the sketch)
+      "t_chunk_docs" -> (graft.ops.TextOps.chunkDocs _),
+      "t_doc_keywords" -> (graft.ops.TextOps.docKeywords _),
+      "t_quality_classifier" -> (graft.ops.TextOps.qualityClassifier _),
+      "w_scd2_intervals" -> (graft.ops.Windows.scd2Intervals _),
+      "a_kmv_overlap" -> ((s: SparkSession, d: String) =>
+        graft.ops.Sketches.kmvUserOverlap(s, d)),
+      "s_zorder_key" -> (graft.ops.ZOrder.zKeyQuery _))
 
     def clearPersisted(): Unit = {
       spark.catalog.clearCache()

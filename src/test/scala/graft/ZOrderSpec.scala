@@ -29,6 +29,14 @@ class ZOrderSpec extends SparkTestBase {
     }
   }
 
+  test("empty input writes an empty but valid z-ordered table") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("zempty").toString + "/t"
+    val empty = Seq.empty[(Int, Int)].toDF("x", "y")
+    ZOrder.writeZOrdered(empty, out, Seq("x", "y"), numFiles = 2)
+    assert(spark.read.parquet(out).count() == 0)
+  }
+
   test("z-ordered layout prunes row groups on the non-sorted dimension") {
     import spark.implicits._
     val n = 200000
