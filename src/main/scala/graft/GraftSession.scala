@@ -53,6 +53,11 @@ object GraftSession {
     * the scale posture. Partition targets assume ~128 MB–1 GB of input
     * per task and executors with 4–8 GB per core — the spill-safe band. */
   def production(b: SparkSession.Builder): SparkSession.Builder = common(b)
+    // CBO + histograms: with routine ANALYZE TABLE, filtered-dim joins
+    // broadcast on true selectivity instead of raw file size (CboSpec
+    // demonstrates the plan flip)
+    .config("spark.sql.cbo.enabled", "true")
+    .config("spark.sql.statistics.histogram.enabled", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
