@@ -109,6 +109,53 @@ object Store {
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** Targeted delete (takedown / right-to-be-forgotten): remove every
+    * row whose `keyCol` value is in `keys`, rewriting ONLY the
+    * partitions that contain such rows. The LLM-corpus governance
+    * operation — opt-outs and takedown requests arrive as key lists,
+    * and at 100 TB the table must not be rewritten to honor them:
+    *
+    *  1. one filtered scan finds the touched partition values (the key
+    *     list broadcasts; parquet bloom filters / min-max stats prune
+    *     row groups when present);
+    *  2. only those partitions rewrite, minus the condemned keys, via
+    *     dynamic partition overwrite;
+    *  3. a partition whose rows are ALL deleted writes no replacement —
+    *     dynamic overwrite leaves it — so its directory is removed
+    *     explicitly.
+    *
+    * Returns the number of rows deleted. Idempotent: re-running the
+    * same key list deletes 0 and rewrites nothing. */
+  def deleteKeys(spark: SparkSession, path: String, keyCol: String,
+                 keys: Seq[Any], partitionCols: Seq[String]): Long = {
+    val base = spark.read.parquet(path)
+    val keyLits = keys.map(lit)
+    val touched = base.filter(col(keyCol).isin(keyLits: _*))
+      .select(partitionCols.map(col): _*).distinct()
+    val touchedRows = touched.collect() // takedown lists are small
+    if (touchedRows.isEmpty) return 0L
+
+    val affected = base.join(broadcast(touched), partitionCols, "left_semi")
+    val kept = affected.filter(!col(keyCol).isin(keyLits: _*)).localCheckpoint()
+    val nDeleted = affected.count() - kept.count()
+    kept.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+    // remove directories of partitions that became empty
+    val still = kept.select(partitionCols.map(col): _*).distinct()
+      .collect().map(_.toSeq).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    touchedRows.filterNot(r => still.contains(r.toSeq)).foreach { r =>
+      val dir = partitionCols.zip(r.toSeq)
+        .map { case (c, v) => s"$c=$v" }.mkString("/")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$dir"), true)
+    }
+    nDeleted
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetFileBytes) files. Streaming sinks and per-batch
     * upserts accrete small files until scan task scheduling, footer

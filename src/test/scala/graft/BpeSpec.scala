@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.Bpe
+
+class BpeSpec extends SparkTestBase {
+
+  /** Driver-side reference BPE trainer over a word-frequency map, with
+    * the same count DESC / pair ASC total order. */
+  private def referenceTrain(freqs: Map[String, Long], nMerges: Int): Seq[(String, String)] = {
+    var dict = freqs.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (out.size < nMerges && continue) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ => ()
+        }
+      }
+      val eligible = counts.filter(_._2 >= 2)
+      if (eligible.isEmpty) continue = false
+      else {
+        val (pair, _) = eligible.minBy { case ((a, b), n) => (-n, a, b) }
+        out += pair
+        dict = dict.map { case (syms, f) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { s =>
+            if (merged.nonEmpty && merged.last == pair._1 && s == pair._2) {
+              merged.remove(merged.size - 1); merged += (pair._1 + pair._2)
+            } else merged += s
+          }
+          (merged.toVector, f)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("distributed training matches the reference merge sequence exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      "low low low lower lowest", "new newer newest new new",
+      "wide wider widest low new", "low lower newer wide wide"
+    ).toDF("text")
+    val got = Bpe.train(docs, "text", nMerges = 12).map(m => (m.a, m.b))
+    val freqs = docs.as[String].collect()
+      .flatMap(_.split("\\s+")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.length.toLong }
+    val expected = referenceTrain(freqs, 12)
+    assert(got == expected, s"\n got: $got\n exp: $expected")
+    assert(got.nonEmpty)
+  }
+
+  test("merges compress the corpus dictionary monotonically") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val merges = Bpe.train(docs, "text", nMerges = 10)
+    assert(merges.size == 10, "shared-vocabulary corpus must yield 10 merges")
+    val t0 = Bpe.avgTokensPerWord(docs, "text", Nil)
+    val t5 = Bpe.avgTokensPerWord(docs, "text", merges.take(5))
+    val t10 = Bpe.avgTokensPerWord(docs, "text", merges)
+    assert(t0 > t5 && t5 > t10, s"$t0 -> $t5 -> $t10 must decrease")
+    // chars-per-word baseline: merging can never grow token counts
+    assert(t10 >= 1.0)
+  }
+
+  test("a corpus with no repeating pair stops early") {
+    import spark.implicits._
+    val docs = Seq("ab cd ef").toDF("text")
+    val merges = Bpe.train(docs, "text", nMerges = 5)
+    assert(merges.isEmpty)
+  }
+}

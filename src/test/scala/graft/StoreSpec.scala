@@ -209,6 +209,38 @@ class StoreSpec extends SparkTestBase {
       .collect().toMap == byKey)
   }
 
+  test("targeted delete rewrites only touched partitions, removes emptied ones") {
+    import spark.implicits._
+    val out = tmp()
+    val base = (1 to 100).map(k => (k.toLong, s"v$k", k % 5))
+      .toDF("key", "value", "part")
+    Store.writePartitioned(base, out, Seq("part"))
+    def partFiles(p: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$out/part=$p")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouched = Map(0 -> partFiles(0), 1 -> partFiles(1))
+
+    // two keys from part 2, plus EVERY key of part 3 (k % 5 == 3)
+    val allOfPart3 = (1 to 100).filter(_ % 5 == 3).map(_.toLong)
+    val doomed = Seq(2L, 7L) ++ allOfPart3
+    val n = Store.deleteKeys(spark, out, "key", doomed, Seq("part"))
+    assert(n == doomed.length, s"deleted $n of ${doomed.length}")
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == 100 - doomed.length)
+    assert(back.filter($"key".isin(doomed: _*)).count() == 0)
+    // untouched partitions keep their exact files
+    assert(partFiles(0) == untouched(0) && partFiles(1) == untouched(1))
+    // the fully-emptied partition directory is gone
+    assert(!new java.io.File(s"$out/part=3").exists(), "emptied partition remains")
+    // idempotent: nothing left to delete
+    assert(Store.deleteKeys(spark, out, "key", doomed, Seq("part")) == 0L)
+    assert(spark.read.parquet(out).count() == 100 - doomed.length)
+  }
+
   test("compaction collapses small files, preserves data, bounds file size") {
     val out = tmp() + "/frag"
     val ev = Tables.events(spark, sfDir)
