@@ -571,13 +571,51 @@ object Ann {
 
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
     val parts = pqParts(spark, dir)
-    val coords = parts.coords
-    val emb = parts.emb
     val cents1 = parts.cents1
     val codes = parts.assign(cents1)
       .groupBy(col("vec_id"))
       .agg(expr(s"transform(array_sort(collect_list(struct(m, cell))), p -> p.cell)")
         .as("code"))
+    pqScore(parts.emb, parts.coords, cents1, codes)
+  }
+
+  /** Persist the trained PQ index — codebooks + per-vector codes — so
+    * queries stop paying for training: the build-once/query-many split
+    * every production ANN service uses. Both tables are plain parquet
+    * (codes: one row per corpus vector; codebooks: M·K·SubDim rows), so
+    * the index is itself a distributed dataset — no driver bottleneck
+    * at any corpus size. */
+  def pqIndexBuild(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val parts = pqParts(spark, dir)
+    val cents1 = parts.cents1
+    val codes = parts.assign(cents1)
+      .groupBy(col("vec_id"))
+      .agg(expr(s"transform(array_sort(collect_list(struct(m, cell))), p -> p.cell)")
+        .as("code"))
+    cents1.write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    codes.write.mode("overwrite").parquet(s"$indexPath/codes")
+  }
+
+  /** Query a persisted PQ index: identical results to [[pqTopK]], but
+    * the only training-time work left is reading two small tables. */
+  def pqTopKIndexed(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val coords = emb
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("x"),
+        floor(col("i") / SubDim).cast("int").as("m"),
+        (col("i") % SubDim).as("j"))
+    val cents1 = spark.read.parquet(s"$indexPath/codebooks")
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    pqScore(emb, coords, cents1, codes)
+  }
+
+  /** ADC scoring + exact re-rank over a trained index (codebooks +
+    * codes), shared by the inline and persisted-index paths. */
+  private def pqScore(emb: DataFrame, coords: DataFrame,
+                      cents1: DataFrame, codes: DataFrame): DataFrame = {
     // ADC lookup tables for the query set: qdot(query, m, cell), packed
     // into one broadcastable map per query keyed m*K+cell
     val luts = coords.join(emb.filter(col("vec_id") < 20)

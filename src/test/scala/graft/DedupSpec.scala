@@ -114,6 +114,19 @@ class DedupSpec extends SparkTestBase {
     assert(mean >= 0.5, f"mean recall@10 $mean%.2f — re-ranked PQ below the usefulness bar")
   }
 
+  test("pq: a persisted index answers identically to inline training") {
+    val idx = java.nio.file.Files.createTempDirectory("pq_index").toString
+    Ann.pqIndexBuild(spark, sfDir, idx)
+    assert(new java.io.File(s"$idx/codebooks").exists())
+    assert(new java.io.File(s"$idx/codes").exists())
+    val inline = Ann.pqTopK(spark, sfDir).collect().map(_.toSeq).toSet
+    val indexed = Ann.pqTopKIndexed(spark, sfDir, idx).collect().map(_.toSeq).toSet
+    assert(indexed == inline, "indexed query diverged from inline training")
+    // query-many: a second read answers the same without rebuilding
+    val again = Ann.pqTopKIndexed(spark, sfDir, idx).collect().map(_.toSeq).toSet
+    assert(again == inline)
+  }
+
   test("pq: one lloyd round does not worsen total quantization error") {
     // inertia(seed codebook) >= inertia(refined codebook) — the k-means
     // descent property, checked through the same assignment code path
