@@ -324,6 +324,55 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Persist the IVF index in its 100-TB layout: centroids as a small
+    * parquet table, and the corpus PARTITIONED BY CELL — so a probe
+    * touches only its cells' directories. The fine-search join keys on
+    * the partition column, which lets Spark's dynamic partition pruning
+    * skip every unprobed cell at runtime (the spec pins the pruning
+    * subquery in the plan). */
+  def ivfIndexBuild(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), quantized(col("embedding")).as("q"))
+    val cents = emb
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg(floor(sum(col("x").cast("long")) / count(lit(1))).as("cx"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
+      .select(col("label").as("c_label"),
+        expr("transform(pairs, p -> CAST(p.cx AS DOUBLE))").as("centroid"))
+    cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    emb.write.mode("overwrite").partitionBy("label").parquet(s"$indexPath/cells")
+  }
+
+  /** Query the persisted IVF index: identical results to [[ivfTopK]],
+    * with the corpus scan bounded to the probed cells' directories. */
+  def ivfTopKIndexed(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), quantized(col("embedding")).as("qv"))
+    val assign = queries.crossJoin(broadcast(cents))
+      .withColumn("score",
+        intDot(col("centroid"), col("centroid")) - intDot(col("qv"), col("centroid")) * 2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score"), col("c_label"))))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("query_id"), col("qv"), col("c_label").as("probe_label"))
+    val cells = spark.read.parquet(s"$indexPath/cells")
+    val scored = assign.join(cells, col("probe_label") === col("label") &&
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("probe_label"), col("vec_id").as("neighbor_id"),
+        intDot(col("qv"), col("q")).cast("long").as("dot"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 3)
+      .select("query_id", "probe_label", "rank", "neighbor_id", "dot")
+      .orderBy("query_id", "rank")
+  }
+
   val ivfTopKSql: String =
     s"""WITH qv AS (SELECT vec_id, label, $qListSql AS q FROM embeddings),
        |coords AS (

@@ -114,6 +114,24 @@ class DedupSpec extends SparkTestBase {
     assert(mean >= 0.5, f"mean recall@10 $mean%.2f — re-ranked PQ below the usefulness bar")
   }
 
+  test("ivf: persisted cell-partitioned index answers identically; probes prune") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Ann.ivfIndexBuild(spark, sfDir, idx)
+    // the layout IS the index: one directory per cell
+    val cellDirs = new java.io.File(s"$idx/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("label="))
+    assert(cellDirs.length > 1, "corpus must be partitioned by cell")
+    val inline = Ann.ivfTopK(spark, sfDir).collect().map(_.toSeq).toSet
+    val indexed = Ann.ivfTopKIndexed(spark, sfDir, idx)
+    assert(indexed.collect().map(_.toSeq).toSet == inline,
+      "indexed query diverged from inline")
+    // the probed join keys on the partition column → dynamic partition
+    // pruning bounds the cells scan to the probed directories
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"cells scan must be dynamically pruned by the probe side:\n${plan.take(2000)}")
+  }
+
   test("pq: a persisted index answers identically to inline training") {
     val idx = java.nio.file.Files.createTempDirectory("pq_index").toString
     Ann.pqIndexBuild(spark, sfDir, idx)

@@ -152,6 +152,33 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(psnr(jdk, b) > 40)
   }
 
+  test("decoder never throws on arbitrary byte soup (fuzz)") {
+    val rng = new scala.util.Random(99)
+    for (_ <- 1 to 500) {
+      val bytes = Array.fill(rng.nextInt(400))(rng.nextInt(256).toByte)
+      JpegCodec.decode(bytes) // must return None or Some, never throw
+      JpegCodec.decode(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ bytes)
+    }
+    // and on truncations of a VALID stream at every length
+    val good = JpegCodec.encode(16, 12, smooth(16, 12))
+    for (cut <- 0 until good.length) JpegCodec.decode(good.take(cut).toArray)
+  }
+
+  test("random noise images round-trip at random sizes and qualities (fuzz)") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 12) {
+      val w = 1 + rng.nextInt(40); val h = 1 + rng.nextInt(40)
+      val rgb = Array.fill(w * h * 3)(rng.nextInt(256).toByte) // JPEG's worst case
+      val q = 50 + rng.nextInt(51)
+      val jpg = JpegCodec.encode(w, h, rgb, q)
+      val Some((dw, dh, back)) = JpegCodec.decode(jpg)
+      assert(dw == w && dh == h && back.length == w * h * 3, s"${w}x$h q$q")
+      // the JDK accepts every stream we emit
+      val img = ImageIO.read(new ByteArrayInputStream(jpg))
+      assert(img != null && img.getWidth == w && img.getHeight == h, s"${w}x$h q$q")
+    }
+  }
+
   test("malformed and out-of-scope inputs return None, never throw") {
     val good = JpegCodec.encode(16, 16, smooth(16, 16))
     assert(JpegCodec.decode(Array[Byte](0x12, 0x34)).isEmpty)
