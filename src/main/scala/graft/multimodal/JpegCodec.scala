@@ -338,6 +338,7 @@ object JpegCodec {
             coef(0) = c.pred * q(0)
             var k = 1
             var eob = false
+            var nAc = 0
             while (k < 64 && !eob) {
               val rs = decodeHuff(br, c.acTable)
               if (rs < 0) return None
@@ -347,9 +348,21 @@ object JpegCodec {
                 k += r
                 if (k > 63) return None
                 coef(ZigZag(k)) = extend(br.receive(sz), sz) * q(k)
+                nAc += 1
                 k += 1
               }
             }
+            if (nAc == 0) {
+              // DC-only block (very common at normal quality): the IDCT
+              // of a constant-frequency block is flat — skip both passes
+              val flat = coef(0) / 8.0
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) { spatial(y)(x) = flat; x += 1 }
+                y += 1
+              }
+            } else {
             // separable IDCT with the orthonormal basis
             var v = 0
             while (v < 8) {
@@ -373,19 +386,20 @@ object JpegCodec {
               }
               y += 1
             }
+            }
             val px0 = (mx * c.h + bx) * 8
             val py0 = (my * c.v + by) * 8
             val stride = c.blocksW * 8
-            y = 0
-            while (y < 8) {
+            var py = 0
+            while (py < 8) {
               var x = 0
               while (x < 8) {
-                val s128 = math.round(spatial(y)(x)).toInt + 128
-                c.plane((py0 + y) * stride + px0 + x) =
+                val s128 = math.round(spatial(py)(x)).toInt + 128
+                c.plane((py0 + py) * stride + px0 + x) =
                   (if (s128 < 0) 0 else if (s128 > 255) 255 else s128).toByte
                 x += 1
               }
-              y += 1
+              py += 1
             }
             bx += 1
           }
@@ -415,17 +429,28 @@ object JpegCodec {
     } else {
       val Array(cy, cb, cr) = comps
       val sy = cy.blocksW * 8; val sb = cb.blocksW * 8; val sr = cr.blocksW * 8
+      // sampling factors are 1 or 2 (validated at SOF), so per-pixel
+      // nearest upsampling is a SHIFT, not a division
+      def sh(sub: Int, max: Int): Int = if (sub == max) 0 else 1
+      val shYx = sh(cy.h, hMax); val shYy = sh(cy.v, vMax)
+      val shBx = sh(cb.h, hMax); val shBy = sh(cb.v, vMax)
+      val shRx = sh(cr.h, hMax); val shRy = sh(cr.v, vMax)
       var y = 0
       while (y < height) {
+        // hoist the row bases out of the pixel loop
+        val rowY = (y >> shYy) * sy
+        val rowB = (y >> shBy) * sb
+        val rowR = (y >> shRy) * sr
+        var o = y * width * 3
         var x = 0
         while (x < width) {
-          val yy = cy.plane((y * cy.v / vMax) * sy + x * cy.h / hMax) & 0xff
-          val pb = (cb.plane((y * cb.v / vMax) * sb + x * cb.h / hMax) & 0xff) - 128
-          val pr = (cr.plane((y * cr.v / vMax) * sr + x * cr.h / hMax) & 0xff) - 128
-          val o = (y * width + x) * 3
+          val yy = cy.plane(rowY + (x >> shYx)) & 0xff
+          val pb = (cb.plane(rowB + (x >> shBx)) & 0xff) - 128
+          val pr = (cr.plane(rowR + (x >> shRx)) & 0xff) - 128
           rgb(o) = clamp255(yy + 1.402 * pr)
           rgb(o + 1) = clamp255(yy - 0.344136 * pb - 0.714136 * pr)
           rgb(o + 2) = clamp255(yy + 1.772 * pb)
+          o += 3
           x += 1
         }
         y += 1

@@ -241,6 +241,22 @@ class StoreSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == 100 - doomed.length)
   }
 
+  test("targeted delete handles nested partition directories") {
+    import spark.implicits._
+    val out = tmp()
+    val base = (1 to 60).map(k => (k.toLong, k % 3, if (k % 2 == 0) "even" else "odd"))
+      .toDF("key", "p1", "p2")
+    Store.writePartitioned(base, out, Seq("p1", "p2"))
+    // all four keys of (p1=0, p2=even) ≡ k % 6 == 0 up to 60… delete them all
+    val doomed = (1 to 60).filter(k => k % 3 == 0 && k % 2 == 0).map(_.toLong)
+    val n = Store.deleteKeys(spark, out, "key", doomed, Seq("p1", "p2"))
+    assert(n == doomed.length)
+    assert(!new java.io.File(s"$out/p1=0/p2=even").exists(),
+      "emptied nested partition dir must be removed")
+    assert(new java.io.File(s"$out/p1=0/p2=odd").exists())
+    assert(spark.read.parquet(out).count() == 60 - doomed.length)
+  }
+
   test("compaction collapses small files, preserves data, bounds file size") {
     val out = tmp() + "/frag"
     val ev = Tables.events(spark, sfDir)
