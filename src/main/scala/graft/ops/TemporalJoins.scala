@@ -37,15 +37,21 @@ object TemporalJoins {
     * `last(_, ignoreNulls)` is exactly the as-of match. One shuffle on
     * `keys`, zero row blow-up, any number of value columns. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               ts: String): DataFrame = {
+               ts: String, strict: Boolean = false): DataFrame = {
     val rightVals = right.columns.toSeq.filterNot(c => keys.contains(c) || c == ts)
     val leftVals = left.columns.toSeq.filterNot(c => keys.contains(c) || c == ts)
+    // `strict` = match only rows STRICTLY before (l.ts > r.ts) — the
+    // no-label-leakage mode for point-in-time training assembly: a right
+    // row at the label's own instant must not become a feature. Encoded
+    // purely in the tie order: right rows at equal ts sort AFTER left
+    // rows, so the running last() can't see them.
+    val rightSide = if (strict) 2 else 0
     val l2 = left.select(
       (keys :+ ts).map(col) ++ Seq(lit(1).as("__side")) ++ leftVals.map(col) ++
         rightVals.map(c =>
           lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
     val r2 = right.select(
-      (keys :+ ts).map(col) ++ Seq(lit(0).as("__side")) ++
+      (keys :+ ts).map(col) ++ Seq(lit(rightSide).as("__side")) ++
         leftVals.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightVals.map(c => col(c).as(s"asof_$c")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
@@ -53,7 +59,7 @@ object TemporalJoins {
       .rowsBetween(Window.unboundedPreceding, 0)
     val merged = l2.unionByName(r2)
       .withColumn(s"asof_$ts",
-        last(when(col("__side") === 0, col(ts)), ignoreNulls = true).over(w))
+        last(when(col("__side") =!= 1, col(ts)), ignoreNulls = true).over(w))
     rightVals.foldLeft(merged) { (df, c) =>
       df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
     }.filter(col("__side") === 1).drop("__side")
@@ -88,6 +94,71 @@ object TemporalJoins {
       |  r.ts_us AS last_view_ts_us, r.view_value AS last_view_value
       |FROM l ASOF LEFT JOIN r
       |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+      |ORDER BY event_id""".stripMargin
+
+  /** Point-in-time training-set assembly (the feature-store pattern):
+    * label rows (purchases) pick up per-user features as they stood
+    * STRICTLY BEFORE the label instant — the no-leakage discipline that
+    * separates a valid training set from a subtly broken one. Two
+    * feature streams attach through two strict as-of passes (each = one
+    * exchange on user_id, zero row blow-up):
+    *   - last view value before the label;
+    *   - cumulative click count before the label (running count as the
+    *     feature table, so the as-of lookup IS the prefix count).
+    * A feature event at the label's own timestamp is excluded by both
+    * engines (`strict` here, `l.ts > r.ts` in DuckDB's ASOF). */
+  def trainExamples(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val labels = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        graft.ops.Num.micros(col("value")).as("label_micros"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts_us")
+      .agg(graft.ops.Num.micros(max("value")).as("view_micros"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts_us").agg(count(lit(1)).as("n"))
+      .withColumn("clicks_so_far", sum(col("n")).over(
+        Window.partitionBy("user_id").orderBy("ts_us")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("user_id", "ts_us", "clicks_so_far")
+    val withView = asofJoin(labels, views, Seq("user_id"), "ts_us", strict = true)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("label_micros"),
+        col("asof_view_micros").as("f_last_view_micros"))
+    asofJoin(withView, clicks, Seq("user_id"), "ts_us", strict = true)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("label_micros"),
+        col("f_last_view_micros"),
+        coalesce(col("asof_clicks_so_far"), lit(0L)).as("f_clicks_before"))
+      .orderBy("event_id")
+  }
+
+  val trainExamplesSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+      |  FROM events),
+      |labels AS (
+      |  SELECT event_id, user_id, ts_us,
+      |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS label_micros
+      |  FROM ev WHERE event_type = 'purchase'),
+      |views AS (
+      |  SELECT user_id, ts_us,
+      |    CAST(floor(max(value) * 1000000.0 + 0.5) AS BIGINT) AS view_micros
+      |  FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+      |clicks AS (
+      |  SELECT user_id, ts_us,
+      |    CAST(sum(count(*)) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS clicks_so_far
+      |  FROM ev WHERE event_type = 'click' GROUP BY user_id, ts_us),
+      |withview AS (
+      |  SELECT l.event_id, l.user_id, l.ts_us, l.label_micros,
+      |    v.view_micros AS f_last_view_micros
+      |  FROM labels l ASOF LEFT JOIN views v
+      |    ON l.user_id = v.user_id AND l.ts_us > v.ts_us)
+      |SELECT w.event_id, w.user_id, w.ts_us, w.label_micros,
+      |  w.f_last_view_micros,
+      |  coalesce(c.clicks_so_far, 0) AS f_clicks_before
+      |FROM withview w ASOF LEFT JOIN clicks c
+      |  ON w.user_id = c.user_id AND w.ts_us > c.ts_us
       |ORDER BY event_id""".stripMargin
 
   /** Range-join window width: 2 hours, in microseconds. */

@@ -27,7 +27,8 @@ class InvarianceSpec extends SparkTestBase {
     // round-5 additions: interval building, chunk fan-out, df/tf ranking,
     // frozen-classifier integer logit, Morton keys, KMV sketches
     "w_scd2_intervals", "t_chunk_docs", "t_doc_keywords",
-    "t_quality_classifier", "s_zorder_key", "a_kmv_overlap")
+    "t_quality_classifier", "s_zorder_key", "a_kmv_overlap",
+    "j_train_examples")
 
   private def runAt(q: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -93,4 +93,25 @@ class TemporalJoinsSpec extends SparkTestBase {
       assert(keep == (if (doc == cluster) 1 else 0))
     }
   }
+
+  test("strict as-of excludes same-instant rows (no label leakage)") {
+    import spark.implicits._
+    import graft.ops.TemporalJoins
+    val left = Seq((1L, 100L, "label")).toDF("k", "t", "what")
+    val right = Seq((1L, 99L, 10.0), (1L, 100L, 99.0), (1L, 101L, 50.0))
+      .toDF("k", "t", "feat")
+    // default (at-or-before): the t=100 feature row matches
+    val loose = TemporalJoins.asofJoin(left, right, Seq("k"), "t")
+      .select("asof_feat").head().getDouble(0)
+    assert(loose == 99.0)
+    // strict: only the t=99 row is visible at the t=100 label
+    val strict = TemporalJoins.asofJoin(left, right, Seq("k"), "t", strict = true)
+      .select("asof_feat").head().getDouble(0)
+    assert(strict == 10.0, "same-instant feature leaked into a strict as-of")
+    // with no earlier row at all, strict yields null
+    val none = TemporalJoins.asofJoin(
+      Seq((1L, 99L, "l")).toDF("k", "t", "what"), right, Seq("k"), "t",
+      strict = true).select("asof_feat").head()
+    assert(none.isNullAt(0))
+  }
 }
