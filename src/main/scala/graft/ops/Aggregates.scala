@@ -396,4 +396,49 @@ object Aggregates {
       |        FROM events GROUP BY 1, 2) c) t
       |WHERE rk = 1
       |ORDER BY user_id""".stripMargin
+
+  /** Group-wise outlier detection by Tukey IQR fences: per event type,
+    * values beyond Q3 + 1.5·IQR / Q1 − 1.5·IQR are flagged; output is
+    * per-type counts + the flagged mass (quantized micros). Two passes —
+    * one exact-percentile aggregation (a broadcast-sized fence table)
+    * and one fenced scan — the anomaly-triage shape that stays two jobs
+    * regardless of corpus size. Fence arithmetic is the literally same
+    * IEEE expression in both engines, so the comparison is hash-exact. */
+  def outlierStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val fences = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.25)).as("q1"),
+           percentile(col("value"), lit(0.75)).as("q3"))
+    val flagged = ev.join(broadcast(fences), "event_type")
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("is_out",
+        (col("value") > col("q3") + lit(1.5) * col("iqr")) ||
+        (col("value") < col("q1") - lit(1.5) * col("iqr")))
+    flagged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("is_out").cast("long")).as("n_outliers"),
+           sum(when(col("is_out"), Num.micros(col("value")))
+             .otherwise(lit(0L))).as("outlier_mass_micros"))
+      .orderBy("event_type")
+  }
+
+  val outlierStatsSql: String =
+    """WITH f AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+      |  FROM events GROUP BY 1),
+      |flagged AS (
+      |  SELECT e.event_type, e.value,
+      |    (e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+      |     OR e.value < f.q1 - 1.5 * (f.q3 - f.q1)) AS is_out
+      |  FROM events e JOIN f USING (event_type))
+      |SELECT event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(is_out AS BIGINT)) AS BIGINT) AS n_outliers,
+      |  CAST(sum(CASE WHEN is_out
+      |    THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT) AS outlier_mass_micros
+      |FROM flagged
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }
