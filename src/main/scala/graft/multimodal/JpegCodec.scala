@@ -113,13 +113,31 @@ object JpegCodec {
     val maxCode = Array.fill(17)(-1)
     val valPtr = new Array[Int](17)
     val huffVal: Array[Int] = vals
+    // first-level LUT: an 8-bit peek resolves every code of length ≤ 8
+    // (the overwhelming majority in the standard tables) in one step;
+    // longer codes fall back to the canonical bit-by-bit walk
+    val lutLen = new Array[Byte](256)
+    val lutSym = new Array[Int](256)
     locally {
       var code = 0; var k = 0; var l = 1
       while (l <= 16) {
         if (bits(l) > 0) {
           valPtr(l) = k
           minCode(l) = code
-          code += bits(l); k += bits(l)
+          var i = 0
+          while (i < bits(l)) {
+            if (l <= 8) {
+              val base = code << (8 - l)
+              val span = 1 << (8 - l)
+              var s = 0
+              while (s < span) {
+                lutLen(base + s) = l.toByte
+                lutSym(base + s) = vals(k)
+                s += 1
+              }
+            }
+            code += 1; k += 1; i += 1
+          }
           maxCode(l) = code - 1
         }
         code <<= 1
@@ -138,38 +156,57 @@ object JpegCodec {
   }
 
   /** Entropy-segment bit reader: unstuffs FF00, stops cleanly at any
-    * marker (returning 0 bits, which only ever pads the tail byte). */
+    * marker (returning 0 bits, which only ever pads the tail byte).
+    * Holds up to 56 buffered bits so the Huffman fast path can peek a
+    * whole byte and multi-bit magnitudes read without a per-bit loop. */
   private final class BitReader(bytes: Array[Byte], var pos: Int) {
-    private var acc = 0
-    private var nBits = 0
+    private var buf = 0L
+    private var cnt = 0
     var hitMarker = false
 
+    private def fill(): Unit = {
+      while (cnt <= 56 && !hitMarker) {
+        if (pos >= bytes.length) { hitMarker = true; return }
+        val b = bytes(pos) & 0xff
+        if (b == 0xff) {
+          if (pos + 1 < bytes.length && (bytes(pos + 1) & 0xff) == 0x00) {
+            buf = (buf << 8) | 0xffL; cnt += 8; pos += 2
+          } else { hitMarker = true } // real marker — leave for the caller
+        } else { buf = (buf << 8) | b.toLong; cnt += 8; pos += 1 }
+      }
+    }
+
+    /** Next 8 bits without consuming; zero-padded at stream end. */
+    def peek8(): Int = {
+      if (cnt < 8) fill()
+      if (cnt >= 8) ((buf >>> (cnt - 8)) & 0xff).toInt
+      else ((buf << (8 - cnt)) & 0xff).toInt
+    }
+
+    /** Consume bits a successful peek8 match covered. */
+    def drop(n: Int): Unit = cnt = math.max(0, cnt - n)
+
     def nextBit(): Int = {
-      if (nBits == 0) fill()
-      if (nBits == 0) return 0
-      nBits -= 1
-      (acc >> nBits) & 1
+      if (cnt == 0) fill()
+      if (cnt == 0) return 0
+      cnt -= 1
+      ((buf >>> cnt) & 1L).toInt
     }
 
     def receive(n: Int): Int = {
-      var v = 0; var i = 0
-      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
-      v
-    }
-
-    private def fill(): Unit = {
-      if (hitMarker || pos >= bytes.length) { hitMarker = true; return }
-      val b = bytes(pos) & 0xff
-      if (b == 0xff) {
-        if (pos + 1 < bytes.length && (bytes(pos + 1) & 0xff) == 0x00) {
-          acc = 0xff; nBits = 8; pos += 2
-        } else { hitMarker = true } // real marker — leave for the caller
-      } else { acc = b; nBits = 8; pos += 1 }
+      if (n == 0) return 0
+      if (cnt < n) fill()
+      if (cnt >= n) { cnt -= n; ((buf >>> cnt) & ((1L << n) - 1)).toInt }
+      else {
+        var v = 0; var i = 0
+        while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+        v
+      }
     }
 
     /** Byte-align and consume an expected RSTn marker. False if absent. */
     def restart(): Boolean = {
-      nBits = 0; hitMarker = false
+      buf = 0L; cnt = 0; hitMarker = false
       if (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff) {
         val m = bytes(pos + 1) & 0xff
         if (m >= 0xd0 && m <= 0xd7) { pos += 2; return true }
@@ -178,7 +215,7 @@ object JpegCodec {
     }
   }
 
-  private def decodeHuff(br: BitReader, t: HuffTable): Int = {
+  private def decodeHuffSlow(br: BitReader, t: HuffTable): Int = {
     var code = br.nextBit()
     var l = 1
     while (l < 16 && (t.maxCode(l) < 0 || code > t.maxCode(l))) {
@@ -188,6 +225,13 @@ object JpegCodec {
     if (t.maxCode(l) < 0 || code > t.maxCode(l)) return -1
     val idx = t.valPtr(l) + code - t.minCode(l)
     if (idx >= t.huffVal.length) -1 else t.huffVal(idx)
+  }
+
+  private def decodeHuff(br: BitReader, t: HuffTable): Int = {
+    val p = br.peek8()
+    val l = t.lutLen(p)
+    if (l > 0) { br.drop(l); t.lutSym(p) }
+    else decodeHuffSlow(br, t) // code longer than 8 bits (rare)
   }
 
   /** EXTEND (spec F.2.2.1): map n raw bits to a signed value. */
