@@ -43,6 +43,7 @@ object LogReg {
       Seq(avg(col(f)).as(s"m_$f"), stddev_pop(col(f)).as(s"s_$f"))
     }
     val stats = data.agg(statAggs.head, statAggs.tail: _*).head()
+    require(!stats.isNullAt(0), "cannot train on an empty dataset")
     val mean = Array.tabulate(k)(i => stats.getDouble(2 * i))
     val std = Array.tabulate(k)(i => math.max(stats.getDouble(2 * i + 1), 1e-12))
 

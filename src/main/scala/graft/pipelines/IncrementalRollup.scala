@@ -36,14 +36,21 @@ object IncrementalRollup {
     * `batch` from `allEvents` (late data means a batch day may include
     * events that arrived earlier), then swap those day partitions. Cost
     * is proportional to the touched days' event volume — directory
-    * pruning keeps every other day unread. */
-  def ingest(allEvents: DataFrame, batch: DataFrame, outPath: String): Unit = {
+    * pruning keeps every other day unread.
+    *
+    * `dedupKey`: drop duplicate deliveries by this column AFTER the
+    * day filter — so a replay-prone source (the streaming sink's bronze
+    * log) pays the dedup shuffle only over the touched days, never the
+    * full history. */
+  def ingest(allEvents: DataFrame, batch: DataFrame, outPath: String,
+             dedupKey: Option[String] = None): Unit = {
     val touchedDays = batch
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day")).distinct()
-    val touched = allEvents
+    val touched0 = allEvents
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .join(broadcast(touchedDays), "day")
       .drop("day")
+    val touched = dedupKey.fold(touched0)(k => touched0.dropDuplicates(k))
     Store.upsertPartitions(rollup(touched), outPath,
       keyCols = Seq("day", "event_type"), partitionCols = Seq("day"))
   }

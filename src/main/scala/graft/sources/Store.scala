@@ -149,8 +149,13 @@ object Store {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     touchedRows.filterNot(r => still.contains(r.toSeq)).foreach { r =>
+      // escape each value exactly the way Spark names partition dirs,
+      // or values with reserved characters would leave stale data behind
       val dir = partitionCols.zip(r.toSeq)
-        .map { case (c, v) => s"$c=$v" }.mkString("/")
+        .map { case (c, v) =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(c, String.valueOf(v))
+        }.mkString("/")
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$dir"), true)
     }
     nDeleted
@@ -173,6 +178,10 @@ object Store {
     def dataFiles(p: org.apache.hadoop.fs.Path) =
       fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val before = dataFiles(hPath)
+    // a partitioned-table ROOT has no direct data files — rewriting it
+    // flat would destroy the partition layout; refuse rather than ruin
+    require(before.nonEmpty,
+      s"$path has no direct parquet files — point compact() at one partition directory")
     val totalBytes = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")

@@ -226,9 +226,11 @@ object EventStreams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         batch.persist()
         batch.write.mode("append").parquet(bronzePath)
+        // dedupKey pushes the replay-dedup below the touched-day filter,
+        // so the per-batch cost is the touched days, not all of bronze
         val bronze = batch.sparkSession.read.parquet(bronzePath)
-          .dropDuplicates("event_id")
-        graft.pipelines.IncrementalRollup.ingest(bronze, batch.toDF(), rollupPath)
+        graft.pipelines.IncrementalRollup.ingest(bronze, batch.toDF(), rollupPath,
+          dedupKey = Some("event_id"))
         batch.unpersist()
         ()
       }

@@ -218,8 +218,8 @@ class StreamingMultimodalSpec extends SparkTestBase {
     // the table unchanged
     val replayBatch = Tables.events(spark, sfDir).limit(500)
     replayBatch.write.mode("append").parquet(bronze)
-    val bronzeAll = spark.read.parquet(bronze).dropDuplicates("event_id")
-    IncrementalRollup.ingest(bronzeAll, replayBatch, rollup)
+    IncrementalRollup.ingest(spark.read.parquet(bronze), replayBatch, rollup,
+      dedupKey = Some("event_id"))
     assert(tableNow() == expected, "batch replay corrupted the rollup")
   }
 
