@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two corpus snapshots — the
+  * check a training-data pipeline runs before trusting a new ingest:
+  * Population Stability Index over reference-quantile bins,
+  * PSI = Σ_b (cur_b − ref_b) · ln(cur_b / ref_b).
+  * Industry reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+  *
+  * Shape: bin edges come from ONE exact-percentile aggregation on the
+  * reference (a bins-sized driver array — model-sized at any scale);
+  * both sides then bin in a map-only pass (edges folded into a codegen
+  * filter-count expression) and aggregate to `bins` rows each. Nothing
+  * driver-side ever sees a data row. Engine-specific floats (ln) keep
+  * this spec-gated rather than oracle-hashed. */
+object Drift {
+
+  /** Per-bin report: [bin, ref_n, cur_n, ref_frac, cur_frac, psi_term];
+    * total PSI = sum of psi_term. `bins` interior edges are the
+    * reference's equally-spaced quantiles, so ref fractions are ~1/bins
+    * by construction and empty-reference-bin pathologies can't occur. */
+  def psiReport(ref: DataFrame, cur: DataFrame, valueCol: String,
+                bins: Int = 10, epsilon: Double = 1e-6): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val edgeRow = ref.agg(
+      percentile(col(valueCol), lit(probs.toArray)).as("edges")).head()
+    val edges = edgeRow.getSeq[Double](0)
+
+    def binned(df: DataFrame, side: String): DataFrame = {
+      // bin index = number of edges at-or-below the value (0..bins-1)
+      val bin = edges.foldLeft(lit(0): Column)((acc, e) =>
+        acc + (col(valueCol) > lit(e)).cast("int"))
+      df.select(bin.as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(s"${side}_n"))
+    }
+    val r = binned(ref, "ref")
+    val c = binned(cur, "cur")
+    val refTotal = ref.count().toDouble
+    val curTotal = cur.count().toDouble
+    require(refTotal > 0 && curTotal > 0, "both slices must be non-empty")
+    r.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .withColumn("ref_frac",
+        greatest(col("ref_n") / refTotal, lit(epsilon)))
+      .withColumn("cur_frac",
+        greatest(col("cur_n") / curTotal, lit(epsilon)))
+      .withColumn("psi_term",
+        (col("cur_frac") - col("ref_frac")) * log(col("cur_frac") / col("ref_frac")))
+      .orderBy("bin")
+  }
+
+  /** Total PSI as a scalar. */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+          bins: Int = 10): Double =
+    psiReport(ref, cur, valueCol, bins)
+      .agg(sum(col("psi_term"))).head().getDouble(0)
+}
