@@ -109,6 +109,46 @@ object Store {
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** Content manifest for a partitioned table: per partition, the row
+    * count and an ORDER-INDEPENDENT content hash (sum of per-row
+    * xxhash64 over every column, as unsigned math in a long) — so the
+    * same logical content hashes equal under any partitioning, task
+    * order, or file layout. One aggregation pass; the manifest itself
+    * is partition-count-sized. Written next to the data as
+    * `_graft_manifest/`, making the dataset tamper-evident: readers can
+    * re-derive and compare without trusting file sizes or mtimes. */
+  def writeManifest(spark: SparkSession, path: String,
+                    partitionCols: Seq[String]): Unit = {
+    manifestOf(spark.read.parquet(path), partitionCols)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_manifest")
+  }
+
+  /** The manifest aggregation (exposed for verification / testing). */
+  def manifestOf(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
+    val dataCols = df.columns.toSeq.filterNot(partitionCols.contains).sorted
+    df.groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+           // decimal sum: order-independent, keeps the full 64-bit hash
+           // entropy, and cannot overflow under ANSI arithmetic
+           sum(xxhash64(dataCols.map(col): _*).cast("decimal(38,0)"))
+             .as("content_hash"))
+  }
+
+  /** Re-derive the manifest and diff against the stored one. Returns the
+    * partitions whose (count, hash) changed, vanished, or appeared —
+    * empty means the dataset is intact. */
+  def verifyManifest(spark: SparkSession, path: String,
+                     partitionCols: Seq[String]): DataFrame = {
+    val stored = spark.read.parquet(s"$path/_graft_manifest")
+      .withColumnsRenamed(Map("n_rows" -> "expect_rows", "content_hash" -> "expect_hash"))
+    val actual = manifestOf(
+      spark.read.parquet(path), partitionCols)
+    stored.join(actual, partitionCols, "full_outer")
+      .filter(col("n_rows").isNull || col("expect_rows").isNull ||
+        col("n_rows") =!= col("expect_rows") ||
+        col("content_hash") =!= col("expect_hash"))
+  }
+
   /** Targeted delete (takedown / right-to-be-forgotten): remove every
     * row whose `keyCol` value is in `keys`, rewriting ONLY the
     * partitions that contain such rows. The LLM-corpus governance

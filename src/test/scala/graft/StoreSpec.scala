@@ -209,6 +209,31 @@ class StoreSpec extends SparkTestBase {
       .collect().toMap == byKey)
   }
 
+  test("content manifest verifies intact data and localizes tampering") {
+    import spark.implicits._
+    val out = tmp()
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Store.writePartitioned(ev, out, Seq("day"))
+    Store.writeManifest(spark, out, Seq("day"))
+    // intact: zero diffs (and the manifest dir is invisible to the scan)
+    assert(Store.verifyManifest(spark, out, Seq("day")).count() == 0)
+    // hash is partitioning-invariant: 3-way and 17-way agree
+    val m3 = Store.manifestOf(ev.repartition(3), Seq("day"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.get(2))).toMap
+    val m17 = Store.manifestOf(ev.repartition(17), Seq("day"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.get(2))).toMap
+    assert(m3 == m17, "content hash depends on partitioning")
+    // tamper with one day: drop a row and rewrite just that partition
+    val day = ev.select("day").orderBy("day").head().getString(0)
+    val tampered = ev.filter(col("day") === day)
+      .orderBy("event_id").limit(ev.filter(col("day") === day).count().toInt - 1)
+    Store.writePartitioned(tampered, out, Seq("day"))
+    val diffs = Store.verifyManifest(spark, out, Seq("day")).collect()
+    assert(diffs.length == 1, s"expected one flagged partition, got ${diffs.length}")
+    assert(diffs.head.getAs[Any]("day").toString == day)
+  }
+
   test("targeted delete rewrites only touched partitions, removes emptied ones") {
     import spark.implicits._
     val out = tmp()
