@@ -59,4 +59,31 @@ object Drift {
           bins: Int = 10): Double =
     psiReport(ref, cur, valueCol, bins)
       .agg(sum(col("psi_term"))).head().getDouble(0)
+
+  /** Categorical PSI — drift of a discrete column's mix (language,
+    * source, event type): categories ARE the bins, so this is two
+    * category-sized aggregations and a full-outer join. A category
+    * present on one side only contributes through the epsilon floor
+    * rather than exploding the log. */
+  def psiCategoricalReport(ref: DataFrame, cur: DataFrame, catCol: String,
+                           epsilon: Double = 1e-6): DataFrame = {
+    val refTotal = ref.count().toDouble
+    val curTotal = cur.count().toDouble
+    require(refTotal > 0 && curTotal > 0, "both slices must be non-empty")
+    val r = ref.groupBy(col(catCol)).agg(count(lit(1)).as("ref_n"))
+    val c = cur.groupBy(col(catCol)).agg(count(lit(1)).as("cur_n"))
+    r.join(c, Seq(catCol), "full_outer")
+      .select(col(catCol),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .withColumn("ref_frac", greatest(col("ref_n") / refTotal, lit(epsilon)))
+      .withColumn("cur_frac", greatest(col("cur_n") / curTotal, lit(epsilon)))
+      .withColumn("psi_term",
+        (col("cur_frac") - col("ref_frac")) * log(col("cur_frac") / col("ref_frac")))
+      .orderBy(catCol)
+  }
+
+  def psiCategorical(ref: DataFrame, cur: DataFrame, catCol: String): Double =
+    psiCategoricalReport(ref, cur, catCol)
+      .agg(sum(col("psi_term"))).head().getDouble(0)
 }

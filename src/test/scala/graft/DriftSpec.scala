@@ -34,6 +34,24 @@ class DriftSpec extends SparkTestBase {
     assert(rep.map(_.getDouble(5)).sum == 0.0, "self-PSI must be exactly 0")
   }
 
+  test("categorical PSI flags a mix shift and tolerates one-sided categories") {
+    import spark.implicits._
+    val ref = (Seq.fill(700)("en") ++ Seq.fill(200)("fr") ++ Seq.fill(100)("de"))
+      .toDF("lang")
+    val same = (Seq.fill(1400)("en") ++ Seq.fill(400)("fr") ++ Seq.fill(200)("de"))
+      .toDF("lang")
+    val shifted = (Seq.fill(300)("en") ++ Seq.fill(500)("fr") ++
+      Seq.fill(100)("de") ++ Seq.fill(100)("zh")).toDF("lang")
+    assert(Drift.psiCategorical(ref, same, "lang") < 1e-9)
+    val p = Drift.psiCategorical(ref, shifted, "lang")
+    info(f"mix-shift categorical PSI = $p%.3f")
+    assert(p > 0.25, f"mix shift + new category must alarm, got $p%.3f")
+    // the zh category exists only on one side — finite contribution
+    val rep = Drift.psiCategoricalReport(ref, shifted, "lang").collect()
+    assert(rep.forall(r => !r.getDouble(5).isInfinite && !r.getDouble(5).isNaN))
+    assert(rep.map(_.getString(0)).sorted.sameElements(Array("de", "en", "fr", "zh")))
+  }
+
   test("events value distribution is stable across the corpus's two halves") {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir)
