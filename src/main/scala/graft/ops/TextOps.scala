@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-pipeline operators over the documents table: exact dedup, token
@@ -563,6 +563,39 @@ object TextOps {
     * redaction volume. The synthetic corpus contains no PII (spec
     * injects it), so this ships as a generic transform, not an oracle
     * row — all patterns are in the Java/RE2-common syntax subset. */
+  /** Unigram LM perplexity scoring — the CCNet-style quality filter: a
+    * language model trained on a REFERENCE corpus scores candidate
+    * documents; fluent in-distribution text scores low, gibberish and
+    * off-domain text scores high, and the score is a principled
+    * filtering/weighting signal.
+    *
+    * Model: Laplace-smoothed unigram probabilities p(t) = (c_t + 1) /
+    * (N + V); unseen tokens get 1 / (N + V). Perplexity per doc =
+    * exp(mean −ln p). Shape: the model is a (token, prob) table — built
+    * in one aggregation, joined to the candidate tokens on token (a
+    * shuffle join that scales with the corpus; broadcast when the vocab
+    * is small) — then one per-doc aggregation. Floats (ln/exp) keep it
+    * spec-gated rather than oracle-hashed. */
+  def perplexityScores(ref: DataFrame, docs: DataFrame,
+                       textCol: String = "text"): DataFrame = {
+    def toks(df: DataFrame) = df.select(col("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks(ref).groupBy("tok").agg(count(lit(1)).as("c"))
+    val Row(nTotal: Long, vocab: Long) =
+      counts.agg(sum(col("c")), count(lit(1))).head()
+    val denom = (nTotal + vocab).toDouble
+    val probs = counts.select(col("tok"), ((col("c") + 1.0) / denom).as("p"))
+    toks(docs)
+      .join(probs, Seq("tok"), "left")
+      .withColumn("nll", -log(coalesce(col("p"), lit(1.0 / denom))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(col("p").isNull.cast("long")).as("n_oov"),
+           exp(avg(col("nll"))).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
     // order matters: specific before general (a bare 16-digit card run
     // would otherwise match the looser phone pattern first)

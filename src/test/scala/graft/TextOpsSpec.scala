@@ -88,4 +88,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(r4.getAs[Long]("n_email") == 2 && r4.getAs[Long]("n_ipv4") == 1)
     assert(!r4.getAs[String]("text_redacted").contains("@"))
   }
+
+  test("perplexity separates in-distribution text from gibberish") {
+    import spark.implicits._
+    val ref = Tables.documents(spark, sfDir)
+    val corpus = ref.limit(50).select($"doc_id", $"text")
+    val gibberish = Seq(
+      (900001L, "zxqv wplk jmtr qqzx bnvc xkwz pltj zzzq vvkx qwjz"),
+      (900002L, "aaxz bbqy ccwz ddvx eeuz ffty ggxr hhqw iizv jjuy"))
+      .toDF("doc_id", "text")
+    val scored = TextOps.perplexityScores(ref, corpus.unionByName(gibberish))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val inDist = scored.filter(_._1 < 900000L).values.map(_._3)
+    val junk = scored.filter(_._1 >= 900000L).values
+    // every gibberish token is OOV, and its perplexity clears every
+    // in-distribution doc by a wide margin
+    junk.foreach { case (n, oov, ppl) =>
+      assert(oov == n, "gibberish must be all-OOV")
+      assert(ppl > inDist.max * 10, s"gibberish ppl $ppl not separated")
+    }
+    // in-distribution scores are finite, positive, vocabulary-bounded
+    inDist.foreach(p => assert(p > 1 && p < 1e6))
+  }
 }
