@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   * scanline filters; JpegCodec — Huffman + DCT, subsampling, restart
   * markers, spec-validated against the JDK's independent decoder),
   * PCM16 WAV audio (WavCodec), and YUV4MPEG2 video (Y4mCodec, C444 +
-  * BT.601 conversion) — all pure JVM, zero dependencies: synthesize
-  * emits actual PPMs / PNGs / JPEGs / WAVs / Y4Ms, and decode /
-  * feature-extract / resize / resample / frame-sample operate on true
-  * pixels, samples, and frames. Only H.264-class compressed video stays
+  * BT.601 conversion), and COMPRESSED MJPEG/AVI video (AviMjpegCodec —
+  * RIFF container + per-frame JPEG) — all pure JVM, zero dependencies:
+  * synthesize emits actual PPMs / PNGs / JPEGs / WAVs / Y4Ms / AVIs,
+  * and decode / feature-extract / resize / resample / frame-sample
+  * operate on true pixels, samples, and frames. Only patent-encumbered
+  * codecs that genuinely need licensed externals (H.264-class) stay
   * behind `decodeBytesStub`, a deterministic byte-level fake — at
   * production scale that stub body is the only thing that changes (swap
   * in a JNI/codec call; everything around it is the distributed shape).
@@ -48,8 +50,9 @@ object Multimodal {
     else if (JpegCodec.isJpeg(payload)) JpegCodec.decode(payload)
     else None
 
-  /** Dispatching decode: REAL pixels for PPM/PNG payloads, REAL per-frame
-    * luma for Y4M video, stub otherwise. */
+  /** Dispatching decode: REAL pixels for PPM/PNG/JPEG payloads, REAL
+    * per-frame luma for Y4M video, REAL per-frame RGB for MJPEG/AVI
+    * compressed video, stub otherwise. */
   private[multimodal] def decodePixels(payload: Array[Byte]): Array[Int] =
     decodeImage(payload) match {
       case Some((_, _, rgb)) => rgb.map(_ & 0xff)
@@ -57,7 +60,10 @@ object Multimodal {
         case Some(v) =>
           val n = v.width * v.height
           v.frames.flatMap(f => f.take(n).map(_ & 0xff)) // Y planes
-        case None => decodeBytesStub(payload)
+        case None => AviMjpegCodec.decode(payload) match {
+          case Some(v) => v.frames.flatMap(_.map(_ & 0xff)).toArray
+          case None => decodeBytesStub(payload)
+        }
       }
     }
 
@@ -172,24 +178,48 @@ object Multimodal {
   final case class FrameStats(mediaId: Long, frameIdx: Int, frameMs: Int,
                               meanLuma: Double, lumaHash: Long)
 
-  /** REAL frame sampling over Y4M payloads: decode, pick every
-    * `everyMs`-th frame by the stream's own frame rate, and emit true
-    * per-frame statistics (mean luma + a luma-plane fingerprint).
+  /** REAL frame sampling over video payloads (Y4M and MJPEG/AVI):
+    * decode, pick every `everyMs`-th frame by the stream's own frame
+    * rate, and emit true per-frame statistics (mean luma + a luma-plane
+    * fingerprint; AVI frames derive luma from RGB via BT.601).
     * Partition-local flatMap — the per-item fan-out happens inside the
-    * task, so frames never shuffle away from their parent item. Non-Y4M
-    * payloads are dropped (the column-level [[sampleFrames]] covers
-    * stub formats). */
+    * task, so frames never shuffle away from their parent item.
+    * Non-video payloads are dropped (the column-level [[sampleFrames]]
+    * covers stub formats). */
   def sampleFramesDecoded(items: Dataset[MediaItem], everyMs: Int): Dataset[FrameStats] = {
     val spark = items.sparkSession
     import spark.implicits._
     items.flatMap { m =>
-      Y4mCodec.decode(m.payload).toSeq.flatMap { v =>
-        val n = v.width * v.height
-        val msPerFrame = if (v.fpsNum == 0) 0.0 else 1000.0 * v.fpsDen / v.fpsNum
+      // (width, height, fpsNum, fpsDen, luma planes)
+      val decoded: Option[(Int, Int, Int, Int, Seq[Array[Byte]])] =
+        Y4mCodec.decode(m.payload) match {
+          case Some(v) =>
+            val n = v.width * v.height
+            Some((v.width, v.height, v.fpsNum, v.fpsDen,
+              v.frames.toSeq.map(_.take(n))))
+          case None => AviMjpegCodec.decode(m.payload).map { v =>
+            val lumas = v.frames.map { rgb =>
+              val n = v.width * v.height
+              val y = new Array[Byte](n)
+              var i = 0
+              while (i < n) {
+                y(i) = math.round(
+                  0.299 * (rgb(i * 3) & 0xff) + 0.587 * (rgb(i * 3 + 1) & 0xff) +
+                    0.114 * (rgb(i * 3 + 2) & 0xff)).toByte
+                i += 1
+              }
+              y
+            }
+            (v.width, v.height, v.fpsNum, v.fpsDen, lumas)
+          }
+        }
+      decoded.toSeq.flatMap { case (w, h0, fpsNum, fpsDen, lumas) =>
+        val n = w * h0
+        val msPerFrame = if (fpsNum == 0) 0.0 else 1000.0 * fpsDen / fpsNum
         val stepFrames = math.max(1,
           if (msPerFrame == 0.0) 1 else math.round(everyMs / msPerFrame).toInt)
-        Iterator.range(0, v.frames.length, stepFrames).map { fi =>
-          val y = v.frames(fi)
+        Iterator.range(0, lumas.length, stepFrames).map { fi =>
+          val y = lumas(fi)
           var s = 0L
           var h = 1125899906842597L // FNV-ish rolling seed
           var i = 0
@@ -262,10 +292,11 @@ object Multimodal {
             MediaMeta(width = 0, height = 0, channels = 1,
               sampleRate = rate, durationMs = durMs, mime = "audio/wav"))
         } else {
-          // REAL Y4M video: `reps` frames of a digest-seeded gradient that
-          // shifts per frame, 25 fps C444
+          // REAL video: `reps` frames of a digest-seeded gradient that
+          // shifts per frame — alternating raw YUV4MPEG2 and COMPRESSED
+          // MJPEG/AVI so both real video codecs are exercised
           val w = 8; val h = 6
-          val frames = Array.tabulate(1 + reps) { fr =>
+          val rgbFrames = Array.tabulate(1 + reps) { fr =>
             val rgb = new Array[Byte](w * h * 3)
             var i = 0
             while (i < w * h) {
@@ -275,13 +306,23 @@ object Multimodal {
               rgb(i * 3 + 2) = ((255 - d + fr) & 0xff).toByte
               i += 1
             }
-            Y4mCodec.rgbToFrame(w, h, rgb)
+            rgb
           }
-          val vid = Y4mCodec.Video(w, h, 25, 1, frames)
-          MediaItem(docId, kind, Y4mCodec.encode(vid),
-            MediaMeta(width = w, height = h, channels = 3,
-              sampleRate = 0, durationMs = vid.durationMs,
-              mime = "video/x-yuv4mpeg2"))
+          if ((docId / 3) % 2 == 0) {
+            val vid = Y4mCodec.Video(w, h, 25, 1,
+              rgbFrames.map(Y4mCodec.rgbToFrame(w, h, _)))
+            MediaItem(docId, kind, Y4mCodec.encode(vid),
+              MediaMeta(width = w, height = h, channels = 3,
+                sampleRate = 0, durationMs = vid.durationMs,
+                mime = "video/x-yuv4mpeg2"))
+          } else {
+            val avi = AviMjpegCodec.encode(w, h, 25, rgbFrames.toSeq, quality = 92)
+            val durMs = rgbFrames.length * 1000 / 25
+            MediaItem(docId, kind, avi,
+              MediaMeta(width = w, height = h, channels = 3,
+                sampleRate = 0, durationMs = durMs,
+                mime = "video/x-msvideo"))
+          }
         }
       }
   }

@@ -455,15 +455,29 @@ class StreamingMultimodalSpec extends SparkTestBase {
     val stats = Multimodal.sampleFramesDecoded(vids, everyMs = 40).collect()
     val byId = stats.groupBy(_.mediaId)
     vids.collect().foreach { m =>
-      val v = graft.multimodal.Y4mCodec.decode(m.payload).get
       val got = byId(m.mediaId)
-      assert(got.length == v.frames.length,
-        s"media ${m.mediaId}: ${got.length} stats for ${v.frames.length} frames")
+      // synthesize alternates raw Y4M and compressed MJPEG/AVI videos
+      val (nFrames, frame0Mean) =
+        graft.multimodal.Y4mCodec.decode(m.payload) match {
+          case Some(v) =>
+            val n = v.width * v.height
+            (v.frames.length, v.frames(0).take(n).map(_ & 0xff).sum.toDouble / n)
+          case None =>
+            val v = graft.multimodal.AviMjpegCodec.decode(m.payload).get
+            val rgb = v.frames.head
+            val n = v.width * v.height
+            val mean = (0 until n).map { i =>
+              math.round(0.299 * (rgb(i * 3) & 0xff) +
+                0.587 * (rgb(i * 3 + 1) & 0xff) +
+                0.114 * (rgb(i * 3 + 2) & 0xff)).toInt
+            }.sum.toDouble / n
+            (v.frames.length, mean)
+        }
+      assert(got.length == nFrames,
+        s"media ${m.mediaId}: ${got.length} stats for $nFrames frames")
       // recompute one frame's mean luma independently
       val f0 = got.minBy(_.frameIdx)
-      val n = v.width * v.height
-      val mean = v.frames(0).take(n).map(_ & 0xff).sum.toDouble / n
-      assert(math.abs(f0.meanLuma - mean) < 1e-9)
+      assert(math.abs(f0.meanLuma - frame0Mean) < 1e-9)
       assert(got.forall(s => s.meanLuma >= 0 && s.meanLuma <= 255))
       // frames differ → fingerprints differ
       assert(got.map(_.lumaHash).distinct.length == got.length)
