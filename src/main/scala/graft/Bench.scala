@@ -12,6 +12,12 @@ object Bench {
     def clearPersisted(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // Quiesce between queries: with 100+ queries in one JVM, GC debt
+      // from query N lands in query N+1's wall time and reads as a
+      // phantom regression (r5 adjudicated 8 such). An explicit GC +
+      // short settle makes each measurement start from the same heap.
+      System.gc()
+      Thread.sleep(50)
     }
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -34,10 +40,11 @@ object Bench {
         .groupBy("l_returnflag").count().queryExecution.toRdd.count()
     } catch { case _: Throwable => () }
 
-    // Best-of-2 per query: run-to-run variance on this box is ±40%; min of
-    // two executions is the stable statistic for round-over-round deltas.
+    // Best-of-3 per query: run-to-run variance on this box is ±40%; the
+    // min of three executions is the stable statistic for round-over-round
+    // deltas (best-of-2 let unchanged queries read as 3–6× regressions).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(runOnce(fn), runOnce(fn))
+      name -> Seq.fill(3)(runOnce(fn)).min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

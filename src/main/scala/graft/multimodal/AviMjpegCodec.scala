@@ -65,7 +65,7 @@ object AviMjpegCodec {
     val avih = { // main AVI header
       val o = new ByteArrayOutputStream()
       u32(o, if (fps == 0) 0 else 1000000L / fps) // µs per frame
-      u32(o, maxFrame.toLong * fps); u32(o, 0); u32(o, 0x10 /* HASINDEX off: 0 */)
+      u32(o, maxFrame.toLong * fps); u32(o, 0); u32(o, 0x10 /* AVIF_HASINDEX: idx1 below */)
       u32(o, jpegs.size.toLong); u32(o, 0); u32(o, 1); u32(o, maxFrame.toLong)
       u32(o, w.toLong); u32(o, h.toLong)
       (1 to 4).foreach(_ => u32(o, 0))
@@ -91,13 +91,28 @@ object AviMjpegCodec {
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
     val movi = list("movi",
       jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    // idx1: one 16-byte entry per frame chunk; offsets are relative to the
+    // 'movi' fourcc (the widespread convention), so the first chunk sits at
+    // offset 4. Required for the AVIF_HASINDEX flag set in avih to be
+    // truthful — strict players use it to seek.
+    val idx1 = {
+      val o = new ByteArrayOutputStream()
+      var off = 4L
+      jpegs.foreach { j =>
+        fourcc(o, "00dc"); u32(o, 0x10L /* AVIIF_KEYFRAME */)
+        u32(o, off); u32(o, j.length.toLong)
+        off += 8 + j.length + (j.length % 2)
+      }
+      chunk("idx1", o.toByteArray)
+    }
 
     val out = new ByteArrayOutputStream()
     fourcc(out, "RIFF")
-    u32(out, (4 + hdrl.length + movi.length).toLong)
+    u32(out, (4 + hdrl.length + movi.length + idx1.length).toLong)
     fourcc(out, "AVI ")
     out.write(hdrl, 0, hdrl.length)
     out.write(movi, 0, movi.length)
+    out.write(idx1, 0, idx1.length)
     out.toByteArray
   }
 

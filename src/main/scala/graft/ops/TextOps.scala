@@ -60,7 +60,9 @@ object TextOps {
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val txt = $"text"
-    val nChars = length(txt).cast("double")
+    // greatest(len, 1): an empty document must score 0, not NULL —
+    // divide-by-zero yields null in Spark but must match DuckDB exactly.
+    val nChars = greatest(length(txt), lit(1)).cast("double")
     val nDigits = length(txt) - length(regexp_replace(txt, "[0-9]", ""))
     val nUpper = length(txt) - length(regexp_replace(txt, "[A-Z]", ""))
     val nSpaces = length(txt) - length(regexp_replace(txt, " ", ""))
@@ -79,11 +81,11 @@ object TextOps {
     """SELECT doc_id,
       |  CAST(len(text) AS BIGINT) AS n_chars,
       |  CAST(floor(len(regexp_replace(text, '[^0-9]', '', 'g')) * 10000.0
-      |       / len(text)) AS BIGINT) AS digit_bp,
+      |       / greatest(len(text), 1)) AS BIGINT) AS digit_bp,
       |  CAST(floor(len(regexp_replace(text, '[^A-Z]', '', 'g')) * 10000.0
-      |       / len(text)) AS BIGINT) AS upper_bp,
+      |       / greatest(len(text), 1)) AS BIGINT) AS upper_bp,
       |  CAST(floor((len(text) - len(replace(text, ' ', ''))) * 10000.0
-      |       / len(text)) AS BIGINT) AS space_bp
+      |       / greatest(len(text), 1)) AS BIGINT) AS space_bp
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -99,12 +101,15 @@ object TextOps {
     import spark.implicits._
     val txt = $"text"
     val nChars = length(txt).cast("long")
+    // greatest(len, 1) in the denominator ONLY: an empty doc gets bp = 0
+    // (not NULL) in both engines; n_chars itself stays the true length.
+    val denom = greatest(nChars, lit(1L))
     val nDigits = (length(txt) - length(regexp_replace(txt, "[0-9]", ""))).cast("long")
     val nUpper = (length(txt) - length(regexp_replace(txt, "[A-Z]", ""))).cast("long")
     val nSpaces = (length(txt) - length(regexp_replace(txt, " ", ""))).cast("long")
-    val digitBp = floor(nDigits * lit(10000) / nChars).cast("long")
-    val upperBp = floor(nUpper * lit(10000) / nChars).cast("long")
-    val spaceBp = floor(nSpaces * lit(10000) / nChars).cast("long")
+    val digitBp = floor(nDigits * lit(10000) / denom).cast("long")
+    val upperBp = floor(nUpper * lit(10000) / denom).cast("long")
+    val spaceBp = floor(nSpaces * lit(10000) / denom).cast("long")
     val logit = lit(ClassifierBiasMicros) +
       digitBp * lit(ClassifierWeightsMicros(0)) +
       upperBp * lit(ClassifierWeightsMicros(1)) +
@@ -125,19 +130,19 @@ object TextOps {
     """SELECT doc_id,
       |  CAST(-545000
       |   - 300 * CAST(floor(len(regexp_replace(text, '[^0-9]', '', 'g')) * 10000.0
-      |         / len(text)) AS BIGINT)
+      |         / greatest(len(text), 1)) AS BIGINT)
       |   - 200 * CAST(floor(len(regexp_replace(text, '[^A-Z]', '', 'g')) * 10000.0
-      |         / len(text)) AS BIGINT)
+      |         / greatest(len(text), 1)) AS BIGINT)
       |   + 150 * CAST(floor((len(text) - len(replace(text, ' ', ''))) * 10000.0
-      |         / len(text)) AS BIGINT)
+      |         / greatest(len(text), 1)) AS BIGINT)
       |   + 900 * least(len(text), 2000) AS BIGINT) AS logit_micros,
       |  CAST(CASE WHEN -545000
       |   - 300 * CAST(floor(len(regexp_replace(text, '[^0-9]', '', 'g')) * 10000.0
-      |         / len(text)) AS BIGINT)
+      |         / greatest(len(text), 1)) AS BIGINT)
       |   - 200 * CAST(floor(len(regexp_replace(text, '[^A-Z]', '', 'g')) * 10000.0
-      |         / len(text)) AS BIGINT)
+      |         / greatest(len(text), 1)) AS BIGINT)
       |   + 150 * CAST(floor((len(text) - len(replace(text, ' ', ''))) * 10000.0
-      |         / len(text)) AS BIGINT)
+      |         / greatest(len(text), 1)) AS BIGINT)
       |   + 900 * least(len(text), 2000) > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_quality
       |FROM documents
       |ORDER BY doc_id""".stripMargin

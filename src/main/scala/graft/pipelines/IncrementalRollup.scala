@@ -46,10 +46,21 @@ object IncrementalRollup {
              dedupKey: Option[String] = None): Unit = {
     val touchedDays = batch
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day")).distinct()
-    val touched0 = allEvents
-      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-      .join(broadcast(touchedDays), "day")
-      .drop("day")
+    // If the event log carries a `day` column (the day-partitioned bronze
+    // sink does), join the touched-day keys against it RAW — a join on
+    // the physical partition column is what lets dynamic partition
+    // pruning skip every untouched day's directory. Deriving day from ts
+    // here would full-scan the log.
+    val touched0 =
+      if (allEvents.columns.contains("day")) {
+        val dayType = allEvents.schema("day").dataType
+        allEvents
+          .join(broadcast(touchedDays.select(col("day").cast(dayType).as("day"))), "day")
+          .drop("day")
+      } else allEvents
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .join(broadcast(touchedDays), "day")
+        .drop("day")
     val touched = dedupKey.fold(touched0)(k => touched0.dropDuplicates(k))
     Store.upsertPartitions(rollup(touched), outPath,
       keyCols = Seq("day", "event_type"), partitionCols = Seq("day"))

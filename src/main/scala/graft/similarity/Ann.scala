@@ -29,6 +29,11 @@ object Ann {
   def quantized(c: Column): Column =
     transform(c, x => round(x.cast("double") * QuantScale))
 
+  /** The ANN demo/oracle query set: vectors with vec_id < AnnQueryIds are
+    * the queries; used identically by every DataFrame builder and its
+    * DuckDB oracle SQL so the two sides can never drift. */
+  val AnnQueryIds = 20
+
   /** Exact integer dot product of two quantized arrays via the native
     * codegen expression (graft.functions.VectorExpressions) — same strict
     * left-to-right fold as the HOF composition it replaced, so results are
@@ -42,13 +47,13 @@ object Ann {
   def intDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** Brute-force top-k neighbors for query vectors (vec_id < 20) by
+  /** Brute-force top-k neighbors for query vectors (vec_id < AnnQueryIds) by
     * quantized dot product; deterministic tie-break on neighbor id. */
   def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
-    val queries = emb.filter(col("vec_id") < 20)
+    val queries = emb.filter(col("vec_id") < AnnQueryIds)
       .select(col("vec_id").as("query_id"), col("q").as("qv"))
     val cand = emb.select(col("vec_id").as("neighbor_id"), col("q").as("nv"))
     val scored = broadcast(queries).join(cand, col("query_id") =!= col("neighbor_id"))
@@ -72,7 +77,7 @@ object Ann {
        |scored AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
-       |  FROM q a JOIN q b ON a.vec_id < 20 AND a.vec_id <> b.vec_id)
+       |  FROM q a JOIN q b ON a.vec_id < $AnnQueryIds AND a.vec_id <> b.vec_id)
        |SELECT query_id, rank, neighbor_id, dot FROM (
        |  SELECT query_id, neighbor_id, dot,
        |    row_number() OVER (PARTITION BY query_id
@@ -303,7 +308,7 @@ object Ann {
       .select(col("label").as("c_label"),
         expr("transform(pairs, p -> CAST(p.cx AS DOUBLE))").as("centroid"))
     // nearest centroid per query: argmin ‖q − c‖² = argmin(‖c‖² − 2 q·c)
-    val queries = emb.filter(col("vec_id") < 20)
+    val queries = emb.filter(col("vec_id") < AnnQueryIds)
       .select(col("vec_id").as("query_id"), col("q").as("qv"))
     val assign = queries.crossJoin(broadcast(cents))
       .withColumn("score",
@@ -352,7 +357,7 @@ object Ann {
     graft.functions.VectorExpressions.register(spark)
     val cents = spark.read.parquet(s"$indexPath/centroids")
     val queries = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < 20)
+      .filter(col("vec_id") < AnnQueryIds)
       .select(col("vec_id").as("query_id"), quantized(col("embedding")).as("qv"))
     val assign = queries.crossJoin(broadcast(cents))
       .withColumn("score",
@@ -392,7 +397,7 @@ object Ann {
        |    FROM (
        |      SELECT co.vec_id, ce.label, sum(co.x * ce.cx) AS qdot
        |      FROM coords co JOIN cents ce ON co.i = ce.i
-       |      WHERE co.vec_id < 20
+       |      WHERE co.vec_id < $AnnQueryIds
        |      GROUP BY 1, 2) qc
        |    JOIN cent_norm cn ON cn.label = qc.label) t
        |  WHERE rn <= $IvfProbes)
@@ -661,13 +666,59 @@ object Ann {
     pqScore(emb, coords, cents1, codes)
   }
 
+  /** Build-once/query-many entry points for the bench and verify
+    * harnesses: the index is built on first use into a session-external
+    * cache directory and every later call pays ONLY the query — which is
+    * the latency a production ANN service actually serves (`s_pq_topk` /
+    * `s_ivf_topk` bench entries, by contrast, book per-run training).
+    *
+    * The cache key is the source dir plus a fingerprint of every
+    * parameter the trained artifact depends on, so a parameter change
+    * invalidates the cache instead of silently serving a stale index.
+    * Results are pinned identical to the inline paths (AnnSpec), so the
+    * same oracle SQL gates both. */
+  private def trainingFingerprint: String =
+    s"v1-d$Dim-q$QuantScale-m$PqM-k$PqK-p$IvfProbes-r$PqRerankN-t$PqTopN-a$AnnQueryIds"
+
+  private[graft] def cachedIndexDir(dir: String, kind: String): String = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+    s"${System.getProperty("java.io.tmpdir")}/graft-ann-index/$kind-$tag"
+  }
+
+  private def ensureIndex(spark: SparkSession, dir: String, kind: String)
+                         (build: String => Unit): String = {
+    val idx = cachedIndexDir(dir, kind)
+    val marker = new java.io.File(s"$idx/_built")
+    val want = trainingFingerprint
+    val fresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == want
+    if (!fresh) {
+      build(idx)
+      java.nio.file.Files.write(marker.toPath, want.getBytes("UTF-8"))
+    }
+    idx
+  }
+
+  /** [[pqTopKIndexed]] over a cached [[pqIndexBuild]]: first call trains,
+    * every later call times pure query latency. */
+  def pqTopKCached(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ensureIndex(spark, dir, "pq")(pqIndexBuild(spark, dir, _))
+    pqTopKIndexed(spark, dir, idx)
+  }
+
+  /** [[ivfTopKIndexed]] over a cached [[ivfIndexBuild]]. */
+  def ivfTopKCached(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ensureIndex(spark, dir, "ivf")(ivfIndexBuild(spark, dir, _))
+    ivfTopKIndexed(spark, dir, idx)
+  }
+
   /** ADC scoring + exact re-rank over a trained index (codebooks +
     * codes), shared by the inline and persisted-index paths. */
   private def pqScore(emb: DataFrame, coords: DataFrame,
                       cents1: DataFrame, codes: DataFrame): DataFrame = {
     // ADC lookup tables for the query set: qdot(query, m, cell), packed
     // into one broadcastable map per query keyed m*K+cell
-    val luts = coords.join(emb.filter(col("vec_id") < 20)
+    val luts = coords.join(emb.filter(col("vec_id") < AnnQueryIds)
           .select(col("vec_id").as("query_id")),
         col("vec_id") === col("query_id"), "left_semi")
       .join(broadcast(cents1), Seq("m", "j"))
@@ -691,7 +742,7 @@ object Ann {
     // scan (no shuffle of the corpus), then exact integer dot
     val exact = emb.select(col("vec_id").as("neighbor_id"), col("q").as("nv"))
       .join(broadcast(candidates), "neighbor_id")
-      .join(broadcast(emb.filter(col("vec_id") < 20)
+      .join(broadcast(emb.filter(col("vec_id") < AnnQueryIds)
         .select(col("vec_id").as("query_id"), col("q").as("qv"))), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         intDot(col("qv"), col("nv")).cast("long").as("dot"))
@@ -745,7 +796,7 @@ object Ann {
        |luts AS (
        |  SELECT c.vec_id AS query_id, k.m, k.cell, sum(c.x * k.cx) AS qdot
        |  FROM pcoords c JOIN pcents1 k ON c.m = k.m AND c.j = k.j
-       |  WHERE c.vec_id < 20
+       |  WHERE c.vec_id < $AnnQueryIds
        |  GROUP BY 1, 2, 3),
        |cand AS (
        |  SELECT query_id, neighbor_id FROM (

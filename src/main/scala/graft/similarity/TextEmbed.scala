@@ -46,7 +46,7 @@ object TextEmbed {
     * the same plan family as [[Ann.embeddingDup]], driven from raw text
     * instead of a shipped embedding column. */
   def nearestByText(spark: SparkSession, dir: String, dim: Int = DefaultDim): DataFrame =
-    nearestOf(Tables.documents(spark, dir), col("doc_a") < 20, dim)
+    nearestOf(Tables.documents(spark, dir), col("doc_a") < Ann.AnnQueryIds, dim)
 
   /** The same pipeline over any (doc_id, text) frame, with a caller-
     * chosen query predicate. */

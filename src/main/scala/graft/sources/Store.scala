@@ -212,21 +212,44 @@ object Store {
     * manifest/metastore pointer instead — the data movement is the same.
     * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, path: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    compactWithHook(spark, path, targetFileBytes)(() => ())
+
+  /** [[compact]] with a test seam between the rewrite and the swap —
+    * the window where a concurrent writer (a takedown delete of the
+    * same partition, StoreSpec) would otherwise be silently undone by
+    * installing the pre-delete copy. The swap re-lists the source and
+    * ABORTS (cleaning its temp output) if any file changed since the
+    * compaction read them: a detected conflict to retry, never a
+    * resurrection. Production narrows the residual re-check→rename
+    * window further by swapping a manifest pointer; the detection logic
+    * is the same. */
+  private[graft] def compactWithHook(spark: SparkSession, path: String,
+                                     targetFileBytes: Long = 128L * 1024 * 1024)
+                                    (beforeSwap: () => Unit): (Int, Int) = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     def dataFiles(p: org.apache.hadoop.fs.Path) =
       fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    def snapshot(p: org.apache.hadoop.fs.Path) =
+      dataFiles(p).map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toSet
     val before = dataFiles(hPath)
     // a partitioned-table ROOT has no direct data files — rewriting it
     // flat would destroy the partition layout; refuse rather than ruin
     require(before.nonEmpty,
       s"$path has no direct parquet files — point compact() at one partition directory")
+    val beforeSnap = before.map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toSet
     val totalBytes = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
     fs.delete(tmp, true)
     spark.read.parquet(path).repartition(n).write.parquet(tmp.toString)
+    beforeSwap()
+    if (snapshot(hPath) != beforeSnap) {
+      fs.delete(tmp, true)
+      throw new java.util.ConcurrentModificationException(
+        s"$path changed during compaction (concurrent delete/write?) — aborted, retry")
+    }
     val old = new org.apache.hadoop.fs.Path(path + "_compact_old")
     fs.delete(old, true)
     require(fs.rename(hPath, old), s"could not move $path aside")
@@ -257,11 +280,27 @@ object Store {
   def upsertPartitions(updates: DataFrame, path: String, keyCols: Seq[String],
                        partitionCols: Seq[String]): Unit = {
     val spark = updates.sparkSession
-    val base = try spark.read.parquet(path) catch {
-      case _: Exception => // first batch: the upsert IS the table
-        writePartitioned(updates, path, partitionCols)
-        return
+    // "First batch" is decided by an explicit existence probe (no path,
+    // or a path with no visible data files), NEVER by catching the read:
+    // a transient IO / permission / corrupt-footer error on an EXISTING
+    // table must propagate, not be mistaken for first batch — which
+    // would dynamic-overwrite touched partitions with only the update
+    // rows and drop their other keys.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasVisibleFile: Boolean = {
+      val it = fs.listFiles(hPath, true)
+      while (it.hasNext) {
+        val n = it.next().getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) return true
+      }
+      false
     }
+    if (!fs.exists(hPath) || !hasVisibleFile) { // the upsert IS the table
+      writePartitioned(updates, path, partitionCols)
+      return
+    }
+    val base = spark.read.parquet(path)
     val touched = updates.select(partitionCols.map(col): _*).distinct()
     val merged = base
       .join(broadcast(touched), partitionCols, "left_semi")

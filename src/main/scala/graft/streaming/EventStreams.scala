@@ -225,7 +225,11 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         batch.persist()
-        batch.write.mode("append").parquet(bronzePath)
+        // bronze is DAY-PARTITIONED so ingest's touched-day join prunes
+        // directories — per-batch cost stays ∝ touched days even as the
+        // log grows (an unpartitioned append would full-scan history).
+        batch.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .write.mode("append").partitionBy("day").parquet(bronzePath)
         // dedupKey pushes the replay-dedup below the touched-day filter,
         // so the per-batch cost is the touched days, not all of bronze
         val bronze = batch.sparkSession.read.parquet(bronzePath)
@@ -248,7 +252,15 @@ object EventStreams {
     * change, and the batch operator's is_current row is exactly that
     * open interval). Within-batch disorder is absorbed by the same
     * (ts, state) sort the batch window uses; consecutive duplicates
-    * collapse identically to the batch lag() change filter. */
+    * collapse identically to the batch lag() change filter.
+    *
+    * Cross-batch disorder is BOUNDED, not absorbed: an event whose ts
+    * precedes the open interval's start arrived after a later event was
+    * already folded into state, and honoring it would emit a closed
+    * interval with valid_to < valid_from (diverging from the batch twin,
+    * which sorts globally). Such events are dropped — the documented
+    * divergence from scd2Intervals is therefore only that straggler
+    * loss, never an inverted interval. */
   def streamingScd2(spark: SparkSession, events: DataFrame): Dataset[Scd2Closed] = {
     import spark.implicits._
     val typed = events
@@ -262,6 +274,7 @@ object EventStreams {
           val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
           rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, tsUs, et) =>
             cur match {
+              case Some(s) if tsUs < s.sinceUs => () // cross-batch straggler: drop (see scaladoc)
               case Some(s) if s.state == et => () // same state: no interval edge
               case Some(s) =>
                 out += Scd2Closed(userId, s.version, s.state, s.sinceUs, tsUs)

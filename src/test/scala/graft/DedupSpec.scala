@@ -145,6 +145,24 @@ class DedupSpec extends SparkTestBase {
     assert(again == inline)
   }
 
+  test("cached-index wrappers reuse the trained index across calls") {
+    val inline = Ann.pqTopK(spark, sfDir).collect().map(_.toSeq).toSet
+    // wipe any cache a previous JVM left so this test really trains once
+    val pqDir = new java.io.File(Ann.cachedIndexDir(sfDir, "pq"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    if (pqDir.exists()) rm(pqDir)
+    assert(Ann.pqTopKCached(spark, sfDir).collect().map(_.toSeq).toSet == inline)
+    val marker = new java.io.File(pqDir, "_built")
+    assert(marker.exists(), "first call must persist the index + marker")
+    val mtime = marker.lastModified()
+    assert(Ann.pqTopKCached(spark, sfDir).collect().map(_.toSeq).toSet == inline)
+    assert(marker.lastModified() == mtime, "second call must not retrain")
+    val ivfInline = Ann.ivfTopK(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(Ann.ivfTopKCached(spark, sfDir).collect().map(_.toSeq).toSet == ivfInline)
+  }
+
   test("pq: one lloyd round does not worsen total quantization error") {
     // inertia(seed codebook) >= inertia(refined codebook) — the k-means
     // descent property, checked through the same assignment code path

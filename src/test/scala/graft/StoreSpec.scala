@@ -299,6 +299,65 @@ class StoreSpec extends SparkTestBase {
     assert(!new java.io.File(out + "_compact_old").exists())
   }
 
+  test("upsert: a corrupt existing table aborts, never masquerades as first batch") {
+    import spark.implicits._
+    val out = tmp()
+    val base = (1 to 20).map(k => (k.toLong, s"v$k", k % 2)).toDF("key", "value", "part")
+    Store.upsertPartitions(base, out, Seq("key"), Seq("part"))
+    // corrupt the table: a data file that is not parquet
+    val bad = new java.io.File(s"$out/part=0/zzz-corrupt.parquet")
+    java.nio.file.Files.write(bad.toPath, "not parquet".getBytes)
+    val upd = Seq((2L, "V2", 0)).toDF("key", "value", "part")
+    intercept[Exception] { Store.upsertPartitions(upd, out, Seq("key"), Seq("part")) }
+    // the failed upsert must not have dynamic-overwritten part=0 down to
+    // just the update row: remove the corruption and prove all rows live
+    bad.delete()
+    assert(spark.read.parquet(out).count() == 20, "corrupt-table upsert dropped base rows")
+  }
+
+  test("takedown delete and compaction compose in either order") {
+    import spark.implicits._
+    val out = tmp()
+    val base = (1 to 100).map(k => (k.toLong, s"v$k", k % 2)).toDF("key", "value", "part")
+    base.repartition(8).write.mode("overwrite").partitionBy("part").parquet(out)
+    // delete → compact
+    assert(Store.deleteKeys(spark, out, "key", Seq(2L, 4L), Seq("part")) == 2L)
+    val (nb, na) = Store.compact(spark, s"$out/part=0", targetFileBytes = 64L * 1024 * 1024)
+    assert(na <= nb)
+    val after = spark.read.parquet(out)
+    assert(after.count() == 98)
+    assert(after.filter($"key".isin(2L, 4L)).count() == 0, "compaction resurrected a deleted row")
+    // compact → delete
+    Store.compact(spark, s"$out/part=1", targetFileBytes = 64L * 1024 * 1024)
+    assert(Store.deleteKeys(spark, out, "key", Seq(3L), Seq("part")) == 1L)
+    assert(spark.read.parquet(out).count() == 97)
+    assert(!new java.io.File(s"$out/part=0_compact_tmp").exists())
+    assert(!new java.io.File(s"$out/part=1_compact_old").exists())
+  }
+
+  test("a delete racing the compaction swap is detected, not resurrected") {
+    import spark.implicits._
+    val out = tmp()
+    val base = (1 to 100).map(k => (k.toLong, s"v$k", k % 2)).toDF("key", "value", "part")
+    base.repartition(8).write.mode("overwrite").partitionBy("part").parquet(out)
+    // the takedown lands AFTER compaction read part=0 but BEFORE the swap:
+    // installing the compacted copy would resurrect keys 2 and 4
+    intercept[java.util.ConcurrentModificationException] {
+      Store.compactWithHook(spark, s"$out/part=0", targetFileBytes = 64L * 1024 * 1024) { () =>
+        Store.deleteKeys(spark, out, "key", Seq(2L, 4L), Seq("part")); ()
+      }
+    }
+    val after = spark.read.parquet(out)
+    assert(after.count() == 98, "aborted compaction lost rows")
+    assert(after.filter($"key".isin(2L, 4L)).count() == 0, "race resurrected deleted rows")
+    // the aborted attempt cleans up after itself
+    assert(!new java.io.File(s"$out/part=0_compact_tmp").exists(), "temp output leaked")
+    assert(!new java.io.File(s"$out/part=0_compact_old").exists())
+    // and a retry (no concurrent writer now) succeeds
+    val (_, na) = Store.compact(spark, s"$out/part=0", targetFileBytes = 64L * 1024 * 1024)
+    assert(na >= 1 && spark.read.parquet(out).count() == 98)
+  }
+
   test("same-bucketed join plans with zero exchanges") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sfDir)
