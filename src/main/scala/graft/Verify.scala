@@ -4,14 +4,24 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = run(args, production = false)
+
+  private[graft] def run(args: Array[String], production: Boolean): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query-name filter for fast
     // single-query iteration (the driver passes two args → full run)
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.local(cpus.toInt, appName = "graft-verify")
+    val spark =
+      if (production) {
+        val s = GraftSession.production(SparkSession.builder()
+          .master(s"local[$cpus]")
+          .appName("graft-verify-production")
+          .config("spark.ui.enabled", "false")).getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        s
+      } else GraftSession.local(cpus.toInt, appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
     // Queries are independent (plan building + a write to a per-query
     // directory) and Spark job submission is thread-safe, so run them on
@@ -56,4 +66,14 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
+}
+
+/** [[Verify]] under the 100-TB posture ([[GraftSession.production]]:
+  * CBO + histogram stats, AQE with skew-join splitting, 2000 shuffle
+  * partitions, runtime bloom pruning, parquet aggregate pushdown) —
+  * insurance that the production config changes PLANS, never ANSWERS.
+  * Same args as Verify; compare its output dir with the same oracle
+  * checker. */
+object VerifyProduction {
+  def main(args: Array[String]): Unit = Verify.run(args, production = true)
 }

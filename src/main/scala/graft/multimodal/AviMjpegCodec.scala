@@ -131,15 +131,19 @@ object AviMjpegCodec {
     val payloads = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
 
     /** Walk chunks in [from, to): collect video payload offsets, recurse
-      * into LISTs, read the frame rate from strh. */
-    def walk(from: Int, to: Int): Unit = {
+      * into LISTs, read the frame rate from strh. Depth-capped: real AVIs
+      * nest hdrl/strl/movi ≤ 3 deep; a crafted byte stream nesting LISTs
+      * thousands deep would otherwise overflow the stack, which escapes
+      * the Exception guard in decode(). */
+    def walk(from: Int, to: Int, depth: Int = 0): Unit = {
+      if (depth > 16) return
       var p = from
       while (p + 8 <= to) {
         val id = new String(bytes, p, 4, "US-ASCII")
         val sz = rdU32(bytes, p + 4)
         if (sz < 0 || p + 8 + sz > to) return // truncated: stop cleanly
         val body = p + 8
-        if (id == "LIST" && sz >= 4) walk(body + 4, body + sz.toInt)
+        if (id == "LIST" && sz >= 4) walk(body + 4, body + sz.toInt, depth + 1)
         else if (id.substring(2) == "dc" || id.substring(2) == "db")
           payloads += ((body, sz.toInt))
         else if (id == "strh" && sz >= 32) {

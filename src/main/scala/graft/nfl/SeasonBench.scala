@@ -54,7 +54,7 @@ object SeasonBench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val copies = sys.env.getOrElse("SPARK_GRAFT_SEASON_COPIES", "182").toInt
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "target/SEASON_r5.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "target/SEASON.json")
     val outDir = java.nio.file.Files
       .createTempDirectory("graft-season").toString
     val spark = graft.GraftSession.local(cpus, appName = "graft-season")
@@ -67,6 +67,21 @@ object SeasonBench {
     val (t1, g1, p1, s1) = replicate(spark, 1)
     SeasonJob.run(Normalize(t1, g1, p1), s1, s"$outDir/warm")
 
+    // task-metric ceilings for the timed run: the per-task peak execution
+    // memory is the number that decides executor sizing at season scale
+    val peakMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          peakMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      }
+    })
+
     val t0 = System.nanoTime()
     val norm = Normalize(tracking, games, plays)
     val frames = SeasonJob.run(norm, preState, s"$outDir/run")
@@ -77,6 +92,8 @@ object SeasonBench {
       s""""raw_rows":$rawRows,"plays":$nPlays,"weeks":17,""" +
       s""""frames":$frames,"frames_per_sec":${f"${frames / wall}%.2f"},""" +
       s""""sec_per_play":${f"${wall / nPlays}%.3f"},"cpus":$cpus,""" +
+      s""""peak_task_mem_bytes":${peakMem.get()},""" +
+      s""""shuffle_write_bytes":${shuffleWrite.get()},""" +
       s""""reference_sec_per_play":"7-26 (CUDA, play_eppa_gpu.py:46-47)"}"""
     println(json)
     val w = new java.io.PrintWriter(outFile)

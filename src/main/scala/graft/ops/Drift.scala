@@ -54,6 +54,39 @@ object Drift {
       .orderBy("bin")
   }
 
+  /** Oracle-gated integer core of [[psiReport]] (`a_psi_bins`): the
+    * per-bin (ref_n, cur_n) contingency table for a document-length
+    * drift check between two corpus halves (ref = even doc_id, cur =
+    * odd). Everything float-fragile about PSI is the ln() — the bin
+    * COUNTS are pure integers once the edges agree, and the exact
+    * interpolating percentile is already hash-stable cross-engine
+    * (a_quantiles), so this pins the quantile-edge fold + binning +
+    * full-outer merge; DriftSpec keeps gating the ln step. */
+  def psiBins(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("double").as("v"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val cur = docs.filter(col("doc_id") % 2 === 1)
+    psiReport(ref, cur, "v", bins = 10)
+      .select(col("bin").cast("long").as("bin"), col("ref_n"), col("cur_n"))
+      .orderBy("bin")
+  }
+
+  val psiBinsSql: String =
+    """WITH vals AS (SELECT doc_id, CAST(len(text) AS DOUBLE) AS v FROM documents),
+      |r AS (SELECT v FROM vals WHERE doc_id % 2 = 0),
+      |c AS (SELECT v FROM vals WHERE doc_id % 2 = 1),
+      |e AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+      |        AS edges FROM r),
+      |rb AS (SELECT list_sum(list_transform(e.edges, x -> CAST(v > x AS INT)))
+      |         AS bin, count(*) AS ref_n FROM r, e GROUP BY 1),
+      |cb AS (SELECT list_sum(list_transform(e.edges, x -> CAST(v > x AS INT)))
+      |         AS bin, count(*) AS cur_n FROM c, e GROUP BY 1)
+      |SELECT CAST(COALESCE(rb.bin, cb.bin) AS BIGINT) AS bin,
+      |  COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n
+      |FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
+      |ORDER BY bin""".stripMargin
+
   /** Total PSI as a scalar. */
   def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
           bins: Int = 10): Double =

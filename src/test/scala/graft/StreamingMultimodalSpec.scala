@@ -217,7 +217,10 @@ class StreamingMultimodalSpec extends SparkTestBase {
     // dedup-by-event_id read plus idempotent partition swap must leave
     // the table unchanged
     val replayBatch = Tables.events(spark, sfDir).limit(500)
-    replayBatch.write.mode("append").parquet(bronze)
+    replayBatch
+      .withColumn("day", org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd"))
+      .write.mode("append").partitionBy("day").parquet(bronze)
     IncrementalRollup.ingest(spark.read.parquet(bronze), replayBatch, rollup,
       dedupKey = Some("event_id"))
     assert(tableNow() == expected, "batch replay corrupted the rollup")
@@ -240,6 +243,36 @@ class StreamingMultimodalSpec extends SparkTestBase {
       .toSet
     assert(got.nonEmpty)
     assert(got == batch)
+  }
+
+  test("streaming SCD2 drops cross-batch stragglers instead of inverting intervals") {
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = mem.toDF().toDF("user_id", "ts", "event_type")
+    val out = EventStreams.streamingScd2(spark, events).toDF()
+    val q = out.writeStream.format("memory").queryName("scd2_late")
+      .outputMode("append").start()
+    // batch 1: a@100 then b@200 — closes (a, 100..200), leaves b open
+    mem.addData((1L, ts(100), "a"), (1L, ts(200), "b"))
+    q.processAllAvailable()
+    // batch 2: c@150 is OLDER than the open interval's start (200): honoring
+    // it would emit (b, 200..150), an inverted interval. It must be dropped.
+    // a@300 then closes (b, 200..300).
+    mem.addData((1L, ts(150), "c"), (1L, ts(300), "a"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("scd2_late").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+        r.getAs[String]("state"), r.getAs[Long]("valid_from_us"),
+        r.getAs[Long]("valid_to_us"))).toSet
+    assert(rows.forall { case (_, _, _, from, to) => to > from },
+      s"inverted interval emitted: $rows")
+    assert(rows == Set(
+      (1L, 1L, "a", 100000000L, 200000000L),
+      (1L, 2L, "b", 200000000L, 300000000L)), s"got $rows")
   }
 
   test("streaming funnel matches the batch funnel operator") {

@@ -66,6 +66,42 @@ class AviMjpegCodecSpec extends AnyFunSuite {
     assert(found == 3, s"expected 3 JDK-validated frames, found $found")
   }
 
+  test("adversarial chunk sizes never throw: truncation, size bombs, LIST nesting (fuzz)") {
+    val frames = Seq(frame(16, 16, 0), frame(16, 16, 1), frame(16, 16, 2))
+    val good = AviMjpegCodec.encode(16, 16, 10, frames)
+    // truncation at EVERY byte length — the u32-truncation class
+    for (cut <- 0 until good.length) AviMjpegCodec.decode(good.take(cut).toArray)
+    // size-field mutation: stomp random u32s with adversarial values
+    // (0, 1, INT_MAX, 0xffffffff, 2x file size) — the overlapping-LIST
+    // and overrun classes; decode must return an Option, never throw
+    val rng = new scala.util.Random(41)
+    val evil = Seq(0L, 1L, 3L, 0x7fffffffL, 0xffffffffL, good.length.toLong * 2)
+    for (_ <- 1 to 400) {
+      val b = good.clone()
+      val pos = 4 + rng.nextInt(good.length - 8)
+      val v = evil(rng.nextInt(evil.size))
+      b(pos) = (v & 0xff).toByte
+      b(pos + 1) = ((v >> 8) & 0xff).toByte
+      b(pos + 2) = ((v >> 16) & 0xff).toByte
+      b(pos + 3) = ((v >> 24) & 0xff).toByte
+      AviMjpegCodec.decode(b)
+    }
+    // LIST-nesting bomb: thousands of nested LISTs would stack-overflow
+    // an uncapped recursive walker (Error, not Exception — the decode
+    // guard would not catch it); the depth cap must absorb it
+    val bomb = new java.io.ByteArrayOutputStream()
+    def u32le(v: Long): Unit = {
+      bomb.write((v & 0xff).toInt); bomb.write(((v >> 8) & 0xff).toInt)
+      bomb.write(((v >> 16) & 0xff).toInt); bomb.write(((v >> 24) & 0xff).toInt)
+    }
+    val depth = 20000
+    bomb.write("RIFF".getBytes); u32le(4L + depth * 12); bomb.write("AVI ".getBytes)
+    for (d <- depth to 1 by -1) {
+      bomb.write("LIST".getBytes); u32le(4L + (d - 1) * 12); bomb.write("hdrl".getBytes)
+    }
+    assert(AviMjpegCodec.decode(bomb.toByteArray).isEmpty) // and no StackOverflowError
+  }
+
   test("malformed input returns None, never throws") {
     val good = AviMjpegCodec.encode(16, 16, 5, Seq(frame(16, 16, 0)))
     assert(AviMjpegCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
