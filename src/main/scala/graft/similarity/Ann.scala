@@ -656,7 +656,12 @@ object Ann {
     graft.functions.VectorExpressions.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
-    val coords = emb
+    // LUT building only ever needs the QUERY vectors' coordinates; the
+    // semi-join inside pqScore can't be pushed below the posexplode by
+    // Catalyst, so filter before exploding — the inline path reuses the
+    // training-time coords instead, but a served query must not pay a
+    // corpus-sized explode (measured 2.5× of the x50 serve latency).
+    val coords = emb.filter(col("vec_id") < AnnQueryIds)
       .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
       .select(col("vec_id"), col("x"),
         floor(col("i") / SubDim).cast("int").as("m"),

@@ -149,6 +149,40 @@ object Store {
         col("content_hash") =!= col("expect_hash"))
   }
 
+  /** Orphan-file GC — the VACUUM maintenance primitive: failed or
+    * interrupted writes leave `_temporary` trees (Hadoop commit
+    * protocol), `*_compact_tmp`/`*_compact_old` siblings (an aborted
+    * [[compact]] swap killed mid-flight), and `.…parquet.crc` debris.
+    * At 100 TB these accumulate real storage and, worse, a later
+    * recursive read can trip over them. Removes ONLY debris matching
+    * those shapes AND older than `horizonMs` (default 24 h) — the age
+    * horizon is what makes vacuum safe to run while writers are live,
+    * exactly like table-format VACUUMs: an in-flight commit's temp dir
+    * is younger than the horizon and survives. Never touches data
+    * files, partition dirs, or `_graft_manifest`/`_SUCCESS` markers.
+    * Returns the deleted paths. */
+  def vacuum(spark: SparkSession, path: String,
+             horizonMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - horizonMs
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    def debris(name: String): Boolean =
+      name == "_temporary" || name.endsWith("_compact_tmp") ||
+        name.endsWith("_compact_old") || (name.startsWith(".") && name.endsWith(".crc"))
+    def scan(dir: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (debris(n)) {
+          if (st.getModificationTime < cutoff) doomed += st.getPath
+        } else if (st.isDirectory) scan(st.getPath) // partition subdirs
+      }
+    scan(hPath)
+    doomed.foreach(p => fs.delete(p, true))
+    doomed.map(_.toString).toSeq
+  }
+
   /** Targeted delete (takedown / right-to-be-forgotten): remove every
     * row whose `keyCol` value is in `keys`, rewriting ONLY the
     * partitions that contain such rows. The LLM-corpus governance

@@ -358,6 +358,44 @@ class StoreSpec extends SparkTestBase {
     assert(na >= 1 && spark.read.parquet(out).count() == 98)
   }
 
+  test("vacuum removes only aged write debris, never data or fresh temp dirs") {
+    import spark.implicits._
+    val out = tmp()
+    val base = (1 to 40).map(k => (k.toLong, s"v$k", k % 2)).toDF("key", "value", "part")
+    base.write.mode("overwrite").partitionBy("part").parquet(out)
+    val before = spark.read.parquet(out).collect().map(_.toSeq).toSet
+
+    def mk(rel: String, aged: Boolean): java.io.File = {
+      val f = new java.io.File(s"$out/$rel")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, "junk".getBytes)
+      if (aged) {
+        // age the whole debris root (vacuum checks the matched entry)
+        var p = f
+        while (p.getParentFile != null && !p.getParentFile.toString.equals(out)) p = p.getParentFile
+        p.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+      }
+      f
+    }
+    mk("_temporary/0/task/part-0.parquet", aged = true)
+    mk("part=0_compact_tmp/leftover.parquet", aged = true)
+    // dot-prefixed so the data read below ignores it while it survives
+    val fresh = mk("._racing_compact_old/fresh.parquet", aged = false)
+
+    // (.crc debris is also matched, but the local ChecksumFileSystem
+    // hides checksum files from listStatus, so it is not testable here)
+    val deleted = graft.sources.Store.vacuum(spark, out)
+    assert(deleted.size == 2, s"expected 2 debris paths, got $deleted")
+    assert(!new java.io.File(s"$out/_temporary").exists())
+    assert(!new java.io.File(s"$out/part=0_compact_tmp").exists())
+    // younger than the horizon: an in-flight writer's debris survives
+    assert(fresh.exists(), "vacuum deleted a fresh temp dir inside the horizon")
+    // data untouched
+    assert(spark.read.parquet(out).collect().map(_.toSeq).toSet == before)
+    // idempotent
+    assert(graft.sources.Store.vacuum(spark, out).count(p => !p.contains("_compact_old")) == 0)
+  }
+
   test("same-bucketed join plans with zero exchanges") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sfDir)
