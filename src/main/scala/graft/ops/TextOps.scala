@@ -512,6 +512,93 @@ object TextOps {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** Duplicated-span scrub — line/boilerplate removal generalized to a
+    * corpus without line structure (the CCNet/RefinedWeb stage: drop
+    * text repeated VERBATIM across documents, keeping the rest of each
+    * doc): a token is scrubbed iff some 8-token window containing it
+    * appears in ≥ 2 distinct documents. Differs from the dedup family
+    * (which drops/flags whole documents) and from decontamination
+    * (which probes against an eval set): this TRANSFORMS content,
+    * emitting per-doc token/window/coverage counts and the md5 of the
+    * scrubbed text so the oracle pins the reconstruction, not just the
+    * arithmetic.
+    *
+    * Scale shape: token and window fan-outs are in-row explodes
+    * (map-only, co-partitioned with the doc); the one corpus-keyed
+    * shuffle is the gram→document-frequency aggregate, equi-joined back
+    * to windows on the gram — never an all-pairs space. Coverage is
+    * bounded by 8× the duplicated windows. */
+  val ScrubGram = 8
+  val ScrubDf = 2
+
+  def spanScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("t"))
+      .select($"doc_id", $"t", size($"t").as("n"))
+    val grams = toks.filter($"n" >= ScrubGram)
+      .select($"doc_id", $"t",
+        explode(sequence(lit(0), $"n" - ScrubGram)).as("j"))
+      .select($"doc_id", $"j",
+        concat_ws(" ", slice($"t", $"j" + 1, lit(ScrubGram))).as("gram"))
+    val hot = grams.groupBy($"gram")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= ScrubDf).select($"gram")
+    val dupWin = grams.join(hot, "gram").select($"doc_id", $"j")
+    val covered = dupWin
+      .select($"doc_id", explode(sequence($"j", $"j" + (ScrubGram - 1))).as("idx"))
+      .distinct()
+    val tokens = toks.select($"doc_id", posexplode($"t").as(Seq("idx", "tok")))
+    val kept = tokens.join(covered, Seq("doc_id", "idx"), "left_anti")
+    val keptAgg = kept.groupBy($"doc_id").agg(
+      md5(concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(idx, tok))), p -> p.tok)")))
+        .as("kept_md5"))
+    val winAgg = dupWin.groupBy($"doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    val covAgg = covered.groupBy($"doc_id").agg(count(lit(1)).as("n_covered"))
+    toks.select($"doc_id", $"n")
+      .join(winAgg, Seq("doc_id"), "left")
+      .join(covAgg, Seq("doc_id"), "left")
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        $"n".cast("long").as("n_tokens"),
+        coalesce($"n_dup_windows", lit(0L)).as("n_dup_windows"),
+        coalesce($"n_covered", lit(0L)).as("n_covered"),
+        coalesce($"kept_md5", md5(lit(""))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  val spanScrubSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS j,
+       |    list_aggregate(t[i:i+${ScrubGram - 1}], 'string_agg', ' ') AS gram
+       |  FROM base, UNNEST(generate_series(1, n - ${ScrubGram - 1})) AS s(i)
+       |  WHERE n >= $ScrubGram),
+       |hot AS (SELECT gram FROM (
+       |  SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1) h
+       |  WHERE df >= $ScrubDf),
+       |dupwin AS (SELECT doc_id, j FROM grams JOIN hot USING (gram)),
+       |covered AS (SELECT DISTINCT doc_id, idx
+       |  FROM dupwin, UNNEST(generate_series(j, j + ${ScrubGram - 1})) AS u(idx)),
+       |tokens AS (SELECT doc_id, i - 1 AS idx, t[i] AS tok
+       |  FROM base, UNNEST(generate_series(1, n)) AS s(i)),
+       |kept AS (SELECT tokens.* FROM tokens ANTI JOIN covered USING (doc_id, idx))
+       |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(w.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       |  CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
+       |  COALESCE(k.kept_md5, md5('')) AS kept_md5
+       |FROM base b
+       |LEFT JOIN (SELECT doc_id, count(*) AS n_dup_windows FROM dupwin GROUP BY 1) w
+       |  USING (doc_id)
+       |LEFT JOIN (SELECT doc_id, count(*) AS n_covered FROM covered GROUP BY 1) c
+       |  USING (doc_id)
+       |LEFT JOIN (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY idx)) AS kept_md5
+       |  FROM kept GROUP BY 1) k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val chunkDocsSql: String =
     s"""SELECT doc_id,
        |  CAST(i AS BIGINT) AS chunk_idx,

@@ -37,11 +37,14 @@ object Store {
   def skipExisting(input: DataFrame, outPath: String,
                    keyCols: Seq[String]): DataFrame = {
     val spark = input.sparkSession
-    val existing = try {
-      spark.read.parquet(outPath).select(keyCols.map(col): _*).distinct()
-    } catch {
-      case _: Exception => return input // no output yet → nothing to skip
-    }
+    // explicit existence probe, not a catch-all on the read: a transient
+    // IO error on an EXISTING output would silently disable the resume
+    // and reprocess every key (idempotent under dynamic overwrite, but a
+    // full-cost rerun at 100 TB); a genuine read error must propagate
+    val hPath = new org.apache.hadoop.fs.Path(outPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return input // no output yet → nothing to skip
+    val existing = spark.read.parquet(outPath).select(keyCols.map(col): _*).distinct()
     input.join(broadcast(existing), keyCols, "left_anti")
   }
 
