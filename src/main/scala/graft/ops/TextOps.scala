@@ -536,11 +536,14 @@ object TextOps {
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", split(trim($"text"), "\\s+").as("t"))
       .select($"doc_id", $"t", size($"t").as("n"))
+    // grams feeds BOTH the df aggregate and the window join; persist so
+    // the window fan-out + concat runs once (at 100 TB: checkpoint)
     val grams = toks.filter($"n" >= ScrubGram)
       .select($"doc_id", $"t",
         explode(sequence(lit(0), $"n" - ScrubGram)).as("j"))
       .select($"doc_id", $"j",
         concat_ws(" ", slice($"t", $"j" + 1, lit(ScrubGram))).as("gram"))
+      .persist()
     val hot = grams.groupBy($"gram")
       .agg(countDistinct($"doc_id").as("df"))
       .filter($"df" >= ScrubDf).select($"gram")

@@ -139,6 +139,7 @@ object ScaleBench {
       "s_ivf_topk_indexed" -> (graft.similarity.Ann.ivfTopKCached _),
       "s_pq_topk_indexed" -> (graft.similarity.Ann.pqTopKCached _),
       "t_pipeline_audit" -> (graft.pipelines.TrainingPipeline.pipelineAudit _),
+      "t_span_scrub" -> (graft.ops.TextOps.spanScrub _),
       "q1_pricing_summary" -> (graft.ops.Relational.q1PricingSummary _),
       "q3_top_orders" -> (graft.ops.Relational.q3TopOrders _),
       "q18_big_orders" -> (graft.ops.Relational.q18BigOrders _),
@@ -157,6 +158,11 @@ object ScaleBench {
     def clearPersisted(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // same quiesce as Bench: ~90 measured queries share this JVM and the
+      // x50 cells run LAST — without it they inherit the whole run's GC
+      // debt and the growth ratios read systematically worse than reality
+      System.gc()
+      Thread.sleep(50)
     }
 
     // warm-up (codegen/classloading, as Bench does)
