@@ -530,44 +530,57 @@ object TextOps {
     * bounded by 8× the duplicated windows. */
   val ScrubGram = 8
   val ScrubDf = 2
+  /** 15 hex digits = 60 hash bits: the gram shuffle key. Keying the DF
+    * aggregate and the hot-gram join on md5Prefix64(gram) instead of the
+    * gram STRING cuts the shuffled row from ~70 B to 20 B (measured 25%
+    * of x50 wall). Collisions (≈n²/2⁶¹) can scrub a non-duplicated
+    * window, but the oracle computes the IDENTICAL hash, so both engines
+    * agree bit-for-bit — the same determinism trade the dedup family
+    * makes at these widths. */
+  val ScrubHashHex = 15
 
   def spanScrub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.HashExpressions.register(spark)
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", split(trim($"text"), "\\s+").as("t"))
       .select($"doc_id", $"t", size($"t").as("n"))
     // grams feeds BOTH the df aggregate and the window join; persist so
-    // the window fan-out + concat runs once (at 100 TB: checkpoint)
+    // the window fan-out + hash runs once (at 100 TB: checkpoint)
     val grams = toks.filter($"n" >= ScrubGram)
       .select($"doc_id", $"t",
         explode(sequence(lit(0), $"n" - ScrubGram)).as("j"))
       .select($"doc_id", $"j",
-        concat_ws(" ", slice($"t", $"j" + 1, lit(ScrubGram))).as("gram"))
+        graft.functions.HashExpressions.md5Prefix64(
+          concat_ws(" ", slice($"t", $"j" + 1, lit(ScrubGram))), ScrubHashHex)
+          .as("g"))
       .persist()
-    val hot = grams.groupBy($"gram")
+    val hot = grams.groupBy($"g")
       .agg(countDistinct($"doc_id").as("df"))
-      .filter($"df" >= ScrubDf).select($"gram")
-    val dupWin = grams.join(hot, "gram").select($"doc_id", $"j")
+      .filter($"df" >= ScrubDf).select($"g")
+    val dupWin = grams.join(hot, "g").select($"doc_id", $"j")
     val covered = dupWin
       .select($"doc_id", explode(sequence($"j", $"j" + (ScrubGram - 1))).as("idx"))
       .distinct()
-    val tokens = toks.select($"doc_id", posexplode($"t").as(Seq("idx", "tok")))
-    val kept = tokens.join(covered, Seq("doc_id", "idx"), "left_anti")
-    val keptAgg = kept.groupBy($"doc_id").agg(
-      md5(concat_ws(" ",
-        expr("transform(array_sort(collect_list(struct(idx, tok))), p -> p.tok)")))
-        .as("kept_md5"))
+    // Reconstruction stays IN-ROW: collapse a doc's covered indices to one
+    // array (doc-keyed, ≤ n elements) and filter the token array against
+    // it with HOFs — the alternative (explode every corpus token and
+    // anti-join on (doc, idx)) shuffles token-level rows, ~64× more.
+    val covAgg = covered.groupBy($"doc_id")
+      .agg(collect_list($"idx").as("cov"), count(lit(1)).as("n_covered"))
     val winAgg = dupWin.groupBy($"doc_id").agg(count(lit(1)).as("n_dup_windows"))
-    val covAgg = covered.groupBy($"doc_id").agg(count(lit(1)).as("n_covered"))
-    toks.select($"doc_id", $"n")
+    toks.select($"doc_id", $"t", $"n")
       .join(winAgg, Seq("doc_id"), "left")
       .join(covAgg, Seq("doc_id"), "left")
-      .join(keptAgg, Seq("doc_id"), "left")
       .select($"doc_id",
         $"n".cast("long").as("n_tokens"),
         coalesce($"n_dup_windows", lit(0L)).as("n_dup_windows"),
         coalesce($"n_covered", lit(0L)).as("n_covered"),
-        coalesce($"kept_md5", md5(lit(""))).as("kept_md5"))
+        md5(concat_ws(" ", expr(
+          """transform(
+            |  filter(transform(t, (tok, i) -> struct(i AS i, tok AS tok)),
+            |         p -> cov IS NULL OR NOT array_contains(cov, p.i)),
+            |  p -> p.tok)""".stripMargin))).as("kept_md5"))
       .orderBy("doc_id")
   }
 
@@ -577,13 +590,15 @@ object TextOps {
        |base AS (SELECT doc_id, t, len(t) AS n FROM toks),
        |grams AS (
        |  SELECT doc_id, i - 1 AS j,
-       |    list_aggregate(t[i:i+${ScrubGram - 1}], 'string_agg', ' ') AS gram
+       |    CAST(('0x' || substring(md5(
+       |      list_aggregate(t[i:i+${ScrubGram - 1}], 'string_agg', ' ')),
+       |      1, $ScrubHashHex)) AS BIGINT) AS g
        |  FROM base, UNNEST(generate_series(1, n - ${ScrubGram - 1})) AS s(i)
        |  WHERE n >= $ScrubGram),
-       |hot AS (SELECT gram FROM (
-       |  SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1) h
+       |hot AS (SELECT g FROM (
+       |  SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1) h
        |  WHERE df >= $ScrubDf),
-       |dupwin AS (SELECT doc_id, j FROM grams JOIN hot USING (gram)),
+       |dupwin AS (SELECT doc_id, j FROM grams JOIN hot USING (g)),
        |covered AS (SELECT DISTINCT doc_id, idx
        |  FROM dupwin, UNNEST(generate_series(j, j + ${ScrubGram - 1})) AS u(idx)),
        |tokens AS (SELECT doc_id, i - 1 AS idx, t[i] AS tok
