@@ -68,6 +68,23 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("graft_dot") || p.contains("WholeStageCodegen"), p)
   }
 
+  test("span scrub: pruned scan, hash-keyed gram exchanges, no cartesian") {
+    val p = plan(SparkEntry.queries("t_span_scrub")(spark, sfDir))
+    // scans read only (doc_id, text) — never lang/payload columns
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString(";")
+    assert(reads.contains("doc_id") && reads.contains("text"), reads)
+    assert(!reads.contains("lang") && !reads.contains("payload"),
+      s"over-wide scan: $reads")
+    // the gram DF aggregate and hot join key on the 60-bit hash, not the
+    // gram string: the hash expression feeds the exchanges
+    assert(p.contains("graft_md5_prefix64"),
+      "gram shuffle key must be the md5-prefix hash")
+    assert(!p.contains("CartesianProduct"), "scrub must stay equi-keyed")
+    // persist split: the gram subtree materializes once
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "grams must be persisted for reuse across the agg and the join")
+  }
+
   test("entry flagship plan has no cartesian product") {
     val p = plan(SparkEntry.entry(spark))
     assert(!p.contains("CartesianProduct"), p)
