@@ -33,6 +33,25 @@ class WavCodecSpec extends AnyFunSuite {
     assert(WavCodec.decode("not audio".getBytes).isEmpty)
   }
 
+  test("adversarial chunk sizes never throw: truncation + size bombs (fuzz)") {
+    val tone = Array.tabulate(4000)(i =>
+      (math.sin(i * 0.05) * 12000).toInt.toShort)
+    val good = WavCodec.encode(8000, tone)
+    for (cut <- 0 until good.length) WavCodec.decode(good.take(cut).toArray)
+    val rng = new scala.util.Random(17)
+    val evil = Seq(0L, 1L, 3L, 0x7fffffffL, 0xffffffffL, good.length.toLong * 2)
+    for (_ <- 1 to 300) {
+      val b = good.clone()
+      val pos = 4 + rng.nextInt(good.length - 8)
+      val v = evil(rng.nextInt(evil.size))
+      b(pos) = (v & 0xff).toByte
+      b(pos + 1) = ((v >> 8) & 0xff).toByte
+      b(pos + 2) = ((v >> 16) & 0xff).toByte
+      b(pos + 3) = ((v >> 24) & 0xff).toByte
+      WavCodec.decode(b) // Option, never throw
+    }
+  }
+
   test("linear resample halves/doubles sample count and keeps the tone") {
     val rate = 16000
     val s = tone(1600, 400.0, rate)
