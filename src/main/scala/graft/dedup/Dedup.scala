@@ -323,6 +323,15 @@ object Dedup {
     graft.functions.ShingleExpressions.register(spark)
     graft.sources.Store.writeBucketed(
       shingleSets(Tables.documents(spark, dir)), "graft_d3_sets", "doc_id", nBuckets)
+    // the bucketed tables are DERIVED copies of the documents corpus and
+    // retain any later-taken-down doc's shingles; register them so a
+    // Store.deleteKeys on the base table drops them (next call rebuilds
+    // from the post-delete corpus) instead of serving deleted content
+    Seq("graft_d3_sets", "graft_d3_cands").foreach { t =>
+      graft.sources.Store.registerDerived(s"$dir/documents.parquet", t) { () =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"); ()
+      }
+    }
     val setsT = spark.table("graft_d3_sets")
     val cands = bandCandidates(signaturesFromSets(setsT)).select("doc_a", "doc_b")
     graft.sources.Store.writeBucketed(cands, "graft_d3_cands", "doc_a", nBuckets)

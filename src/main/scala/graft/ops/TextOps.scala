@@ -539,50 +539,175 @@ object TextOps {
     * makes at these widths. */
   val ScrubHashHex = 15
 
-  def spanScrub(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    graft.functions.HashExpressions.register(spark)
-    val toks = Tables.documents(spark, dir)
-      .select($"doc_id", split(trim($"text"), "\\s+").as("t"))
-      .select($"doc_id", $"t", size($"t").as("n"))
-    // grams feeds BOTH the df aggregate and the window join; persist so
-    // the window fan-out + hash runs once (at 100 TB: checkpoint)
-    val grams = toks.filter($"n" >= ScrubGram)
+  /** Hot-gram guard threshold for [[spanScrubGuarded]]: a gram whose
+    * document frequency reaches this is "mega-hot" (site boilerplate on a
+    * web corpus: df ≈ corpus size). The guarded variant routes those few
+    * grams through a BROADCAST join so their window rows never shuffle —
+    * without the guard every occurrence of a mega-hot gram lands in one
+    * shuffle partition of the window join, the classic skew straggler. */
+  val ScrubHotDf = 50
+
+  /** Gram fan-out shared by the scrub family: one row per
+    * [[ScrubGram]]-token window, keyed by the window's
+    * [[ScrubHashHex]]-digit md5-prefix hash. */
+  private def gramWindows(toks: DataFrame): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    toks.filter($"n" >= ScrubGram)
       .select($"doc_id", $"t",
         explode(sequence(lit(0), $"n" - ScrubGram)).as("j"))
       .select($"doc_id", $"j",
         graft.functions.HashExpressions.md5Prefix64(
           concat_ws(" ", slice($"t", $"j" + 1, lit(ScrubGram))), ScrubHashHex)
           .as("g"))
-      .persist()
-    val hot = grams.groupBy($"g")
-      .agg(countDistinct($"doc_id").as("df"))
-      .filter($"df" >= ScrubDf).select($"g")
-    val dupWin = grams.join(hot, "g").select($"doc_id", $"j")
+  }
+
+  /** Shared reconstruction tail: collapse the flagged windows `dupWin`
+    * (doc_id, j) to per-doc covered-index arrays and rebuild each doc's
+    * kept text as the gap slices between covered indices — one in-row
+    * merge pass, O(n) per doc (see the scale note on [[spanScrub]]). */
+  private def scrubReconstruct(toks: DataFrame, dupWin: DataFrame,
+                               winCountCol: String): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
     val covered = dupWin
       .select($"doc_id", explode(sequence($"j", $"j" + (ScrubGram - 1))).as("idx"))
       .distinct()
     // Reconstruction stays IN-ROW: collapse a doc's covered indices to one
-    // array (doc-keyed, ≤ n elements) and filter the token array against
-    // it with HOFs — the alternative (explode every corpus token and
-    // anti-join on (doc, idx)) shuffles token-level rows, ~64× more.
+    // SORTED array (doc-keyed, ≤ n elements) and rebuild the kept text as
+    // the gap slices between consecutive covered indices — one merge pass,
+    // O(n) per doc. The alternatives both lose at scale: exploding every
+    // corpus token and anti-joining on (doc, idx) shuffles token-level
+    // rows (~64× more), and probing `array_contains(cov, i)` per token is
+    // O(n·|cov|) — a straggler-task generator on a heavily-duplicated
+    // 20k-token doc (~4·10⁸ comparisons in one row expression).
     val covAgg = covered.groupBy($"doc_id")
-      .agg(collect_list($"idx").as("cov"), count(lit(1)).as("n_covered"))
-    val winAgg = dupWin.groupBy($"doc_id").agg(count(lit(1)).as("n_dup_windows"))
+      .agg(array_sort(collect_list($"idx")).as("cov"), count(lit(1)).as("n_covered"))
+    val winAgg = dupWin.groupBy($"doc_id").agg(count(lit(1)).as(winCountCol))
     toks.select($"doc_id", $"t", $"n")
       .join(winAgg, Seq("doc_id"), "left")
       .join(covAgg, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce($"cov", expr("CAST(array() AS ARRAY<INT>)")))
       .select($"doc_id",
         $"n".cast("long").as("n_tokens"),
-        coalesce($"n_dup_windows", lit(0L)).as("n_dup_windows"),
+        coalesce(col(winCountCol), lit(0L)).as(winCountCol),
         coalesce($"n_covered", lit(0L)).as("n_covered"),
+        // gaps between covered indices: k-th gap spans
+        // [cov[k-1]+1, cov[k]-1] (whole doc when cov is empty); kept text
+        // is the concatenation of the gap slices, in order
         md5(concat_ws(" ", expr(
-          """transform(
-            |  filter(transform(t, (tok, i) -> struct(i AS i, tok AS tok)),
-            |         p -> cov IS NULL OR NOT array_contains(cov, p.i)),
-            |  p -> p.tok)""".stripMargin))).as("kept_md5"))
+          """flatten(transform(
+            |  filter(
+            |    transform(sequence(0, size(cov)), k -> struct(
+            |      CASE WHEN k = 0 THEN 0 ELSE cov[k - 1] + 1 END AS s,
+            |      CASE WHEN k = size(cov) THEN n - 1 ELSE cov[k] - 1 END AS e)),
+            |    g -> g.e >= g.s),
+            |  g -> slice(t, g.s + 1, g.e - g.s + 1)))""".stripMargin))).as("kept_md5"))
       .orderBy("doc_id")
   }
+
+  private def scrubToks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.HashExpressions.register(spark)
+    Tables.documents(spark, dir)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("t"))
+      .select($"doc_id", $"t", size($"t").as("n"))
+  }
+
+  def spanScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = scrubToks(spark, dir)
+    // grams feeds BOTH the df aggregate and the window join; persist so
+    // the window fan-out + hash runs once (at 100 TB: checkpoint)
+    val grams = gramWindows(toks).persist()
+    val hot = grams.groupBy($"g")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= ScrubDf).select($"g")
+    val dupWin = grams.join(hot, "g").select($"doc_id", $"j")
+    scrubReconstruct(toks, dupWin, "n_dup_windows")
+  }
+
+  /** [[spanScrub]] with the mega-hot-gram guard: grams at df ≥
+    * [[ScrubHotDf]] take a BROADCAST join (df ≥ cap bounds their count at
+    * n_windows/cap, so the broadcast side is small by construction) while
+    * the long tail keeps the hash-shuffle join — identical output, but a
+    * universal boilerplate gram no longer funnels its every occurrence
+    * through one shuffle partition. TextOpsSpec pins bit-equality with
+    * [[spanScrub]] on a corpus with a planted mega-hot gram; ScaleBench
+    * measures the skew case. */
+  def spanScrubGuarded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = scrubToks(spark, dir)
+    val grams = gramWindows(toks).persist()
+    val byDf = grams.groupBy($"g").agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= ScrubDf)
+    val hotTail = byDf.filter($"df" < ScrubHotDf).select($"g")
+    val hotMega = byDf.filter($"df" >= ScrubHotDf).select($"g")
+    val dupWin = grams.join(hotTail, "g").select($"doc_id", $"j")
+      .unionAll(grams.join(broadcast(hotMega), "g").select($"doc_id", $"j"))
+    scrubReconstruct(toks, dupWin, "n_dup_windows")
+  }
+
+  /** Span-level eval decontamination — the production form of D8: instead
+    * of DROPPING a training document that overlaps the held-out eval set
+    * (`d_decontaminate`), scrub ONLY the overlapping spans and keep the
+    * rest of the document. A token is scrubbed iff some
+    * [[ScrubGram]]-token window containing it also occurs in an eval
+    * document (doc_id % [[graft.dedup.Dedup.DecontamEvalMod]] == 0).
+    *
+    * Scale shape: the eval side is tiny by nature (eval suites are MBs,
+    * the corpus is TBs), so its distinct window hashes BROADCAST and the
+    * training-side probe is map-only — no corpus-keyed shuffle at all
+    * until the per-doc covered aggregate; reconstruction is the same
+    * in-row O(n) gap-merge as the scrub family. Emits the scrubbed
+    * text's md5 so the oracle pins the reconstruction end-to-end. */
+  def decontamScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evalMod = graft.dedup.Dedup.DecontamEvalMod
+    val toksAll = scrubToks(spark, dir)
+    val train = toksAll.filter($"doc_id" % evalMod =!= 0)
+    val evalG = gramWindows(toksAll.filter($"doc_id" % evalMod === 0))
+      .select($"g").distinct()
+    val dupWin = gramWindows(train).join(broadcast(evalG), "g")
+      .select($"doc_id", $"j")
+    scrubReconstruct(train, dupWin, "n_eval_windows")
+  }
+
+  val decontamScrubSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |base0 AS (SELECT doc_id, t, len(t) AS n FROM toks),
+       |grams0 AS (
+       |  SELECT doc_id, i - 1 AS j,
+       |    CAST(('0x' || substring(md5(
+       |      list_aggregate(t[i:i+${ScrubGram - 1}], 'string_agg', ' ')),
+       |      1, $ScrubHashHex)) AS BIGINT) AS g
+       |  FROM base0, UNNEST(generate_series(1, n - ${ScrubGram - 1})) AS s(i)
+       |  WHERE n >= $ScrubGram),
+       |base AS (SELECT * FROM base0
+       |  WHERE doc_id % ${graft.dedup.Dedup.DecontamEvalMod} <> 0),
+       |hot AS (SELECT DISTINCT g FROM grams0
+       |  WHERE doc_id % ${graft.dedup.Dedup.DecontamEvalMod} = 0),
+       |grams AS (SELECT * FROM grams0
+       |  WHERE doc_id % ${graft.dedup.Dedup.DecontamEvalMod} <> 0),
+       |dupwin AS (SELECT doc_id, j FROM grams JOIN hot USING (g)),
+       |covered AS (SELECT DISTINCT doc_id, idx
+       |  FROM dupwin, UNNEST(generate_series(j, j + ${ScrubGram - 1})) AS u(idx)),
+       |tokens AS (SELECT doc_id, i - 1 AS idx, t[i] AS tok
+       |  FROM base, UNNEST(generate_series(1, n)) AS s(i)),
+       |kept AS (SELECT tokens.* FROM tokens ANTI JOIN covered USING (doc_id, idx))
+       |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(w.n_eval_windows, 0) AS BIGINT) AS n_eval_windows,
+       |  CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
+       |  COALESCE(k.kept_md5, md5('')) AS kept_md5
+       |FROM base b
+       |LEFT JOIN (SELECT doc_id, count(*) AS n_eval_windows FROM dupwin GROUP BY 1) w
+       |  USING (doc_id)
+       |LEFT JOIN (SELECT doc_id, count(*) AS n_covered FROM covered GROUP BY 1) c
+       |  USING (doc_id)
+       |LEFT JOIN (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY idx)) AS kept_md5
+       |  FROM kept GROUP BY 1) k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   val spanScrubSql: String =
     s"""WITH toks AS (

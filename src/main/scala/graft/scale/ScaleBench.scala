@@ -140,6 +140,14 @@ object ScaleBench {
       "s_pq_topk_indexed" -> (graft.similarity.Ann.pqTopKCached _),
       "t_pipeline_audit" -> (graft.pipelines.TrainingPipeline.pipelineAudit _),
       "t_span_scrub" -> (graft.ops.TextOps.spanScrub _),
+      // hot-gram guard: the replicated scale corpus drives every
+      // duplicated gram's df past ScrubHotDf, so the broadcast path
+      // carries the bulk of the windows — the mega-hot skew case measured
+      // against the plain shuffle form above (outputs bit-identical)
+      "t_span_scrub_guarded" -> (graft.ops.TextOps.spanScrubGuarded _),
+      // eval side stays fixed-size while the corpus grows: probe must
+      // scale linearly with ZERO corpus-keyed shuffle before the cov agg
+      "t_decontam_scrub" -> (graft.ops.TextOps.decontamScrub _),
       "q1_pricing_summary" -> (graft.ops.Relational.q1PricingSummary _),
       "q3_top_orders" -> (graft.ops.Relational.q3TopOrders _),
       "q18_big_orders" -> (graft.ops.Relational.q18BigOrders _),

@@ -677,31 +677,103 @@ object Ann {
     * the latency a production ANN service actually serves (`s_pq_topk` /
     * `s_ivf_topk` bench entries, by contrast, book per-run training).
     *
-    * The cache key is the source dir plus a fingerprint of every
-    * parameter the trained artifact depends on, so a parameter change
-    * invalidates the cache instead of silently serving a stale index.
-    * Results are pinned identical to the inline paths (AnnSpec), so the
-    * same oracle SQL gates both. */
+    * The cache key is the source dir path, and freshness is BOTH a
+    * fingerprint of every parameter the trained artifact depends on AND
+    * a [[dataFingerprint]] of the corpus files themselves — a parameter
+    * change or any rewrite of the embeddings table (upsert, regeneration,
+    * `Store.deleteKeys` takedown) rebuilds instead of silently serving a
+    * stale index (AnnIndexSpec pins the takedown case). Results are
+    * pinned identical to the inline paths (AnnSpec), so the same oracle
+    * SQL gates both. */
   private def trainingFingerprint: String =
     s"v1-d$Dim-q$QuantScale-m$PqM-k$PqK-p$IvfProbes-r$PqRerankN-t$PqTopN-a$AnnQueryIds"
 
-  private[graft] def cachedIndexDir(dir: String, kind: String): String = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
-    s"${System.getProperty("java.io.tmpdir")}/graft-ann-index/$kind-$tag"
+  /** Fingerprint of the corpus DATA the index serves: every visible file
+    * under the embeddings table folded as (relative path, length, mtime)
+    * into one digest — a pure LISTING pass, no data read, so it stays
+    * O(file count) at any corpus size. Any rewrite of the table — an
+    * upsert, a regeneration, and specifically a [[graft.sources.Store
+    * .deleteKeys]] takedown — replaces parquet files and changes this
+    * digest, so [[ensureIndex]] rebuilds instead of serving stale (or
+    * right-to-be-forgotten-deleted) vectors. Files inside `_`/`.`-prefixed
+    * trees (commit debris, manifests) are excluded, matching Spark's own
+    * visibility rules, so a vacuum or manifest refresh does not force a
+    * rebuild. */
+  private[graft] def dataFingerprint(spark: SparkSession, dir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val base = fs.getFileStatus(root)
+    if (base.isFile) entries += s".:${base.getLen}:${base.getModificationTime}"
+    else {
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath.stripPrefix(root.toUri.getPath)
+        if (!rel.split('/').exists(c => c.startsWith("_") || c.startsWith(".")))
+          entries += s"$rel:${st.getLen}:${st.getModificationTime}"
+      }
+    }
+    entries.sorted.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
   }
 
+  private[graft] def cachedIndexDir(dir: String, kind: String): String = {
+    // full path (sanitized) PLUS a digest of the raw path: readable, and
+    // two source dirs can never alias one cache entry (hashCode or
+    // sanitization alone could collide)
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(80)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft-ann-index/$kind-$safe-$h"
+  }
+
+  private def deleteLocal(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteLocal))
+    f.delete()
+  }
+
+  /** Build-if-stale for the persisted index cache. Freshness = the
+    * `_built` marker carries BOTH the parameter fingerprint and the
+    * corpus [[dataFingerprint]]; either changing forces a rebuild.
+    * Builds are crash- and concurrency-safe: the index is written into a
+    * unique temp dir with the marker added LAST, then installed with a
+    * rename, all under an exclusive file lock — a reader either sees the
+    * complete old index, the complete new one, or no marker (and then
+    * queues on the lock to build), never a torn mix. */
   private def ensureIndex(spark: SparkSession, dir: String, kind: String)
                          (build: String => Unit): String = {
-    val idx = cachedIndexDir(dir, kind)
-    val marker = new java.io.File(s"$idx/_built")
-    val want = trainingFingerprint
-    val fresh = marker.exists() &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == want
-    if (!fresh) {
-      build(idx)
-      java.nio.file.Files.write(marker.toPath, want.getBytes("UTF-8"))
+    val idx = new java.io.File(cachedIndexDir(dir, kind))
+    val want = trainingFingerprint + "\n" + dataFingerprint(spark, dir)
+    def fresh: Boolean = {
+      val marker = new java.io.File(idx, "_built")
+      marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == want
     }
-    idx
+    if (fresh) return idx.getPath
+    idx.getParentFile.mkdirs()
+    val raf = new java.io.RandomAccessFile(
+      new java.io.File(idx.getParentFile, s".${idx.getName}.lock"), "rw")
+    try {
+      val lock = raf.getChannel.lock() // one builder at a time, cross-process
+      try {
+        if (!fresh) { // re-check: the lock holder before us may have built it
+          val tmp = new java.io.File(idx.getParentFile,
+            s"${idx.getName}.build-${java.util.UUID.randomUUID().toString.take(8)}")
+          try {
+            build(tmp.getPath)
+            java.nio.file.Files.write(new java.io.File(tmp, "_built").toPath,
+              want.getBytes("UTF-8"))
+            deleteLocal(idx)
+            require(tmp.renameTo(idx), s"could not install ANN index at $idx")
+            graft.sources.Store.registerDerived(
+              s"$dir/embeddings.parquet", idx.getPath)(() => deleteLocal(idx))
+          } finally deleteLocal(tmp) // no-op after a successful rename
+        }
+      } finally lock.release()
+    } finally raf.close()
+    idx.getPath
   }
 
   /** [[pqTopKIndexed]] over a cached [[pqIndexBuild]]: first call trains,

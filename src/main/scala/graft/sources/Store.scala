@@ -18,6 +18,38 @@ import org.apache.spark.sql.types.StructType
   */
 object Store {
 
+  /** Derived-store lineage registry: serve paths built FROM a base table
+    * (persisted ANN index caches, bucketed candidate tables, any
+    * materialized view) register an invalidation hook keyed by the base
+    * path, and [[deleteKeys]] fires every hook for its path after the
+    * rewrite — so a takedown reaches the derived copies, not just the
+    * table of record. The registry is process-local (a cluster deployment
+    * would persist it next to the derived store); the ANN index cache
+    * additionally carries a cross-process data fingerprint in its
+    * `_built` marker, so even an unregistered JVM rebuilds rather than
+    * serving deleted vectors. Hooks are idempotent deletes by contract. */
+  private val derivedHooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, () => Unit]]()
+
+  private def normPath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  def registerDerived(basePath: String, derivedId: String)
+                     (invalidate: () => Unit): Unit =
+    derivedHooks.compute(normPath(basePath), (_, old) =>
+      (if (old == null) Map.empty[String, () => Unit] else old) +
+        (derivedId -> invalidate))
+
+  /** Fire-and-forget invalidation of every derived store registered for
+    * `basePath`; returns the invalidated ids. Hooks stay registered — a
+    * rebuilt derived store with the same id re-registers over them. */
+  def invalidateDerived(basePath: String): Seq[String] = {
+    val hooks = Option(derivedHooks.get(normPath(basePath)))
+      .getOrElse(Map.empty[String, () => Unit])
+    hooks.foreach { case (_, f) => f() }
+    hooks.keys.toSeq.sorted
+  }
+
   /** S1/S2: schema'd CSV scan — header'd, never inference in production. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
@@ -158,10 +190,12 @@ object Store {
     * [[compact]] swap killed mid-flight), and `.…parquet.crc` debris.
     * At 100 TB these accumulate real storage and, worse, a later
     * recursive read can trip over them. Removes ONLY debris matching
-    * those shapes AND older than `horizonMs` (default 24 h) — the age
-    * horizon is what makes vacuum safe to run while writers are live,
-    * exactly like table-format VACUUMs: an in-flight commit's temp dir
-    * is younger than the horizon and survives. Never touches data
+    * those shapes AND whose NEWEST file anywhere inside is older than
+    * `horizonMs` (default 24 h) — the age horizon is what makes vacuum
+    * safe to run while writers are live, exactly like table-format
+    * VACUUMs: an in-flight commit keeps writing young files into its
+    * temp tree, so the tree survives even when the job has run longer
+    * than the horizon. Never touches data
     * files, partition dirs, or `_graft_manifest`/`_SUCCESS` markers.
     * Returns the deleted paths. */
   def vacuum(spark: SparkSession, path: String,
@@ -174,11 +208,20 @@ object Store {
     def debris(name: String): Boolean =
       name == "_temporary" || name.endsWith("_compact_tmp") ||
         name.endsWith("_compact_old") || (name.startsWith(".") && name.endsWith(".crc"))
+    // age = the NEWEST mtime anywhere in the debris subtree, not the
+    // matched entry's own: a top-level `_temporary` dir's mtime is not
+    // refreshed by writes deep inside it on most filesystems, so a
+    // still-running job older than the horizon (plausible at 100 TB)
+    // would otherwise have its in-flight commit tree deleted mid-write
+    def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(st.getPath).map(newestMtime).toSeq).max
     def scan(dir: org.apache.hadoop.fs.Path): Unit =
       fs.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
         if (debris(n)) {
-          if (st.getModificationTime < cutoff) doomed += st.getPath
+          if (newestMtime(st) < cutoff) doomed += st.getPath
         } else if (st.isDirectory) scan(st.getPath) // partition subdirs
       }
     scan(hPath)
@@ -235,6 +278,10 @@ object Store {
         }.mkString("/")
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$dir"), true)
     }
+    // the takedown must reach every DERIVED copy of this table (ANN index
+    // caches, bucketed candidate tables): fire their invalidation hooks so
+    // the next serve rebuilds from the post-delete base
+    invalidateDerived(path)
     nDeleted
   }
 
@@ -326,10 +373,16 @@ object Store {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hasVisibleFile: Boolean = {
+      // visibility must use Spark's PathFilter semantics on the WHOLE
+      // relative path: a part-file inside a crashed write's `_temporary`
+      // tree has a visible NAME but is invisible to the read, and counting
+      // it would turn first-batch-after-crash into a guaranteed read error
+      val rootUri = hPath.toUri.getPath
       val it = fs.listFiles(hPath, true)
       while (it.hasNext) {
-        val n = it.next().getPath.getName
-        if (!n.startsWith("_") && !n.startsWith(".")) return true
+        val rel = it.next().getPath.toUri.getPath.stripPrefix(rootUri)
+        if (!rel.split('/').exists(c => c.startsWith("_") || c.startsWith(".")))
+          return true
       }
       false
     }

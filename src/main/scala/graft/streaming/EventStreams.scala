@@ -221,6 +221,19 @@ object EventStreams {
   def rollupSink(events: DataFrame, bronzePath: String,
                  rollupPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    rollupSinkWithHook(events, bronzePath, rollupPath, checkpoint)(() => ())
+
+  /** [[rollupSink]] with a test seam between the bronze append and the
+    * rollup swap — the crash window where bronze has a batch's rows but
+    * the rollup hasn't absorbed them. Recovery story (pinned by
+    * StreamingMultimodalSpec): the restarted query REPLAYS the
+    * uncommitted batch, bronze double-appends it, and the rollup
+    * recompute reads bronze through dropDuplicates(event_id) — so the
+    * swapped days equal the batch twin exactly: no double-count, no
+    * hole. */
+  private[graft] def rollupSinkWithHook(events: DataFrame, bronzePath: String,
+                 rollupPath: String, checkpoint: String)(afterBronze: () => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -230,6 +243,7 @@ object EventStreams {
         // log grows (an unpartitioned append would full-scan history).
         batch.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
           .write.mode("append").partitionBy("day").parquet(bronzePath)
+        afterBronze()
         // dedupKey pushes the replay-dedup below the touched-day filter,
         // so the per-batch cost is the touched days, not all of bronze
         val bronze = batch.sparkSession.read.parquet(bronzePath)
@@ -255,12 +269,15 @@ object EventStreams {
     * collapse identically to the batch lag() change filter.
     *
     * Cross-batch disorder is BOUNDED, not absorbed: an event whose ts
-    * precedes the open interval's start arrived after a later event was
-    * already folded into state, and honoring it would emit a closed
-    * interval with valid_to < valid_from (diverging from the batch twin,
-    * which sorts globally). Such events are dropped — the documented
-    * divergence from scd2Intervals is therefore only that straggler
-    * loss, never an inverted interval. */
+    * precedes — or exactly EQUALS — the open interval's start arrived
+    * after a later event was already folded into state; honoring it
+    * would emit an interval with valid_to < valid_from (inverted) or
+    * valid_to == valid_from under an ordering the batch twin (which
+    * sorts globally) may not agree with. Such events are dropped — the
+    * documented divergence from scd2Intervals is only that straggler
+    * loss; every emitted interval has valid_to > valid_from OR is a
+    * same-timestamp zero-length interval that arose WITHIN one batch,
+    * where the (ts, state) sort makes it identical to the batch twin. */
   def streamingScd2(spark: SparkSession, events: DataFrame): Dataset[Scd2Closed] = {
     import spark.implicits._
     val typed = events
@@ -271,16 +288,26 @@ object EventStreams {
         (userId: Long, rows: Iterator[(Long, Long, String)],
          state: GroupState[Scd2State]) =>
           var cur = state.getOption
+          // while the open interval still comes from a PREVIOUS batch, a
+          // ts equal to its start is also a cross-batch straggler (the
+          // batch twin's global (ts, state) sort may order it BEFORE the
+          // open state) — once this batch has written cur, equality is
+          // within-batch and the sort below already totalized it
+          var openFromPrevBatch = cur.isDefined
           val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
           rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, tsUs, et) =>
             cur match {
-              case Some(s) if tsUs < s.sinceUs => () // cross-batch straggler: drop (see scaladoc)
+              case Some(s) if tsUs < s.sinceUs ||
+                  (openFromPrevBatch && tsUs == s.sinceUs) =>
+                () // cross-batch straggler: drop (see scaladoc)
               case Some(s) if s.state == et => () // same state: no interval edge
               case Some(s) =>
                 out += Scd2Closed(userId, s.version, s.state, s.sinceUs, tsUs)
                 cur = Some(Scd2State(et, tsUs, s.version + 1))
+                openFromPrevBatch = false
               case None =>
                 cur = Some(Scd2State(et, tsUs, 1L))
+                openFromPrevBatch = false
             }
           }
           cur.foreach(state.update)

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Ann
+import graft.sources.Store
+
+/** Persisted-ANN-index cache governance: the cache must serve the CURRENT
+  * corpus — a takedown (`Store.deleteKeys`) or any rewrite of the
+  * embeddings table must force a rebuild, never a stale answer. This is
+  * the right-to-be-forgotten path for the serve side: a deleted vector
+  * must be unretrievable through every cached index. */
+class AnnIndexSpec extends SparkTestBase {
+
+  /** Stage the sf embeddings as a PARTITIONED table in a fresh dir, so
+    * deleteKeys can rewrite it partition-wise like a production corpus. */
+  private def stageEmbeddings(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("ann_takedown").toString
+    Tables.embeddings(spark, sfDir)
+      .withColumn("pt", (col("vec_id") % 4).cast("int"))
+      .write.partitionBy("pt").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("deleteKeys on the corpus invalidates the cached PQ index") {
+    val dir = stageEmbeddings()
+    val marker = new java.io.File(Ann.cachedIndexDir(dir, "pq"), "_built")
+
+    val before = Ann.pqTopKCached(spark, dir).collect()
+    assert(marker.exists(), "first call must build and mark the index")
+    val builtAt = java.nio.file.Files.readAllBytes(marker.toPath).toSeq
+
+    // pick a victim that is a SERVED neighbor but not a query vector
+    val victim = before.map(_.getAs[Long]("neighbor_id"))
+      .find(_ >= Ann.AnnQueryIds).get
+    assert(before.exists(_.getAs[Long]("neighbor_id") == victim))
+
+    // same data → cache hit (marker bytes unchanged, no rebuild)
+    Ann.pqTopKCached(spark, dir).collect()
+    assert(java.nio.file.Files.readAllBytes(marker.toPath).toSeq == builtAt,
+      "unchanged corpus must not retrain")
+
+    val n = Store.deleteKeys(spark, s"$dir/embeddings.parquet",
+      "vec_id", Seq(victim), Seq("pt"))
+    assert(n == 1L)
+
+    val after = Ann.pqTopKCached(spark, dir).collect()
+    assert(!after.exists(_.getAs[Long]("neighbor_id") == victim),
+      s"taken-down vector $victim still served by the cached index")
+    assert(java.nio.file.Files.readAllBytes(marker.toPath).toSeq != builtAt,
+      "marker must record the new corpus fingerprint")
+    // and the rebuild is CORRECT, not merely victim-free: identical to
+    // training inline on the post-delete corpus
+    val inline = Ann.pqTopK(spark, dir).collect().map(_.toSeq).toSet
+    assert(after.map(_.toSeq).toSet == inline)
+  }
+
+  test("deleteKeys on the corpus invalidates the cached IVF index") {
+    val dir = stageEmbeddings()
+    val before = Ann.ivfTopKCached(spark, dir).collect()
+    val victim = before.map(_.getAs[Long]("neighbor_id"))
+      .find(_ >= Ann.AnnQueryIds).get
+    Store.deleteKeys(spark, s"$dir/embeddings.parquet",
+      "vec_id", Seq(victim), Seq("pt"))
+    val after = Ann.ivfTopKCached(spark, dir).collect()
+    assert(!after.exists(_.getAs[Long]("neighbor_id") == victim),
+      s"taken-down vector $victim still served by the cached IVF index")
+    assert(after.map(_.toSeq).toSet ==
+      Ann.ivfTopK(spark, dir).collect().map(_.toSeq).toSet)
+  }
+
+  test("two source dirs never alias one cache entry") {
+    val a = stageEmbeddings(); val b = stageEmbeddings()
+    assert(Ann.cachedIndexDir(a, "pq") != Ann.cachedIndexDir(b, "pq"))
+  }
+}

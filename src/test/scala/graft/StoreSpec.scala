@@ -370,10 +370,13 @@ class StoreSpec extends SparkTestBase {
       f.getParentFile.mkdirs()
       java.nio.file.Files.write(f.toPath, "junk".getBytes)
       if (aged) {
-        // age the whole debris root (vacuum checks the matched entry)
+        // age EVERY level: vacuum takes the newest mtime anywhere in the
+        // debris subtree, so dead debris means the whole tree is old
         var p = f
-        while (p.getParentFile != null && !p.getParentFile.toString.equals(out)) p = p.getParentFile
-        p.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+        while (p != null && !p.toString.equals(out)) {
+          p.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+          p = p.getParentFile
+        }
       }
       f
     }
@@ -381,6 +384,11 @@ class StoreSpec extends SparkTestBase {
     mk("part=0_compact_tmp/leftover.parquet", aged = true)
     // dot-prefixed so the data read below ignores it while it survives
     val fresh = mk("._racing_compact_old/fresh.parquet", aged = false)
+    // a long-running writer: the debris ROOT is old but a file deep inside
+    // is fresh — the job is still writing; vacuum must leave the tree alone
+    val live = mk("._live_compact_tmp/still-writing.parquet", aged = false)
+    new java.io.File(s"$out/._live_compact_tmp")
+      .setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
 
     // (.crc debris is also matched, but the local ChecksumFileSystem
     // hides checksum files from listStatus, so it is not testable here)
@@ -390,10 +398,47 @@ class StoreSpec extends SparkTestBase {
     assert(!new java.io.File(s"$out/part=0_compact_tmp").exists())
     // younger than the horizon: an in-flight writer's debris survives
     assert(fresh.exists(), "vacuum deleted a fresh temp dir inside the horizon")
+    assert(live.exists(),
+      "vacuum deleted a long-running writer's tree (old root, fresh file inside)")
     // data untouched
     assert(spark.read.parquet(out).collect().map(_.toSeq).toSet == before)
     // idempotent
     assert(graft.sources.Store.vacuum(spark, out).count(p => !p.contains("_compact_old")) == 0)
+  }
+
+  test("takedown propagates to registered derived stores") {
+    // 1. the registry mechanics: deleteKeys fires every hook for its path
+    val dir = java.nio.file.Files.createTempDirectory("derived").toString
+    val path = s"$dir/t.parquet"
+    spark.range(10).selectExpr("id AS k", "(id % 2) AS pt")
+      .write.partitionBy("pt").parquet(path)
+    var fired = 0
+    Store.registerDerived(path, "idx-a")(() => fired += 1)
+    Store.registerDerived(path, "idx-b")(() => fired += 1)
+    Store.deleteKeys(spark, path, "k", Seq(3L), Seq("pt"))
+    assert(fired == 2, "every derived hook must fire on takedown")
+
+    // 2. end-to-end: the bucketed dedup candidate tables are derived from
+    // the documents corpus; a takedown there must drop them so no serve
+    // path can read a deleted doc's shingles from the warehouse copy
+    val docDir = java.nio.file.Files.createTempDirectory("dedup_takedown").toString
+    Tables.documents(spark, sfDir)
+      .write.partitionBy("lang").parquet(s"$docDir/documents.parquet")
+    graft.dedup.Dedup.lshJaccardBucketedAttach(spark, docDir).collect()
+    assert(spark.catalog.tableExists("graft_d3_sets"))
+    assert(spark.catalog.tableExists("graft_d3_cands"))
+    val victim = Tables.documents(spark, docDir)
+      .select("doc_id").head().getLong(0)
+    Store.deleteKeys(spark, s"$docDir/documents.parquet",
+      "doc_id", Seq(victim), Seq("lang"))
+    assert(!spark.catalog.tableExists("graft_d3_sets"),
+      "derived bucketed set table must be invalidated by the takedown")
+    assert(!spark.catalog.tableExists("graft_d3_cands"))
+    // the serve path rebuilds from the post-delete corpus: the victim is
+    // unreachable through the rebuilt tables
+    val rebuilt = graft.dedup.Dedup.lshJaccardBucketedAttach(spark, docDir)
+    assert(rebuilt.filter(col("doc_a") === victim || col("doc_b") === victim)
+      .count() == 0)
   }
 
   test("same-bucketed join plans with zero exchanges") {

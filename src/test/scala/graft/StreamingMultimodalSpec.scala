@@ -226,6 +226,59 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(tableNow() == expected, "batch replay corrupted the rollup")
   }
 
+  test("rollup sink recovers from a crash between bronze append and swap") {
+    import graft.streaming.EventStreams
+    import graft.pipelines.IncrementalRollup
+    val bronze = java.nio.file.Files.createTempDirectory("bronze_c").toString
+    val rollup = java.nio.file.Files.createTempDirectory("rollup_c").toString
+    val chk = java.nio.file.Files.createTempDirectory("rollup_c_chk").toString
+    val src = java.nio.file.Files.createTempDirectory("rollup_c_src").toString
+    val half = Tables.events(spark, sfDir)
+      .filter(col("event_id") % 2 === 0).count()
+    // append part-files at the TOP level of src: the file stream source
+    // does not recurse into subdirectories
+    def addFile(filter: org.apache.spark.sql.Column): Unit =
+      spark.read.schema(Tables.eventsRawSchema)
+        .parquet(s"$sfDir/events.parquet").filter(filter)
+        .write.mode("append").parquet(src)
+    addFile(col("event_id") % 2 === 0)
+
+    // batch 1 commits cleanly
+    val q1 = EventStreams.rollupSink(
+      EventStreams.readEvents(spark, src), bronze, rollup, chk)
+    q1.processAllAvailable(); q1.stop()
+
+    // batch 2 CRASHES after the bronze append, before the rollup swap
+    addFile(col("event_id") % 2 =!= 0)
+    val boom = new RuntimeException("injected crash between bronze and swap")
+    val q2 = EventStreams.rollupSinkWithHook(
+      EventStreams.readEvents(spark, src), bronze, rollup, chk)(
+      () => throw boom)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    // the crash window is real: bronze already has (some of) batch 2...
+    assert(spark.read.parquet(bronze).count() > half,
+      "crash must land AFTER the bronze append or the window is vacuous")
+    // ...but the rollup still reflects only batch 1
+    assert(IncrementalRollup.read(spark, rollup)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0) == half)
+
+    // restart WITHOUT the hook: the uncommitted batch replays, bronze
+    // double-appends, and the dedup-by-event_id recompute heals the table
+    val q3 = EventStreams.rollupSink(
+      EventStreams.readEvents(spark, src), bronze, rollup, chk)
+    q3.processAllAvailable(); q3.stop()
+    val got = IncrementalRollup.read(spark, rollup)
+      .select("day", "event_type", "n_events", "total_value", "n_users")
+      .collect().map(_.toSeq).toSet
+    val expected = IncrementalRollup.rollup(Tables.events(spark, sfDir))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected,
+      "post-recovery rollup must equal the batch twin: no double-count, no hole")
+  }
+
   test("streaming SCD2 closed intervals match the batch operator") {
     import graft.streaming.EventStreams
     val stream = EventStreams.streamingScd2(spark,
@@ -273,6 +326,45 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(rows == Set(
       (1L, 1L, "a", 100000000L, 200000000L),
       (1L, 2L, "b", 200000000L, 300000000L)), s"got $rows")
+  }
+
+  test("streaming SCD2 drops a cross-batch straggler at EXACTLY the open start") {
+    // the ts == sinceUs edge: honoring it would emit a zero-length
+    // interval under an ordering the batch twin may not share — it is a
+    // straggler like any other and must be dropped, while a same-ts pair
+    // WITHIN one batch still totalizes by (ts, state) like the batch sort
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = mem.toDF().toDF("user_id", "ts", "event_type")
+    val out = EventStreams.streamingScd2(spark, events).toDF()
+    val q = out.writeStream.format("memory").queryName("scd2_eq_edge")
+      .outputMode("append").start()
+    // batch 1: a@100 → b@200; user 2: within-batch same-ts pair x@100, y@100
+    mem.addData((1L, ts(100), "a"), (1L, ts(200), "b"),
+      (2L, ts(100), "x"), (2L, ts(100), "y"))
+    q.processAllAvailable()
+    // batch 2: c@200 equals the open interval's start with a DIFFERENT
+    // state — drop; then a@300 closes (b, 200..300) as if c never arrived
+    mem.addData((1L, ts(200), "c"), (1L, ts(300), "a"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("scd2_eq_edge").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+        r.getAs[String]("state"), r.getAs[Long]("valid_from_us"),
+        r.getAs[Long]("valid_to_us"))).toSet
+    val u1 = rows.filter(_._1 == 1L)
+    assert(u1 == Set(
+      (1L, 1L, "a", 100000000L, 200000000L),
+      (1L, 2L, "b", 200000000L, 300000000L)),
+      s"cross-batch == straggler must be dropped: $u1")
+    // within one batch, (100, x) sorts before (100, y) exactly like the
+    // batch twin: the zero-length x interval is EMITTED, matching batch
+    val u2 = rows.filter(_._1 == 2L)
+    assert(u2 == Set((2L, 1L, "x", 100000000L, 100000000L)),
+      s"within-batch same-ts pair must match the batch (ts, state) sort: $u2")
   }
 
   test("streaming funnel matches the batch funnel operator") {

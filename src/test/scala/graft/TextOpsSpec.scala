@@ -57,6 +57,84 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  /** Stage a synthetic documents corpus in a fresh dir (Tables.documents
+    * schema) for scrub-family tests that need controlled duplication. */
+  private def stageDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scrub_docs").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synthetic"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("guarded span scrub: planted mega-hot gram, bit-identical + broadcast") {
+    // one boilerplate 8-gram in EVERY doc: df = 120 >> ScrubHotDf = 50
+    val boiler = (1 to TextOps.ScrubGram).map(i => s"boiler$i").mkString(" ")
+    val docs = (0 until 120).map { d =>
+      d.toLong -> s"$boiler unique${d}a unique${d}b unique${d}c"
+    }
+    val dir = stageDocs(docs)
+    val plain = TextOps.spanScrub(spark, dir).collect().map(_.toSeq)
+    val guarded = TextOps.spanScrubGuarded(spark, dir)
+    assert(guarded.collect().map(_.toSeq).toSeq == plain.toSeq,
+      "guarded variant must be bit-identical to the plain scrub")
+    // the mega-hot gram really took the broadcast path
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"mega-hot grams must join by broadcast:\n${plan.take(1500)}")
+    // and the boilerplate was scrubbed: kept text is exactly the unique tail
+    val keptById = plain.map(r => r.head.asInstanceOf[Long] -> r.last).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0 until 120).foreach { d =>
+      assert(keptById(d.toLong) == md5(s"unique${d}a unique${d}b unique${d}c"),
+        s"doc $d: boilerplate must be scrubbed, tail kept")
+    }
+  }
+
+  test("span scrub reconstruction is linear: a fully-covered 20k-token doc") {
+    // two identical 20k-token docs: every window is duplicated, so the
+    // covered array spans the whole doc — the O(n·|cov|) form took ~4·10⁸
+    // comparisons here; the gap-merge form must stay well under a second
+    val big = (0 until 20000).map(i => s"w${i % 19000}").mkString(" ")
+    val dir = stageDocs(Seq(1L -> big, 2L -> big, 3L -> "tiny doc here"))
+    val t0 = System.nanoTime()
+    val rows = TextOps.spanScrub(spark, dir).collect()
+    val dt = (System.nanoTime() - t0) / 1e9
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("n_covered") == 20000L, "whole doc covered")
+    assert(byId(1L).getAs[String]("kept_md5") ==
+      byId(2L).getAs[String]("kept_md5"))
+    assert(byId(3L).getAs[Long]("n_covered") == 0L)
+    assert(dt < 30.0, s"fully-covered doc took ${dt}s — reconstruction not linear?")
+  }
+
+  test("decontam scrub keeps eval docs out and scrubs only overlapping spans") {
+    import graft.dedup.Dedup.DecontamEvalMod
+    val evalSpan = (1 to TextOps.ScrubGram).map(i => s"eval$i").mkString(" ")
+    val docs = Seq[(Long, String)](
+      0L * DecontamEvalMod -> s"$evalSpan held out benchmark text",   // eval doc
+      1L -> s"clean training doc with no overlap at all going on here",
+      2L -> s"prefix words here $evalSpan suffix words here too"      // contaminated
+    )
+    val dir = stageDocs(docs)
+    val out = TextOps.decontamScrub(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(0L), "eval docs are not training output rows")
+    assert(out(1L).getAs[Long]("n_covered") == 0L, "clean doc untouched")
+    assert(out(2L).getAs[Long]("n_eval_windows") > 0L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // only the eval span is removed; surrounding text survives
+    assert(out(2L).getAs[String]("kept_md5") ==
+      md5("prefix words here suffix words here too"),
+      "exactly the overlapping span must be scrubbed")
+  }
+
   test("PII redaction scrubs injected identifiers and counts by type") {
     import spark.implicits._
     val df = Seq(
