@@ -79,6 +79,119 @@ object Bpe {
     merges.toSeq
   }
 
+  // ------------------------------------------------------------------
+  // BPE ENCODE: apply a trained tokenizer corpus-wide (T14b). Training
+  // happens on a deterministic 10% doc sample (tokenizers are trained on
+  // samples in production — the dictionary pass must not scale with the
+  // corpus), then the merge list BROADCASTS as literals compiled into a
+  // chain of `replace` calls — encoding is pure map-side codegen string
+  // work, no shuffle, no state.
+  //
+  // String-domain representation (shared with the oracle): a token
+  // c1..ck becomes "|c1 |c2 ... |ck " — every symbol carries a leading
+  // '|' and a trailing ' ', so a merge (a, b) is literally
+  // replace("|a |b ", "|ab "): left-to-right non-overlapping replace IS
+  // the Sennrich apply rule (a merged pair cannot re-form its own
+  // pattern), and the delimiters make cross-symbol false matches
+  // impossible because the alphabet below excludes both. Documents
+  // join their token reps with '\n', which no pattern can span.
+  // ------------------------------------------------------------------
+
+  /** Pre-tokenization alphabet — [a-z]+|[0-9]+ runs of lowered text, the
+    * GPT-2-style regex pre-tokenizer reduced to an alphabet that cannot
+    * collide with the '|'/' '/newline delimiters. */
+  val PreTokenRegex = "[a-z]+|[0-9]+"
+  val EncodeMerges = 16
+  /** Every SampleMod-th doc trains the tokenizer. */
+  val SampleMod = 10
+
+  /** The pre-tokenizer over the raw `text` column, as a SQL fragment so
+    * both the train and encode paths use the identical expression. */
+  private val preTokensSql = s"regexp_extract_all(lower(text), '$PreTokenRegex', 0)"
+
+  /** Train [[EncodeMerges]] merges on the deterministic doc sample. */
+  def trainOnSample(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[Merge] = {
+    val sample = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % SampleMod === 0)
+      .select(concat_ws(" ", expr(preTokensSql)).as("text"))
+    val merges = train(sample, "text", EncodeMerges)
+    require(merges.length == EncodeMerges,
+      s"sample exhausted at ${merges.length} merges — oracle unrolls $EncodeMerges")
+    merges
+  }
+
+  /** Encode the full corpus with the sample-trained tokenizer; emits the
+    * per-doc word/symbol counts and the md5 of the complete encoded
+    * representation, so the oracle gates training AND application. */
+  def bpeEncode(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val merges = trainOnSample(spark, dir)
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(preTokensSql).as("ts"))
+    // the whole encode is ONE literal SQL expression: initial rep +
+    // 16 nested replace calls, all codegen'd string work
+    val rep0Sql =
+      """concat_ws('\n', transform(ts, t -> regexp_replace(t, '(.)', '|$1 ')))"""
+    val repSql = merges.foldLeft(rep0Sql) { (s, m) =>
+      s"replace($s, '|${m.a} |${m.b} ', '|${m.a}${m.b} ')"
+    }
+    toks
+      .withColumn("rep", expr(repSql))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_words"),
+        (length(col("rep")) - length(expr("replace(rep, '|', '')")))
+          .cast("long").as("n_syms"),
+        md5(col("rep")).as("enc_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: replays the 16 training rounds (pair-count aggregate →
+    * total-order top pair → replace over the dictionary reps) and the
+    * encode chain, generated round-by-round like the PQ oracle. */
+  val bpeEncodeSql: String = {
+    def round(r: Int): String = {
+      val prev = if (r == 1) "dict0" else s"dict${r - 1}"
+      s"""pairs$r AS MATERIALIZED (
+         |  SELECT s[i] AS a, s[i + 1] AS b, sum(freq) AS n FROM (
+         |    SELECT regexp_extract_all(rep, '\\|([^ ]+) ', 1) AS s, freq
+         |    FROM $prev) t,
+         |    UNNEST(generate_series(1, len(s) - 1)) AS g(i)
+         |  GROUP BY 1, 2 HAVING sum(freq) >= 2),
+         |m$r AS MATERIALIZED (SELECT a, b FROM pairs$r ORDER BY n DESC, a, b LIMIT 1),
+         |dict$r AS MATERIALIZED (
+         |  SELECT replace(rep, '|' || m.a || ' |' || m.b || ' ',
+         |                 '|' || m.a || m.b || ' ') AS rep, freq
+         |  FROM $prev, m$r m)""".stripMargin
+    }
+    def enc(r: Int): String = {
+      val prev = if (r == 1) "enc0" else s"enc${r - 1}"
+      s"""enc$r AS MATERIALIZED (
+         |  SELECT doc_id, ts, replace(rep, '|' || m.a || ' |' || m.b || ' ',
+         |                             '|' || m.a || m.b || ' ') AS rep
+         |  FROM $prev, m$r m)""".stripMargin
+    }
+    s"""WITH docs0 AS MATERIALIZED (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$PreTokenRegex') AS ts
+       |  FROM documents),
+       |dict0 AS MATERIALIZED (
+       |  SELECT regexp_replace(word, '(.)', '|\\1 ', 'g') AS rep, count(*) AS freq
+       |  FROM (SELECT unnest(ts) AS word FROM docs0 WHERE doc_id % $SampleMod = 0) w
+       |  GROUP BY 1),
+       |${(1 to EncodeMerges).map(round).mkString(",\n")},
+       |enc0 AS MATERIALIZED (
+       |  SELECT doc_id, ts,
+       |    COALESCE(list_aggregate(
+       |      list_transform(ts, t -> regexp_replace(t, '(.)', '|\\1 ', 'g')),
+       |      'string_agg', chr(10)), '') AS rep
+       |  FROM docs0),
+       |${(1 to EncodeMerges).map(enc).mkString(",\n")}
+       |SELECT doc_id,
+       |  CAST(len(ts) AS BIGINT) AS n_words,
+       |  CAST(len(rep) - len(replace(rep, '|', '')) AS BIGINT) AS n_syms,
+       |  md5(rep) AS enc_md5
+       |FROM enc$EncodeMerges
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Tokens-per-word of the dictionary after applying `merges` — the
     * compression measure a tokenizer build reports. */
   def avgTokensPerWord(docs: DataFrame, textCol: String, merges: Seq[Merge]): Double = {

@@ -148,6 +148,9 @@ object ScaleBench {
       // eval side stays fixed-size while the corpus grows: probe must
       // scale linearly with ZERO corpus-keyed shuffle before the cov agg
       "t_decontam_scrub" -> (graft.ops.TextOps.decontamScrub _),
+      // training runs on the 10% sample (dictionary-sized rounds), encode
+      // is map-only: wall growth must track the corpus scan, not training
+      "t_bpe_encode" -> (graft.ops.Bpe.bpeEncode _),
       "q1_pricing_summary" -> (graft.ops.Relational.q1PricingSummary _),
       "q3_top_orders" -> (graft.ops.Relational.q3TopOrders _),
       "q18_big_orders" -> (graft.ops.Relational.q18BigOrders _),

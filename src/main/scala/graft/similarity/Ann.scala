@@ -719,6 +719,16 @@ object Ann {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Root of the persisted-index cache. Defaults to the JVM temp dir for
+    * single-tenant dev boxes; on a shared host point it at a job-private
+    * path (`GRAFT_ANN_CACHE_DIR` env or `graft.ann.cache.dir` system
+    * property) — a world-writable /tmp would let another local user
+    * pre-plant index files. */
+  private def cacheRoot: String =
+    sys.env.get("GRAFT_ANN_CACHE_DIR")
+      .orElse(sys.props.get("graft.ann.cache.dir"))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+
   private[graft] def cachedIndexDir(dir: String, kind: String): String = {
     // full path (sanitized) PLUS a digest of the raw path: readable, and
     // two source dirs can never alias one cache entry (hashCode or
@@ -726,7 +736,7 @@ object Ann {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(80)
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft-ann-index/$kind-$safe-$h"
+    s"$cacheRoot/graft-ann-index/$kind-$safe-$h"
   }
 
   private def deleteLocal(f: java.io.File): Unit = {
@@ -753,28 +763,37 @@ object Ann {
     }
     if (fresh) return idx.getPath
     idx.getParentFile.mkdirs()
-    val raf = new java.io.RandomAccessFile(
-      new java.io.File(idx.getParentFile, s".${idx.getName}.lock"), "rw")
-    try {
-      val lock = raf.getChannel.lock() // one builder at a time, cross-process
+    // two locks: a JVM monitor first (FileChannel.lock THROWS on overlap
+    // from the same JVM instead of blocking), then the cross-process file
+    // lock — together one builder at a time, anywhere on the host
+    val mon = jvmBuildLocks.computeIfAbsent(idx.getPath, _ => new Object)
+    mon.synchronized {
+      val raf = new java.io.RandomAccessFile(
+        new java.io.File(idx.getParentFile, s".${idx.getName}.lock"), "rw")
       try {
-        if (!fresh) { // re-check: the lock holder before us may have built it
-          val tmp = new java.io.File(idx.getParentFile,
-            s"${idx.getName}.build-${java.util.UUID.randomUUID().toString.take(8)}")
-          try {
-            build(tmp.getPath)
-            java.nio.file.Files.write(new java.io.File(tmp, "_built").toPath,
-              want.getBytes("UTF-8"))
-            deleteLocal(idx)
-            require(tmp.renameTo(idx), s"could not install ANN index at $idx")
-            graft.sources.Store.registerDerived(
-              s"$dir/embeddings.parquet", idx.getPath)(() => deleteLocal(idx))
-          } finally deleteLocal(tmp) // no-op after a successful rename
-        }
-      } finally lock.release()
-    } finally raf.close()
+        val lock = raf.getChannel.lock()
+        try {
+          if (!fresh) { // re-check: the lock holder before us may have built it
+            val tmp = new java.io.File(idx.getParentFile,
+              s"${idx.getName}.build-${java.util.UUID.randomUUID().toString.take(8)}")
+            try {
+              build(tmp.getPath)
+              java.nio.file.Files.write(new java.io.File(tmp, "_built").toPath,
+                want.getBytes("UTF-8"))
+              deleteLocal(idx)
+              require(tmp.renameTo(idx), s"could not install ANN index at $idx")
+              graft.sources.Store.registerDerived(
+                s"$dir/embeddings.parquet", idx.getPath)(() => deleteLocal(idx))
+            } finally deleteLocal(tmp) // no-op after a successful rename
+          }
+        } finally lock.release()
+      } finally raf.close()
+    }
     idx.getPath
   }
+
+  private val jvmBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** [[pqTopKIndexed]] over a cached [[pqIndexBuild]]: first call trains,
     * every later call times pure query latency. */

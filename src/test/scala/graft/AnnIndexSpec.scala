@@ -72,4 +72,23 @@ class AnnIndexSpec extends SparkTestBase {
     val a = stageEmbeddings(); val b = stageEmbeddings()
     assert(Ann.cachedIndexDir(a, "pq") != Ann.cachedIndexDir(b, "pq"))
   }
+
+  test("concurrent first builds serialize on the lock; both serve correctly") {
+    // FileChannel.lock throws OverlappingFileLockException on same-JVM
+    // overlap — the JVM monitor must make two threads queue instead
+    val dir = stageEmbeddings()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Set[Seq[Any]]] {
+          override def call(): Set[Seq[Any]] =
+            Ann.pqTopKCached(spark, dir).collect().map(_.toSeq).toSet
+        })
+      }
+      val results = tasks.map(_.get())
+      assert(results(0) == results(1), "concurrent builders must agree")
+      val inline = Ann.pqTopK(spark, dir).collect().map(_.toSeq).toSet
+      assert(results(0) == inline)
+    } finally pool.shutdown()
+  }
 }

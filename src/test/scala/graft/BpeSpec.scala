@@ -70,4 +70,25 @@ class BpeSpec extends SparkTestBase {
     val merges = Bpe.train(docs, "text", nMerges = 5)
     assert(merges.isEmpty)
   }
+
+  test("corpus-wide encode: merges shrink symbols, bounds hold, deterministic") {
+    import org.apache.spark.sql.functions._
+    val out = Bpe.bpeEncode(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    assert(out.count() == docs.count(), "one encoded row per document")
+    // n_words <= n_syms <= total alphabet chars (merges only shrink; a
+    // symbol never crosses a word)
+    val chars = docs.select(col("doc_id"),
+      aggregate(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)"),
+        lit(0L), (a, t) => a + length(t)).as("n_chars"))
+    val j = out.join(chars, "doc_id")
+    assert(j.filter(col("n_syms") > col("n_chars")).count() == 0)
+    assert(j.filter(col("n_words") > col("n_syms")).count() == 0)
+    // the trained merges actually fired somewhere
+    assert(j.filter(col("n_syms") < col("n_chars")).count() > 0,
+      "no merge ever applied — training or encode broken")
+    // deterministic end-to-end (training includes driver round-trips)
+    val again = Bpe.bpeEncode(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(again == out.collect().map(_.toSeq).toSet)
+  }
 }
