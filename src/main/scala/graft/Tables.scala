@@ -63,7 +63,7 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** events.parquet stores `ts` as INT64 nanos (TIMESTAMP_NS), which
+  /** Legacy events layout: `ts` as INT64 nanos (TIMESTAMP_NS), which
     * Spark's vectorized reader cannot decode as TimestampType; we read the
     * raw nanos (spark.sql.legacy.parquet.nanosAsLong=true, set in every
     * graft session) and truncate to a microsecond timestamp in [[events]] —
@@ -75,6 +75,22 @@ object Tables {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Native events layout: `ts` already a microsecond TIMESTAMP. */
+  val eventsTsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** True when the events parquet at `path` stores `ts` as a raw INT64
+    * (the legacy TIMESTAMP_NS layout surfaced as LongType by
+    * nanosAsLong=true) rather than a native timestamp. One footer read at
+    * plan time — not a data scan — so it is free at any corpus size. */
+  def eventsTsIsLong(spark: SparkSession, path: String): Boolean =
+    spark.read.parquet(path).schema("ts").dataType == LongType
 
   val documentsSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -99,12 +115,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part", partSchema)
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders", ordersSchema)
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem", lineitemSchema)
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsAt(spark, s"$dir/events.parquet")
+
+  /** Canonical events reader: `ts` is always a microsecond TimestampType
+    * regardless of which physical layout the corpus was generated with
+    * (the driver has shipped both INT64-nanos and native timestamp[us]
+    * across rounds). The branch is decided by one footer read. */
+  def eventsAt(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    read(spark, dir, "events", eventsRawSchema)
-      // integer DIV, not double `/`: epoch-nanos ≈ 1.7e18 exceeds double's
-      // 2^53 exact-integer range, so float division would corrupt low bits
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    if (eventsTsIsLong(spark, path))
+      spark.read.schema(eventsRawSchema).parquet(path)
+        // integer DIV, not double `/`: epoch-nanos ≈ 1.7e18 exceeds double's
+        // 2^53 exact-integer range, so float division would corrupt low bits
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else
+      spark.read.schema(eventsTsSchema).parquet(path)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", embeddingsSchema)

@@ -848,4 +848,82 @@ object TextOps {
     }
     counted.withColumn(s"${textCol}_redacted", redacted)
   }
+
+  /** `t_pii_redact`: corpus-wide PII scrub with a per-source audit — the
+    * compliance pass every training-data pipeline runs before tokenizing.
+    * The synthetic corpus carries no real PII, so the query PLANTS
+    * deterministic doc_id-derived identifiers (email / IPv4 / card /
+    * phone) on both engines, runs [[redactPii]]'s progressive
+    * redact-and-attribute chain, and emits per-source counts plus an
+    * md5-prefix checksum of every redacted text so the oracle pins the
+    * rewritten bytes, not just the counts.
+    *
+    * Scale: pure map-side scan (regex + hash per row, codegen'd) into one
+    * tiny per-source hash-aggregate — no join, no wide shuffle; the 100-TB
+    * cost is exactly one pass over the text column. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idS = $"doc_id".cast("string")
+    val aug = concat(
+      $"text",
+      when($"doc_id" % 7 === 0, concat(lit(" mail user"), idS,
+        lit("@ex"), ($"doc_id" % 5).cast("string"), lit(".org"))).otherwise(lit("")),
+      when($"doc_id" % 11 === 0, concat(lit(" host 10."),
+        ($"doc_id" % 256).cast("string"), lit("."),
+        ($"doc_id" % 199).cast("string"), lit(".9"))).otherwise(lit("")),
+      when($"doc_id" % 17 === 0, concat(lit(" card 4111"),
+        lpad(($"doc_id" % 1000000000000L).cast("string"), 12, "0"))).otherwise(lit("")),
+      when($"doc_id" % 13 === 0, concat(lit(" tel +1 (415) 555-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+    val planted = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", aug.as("text"))
+    redactPii(planted, "text")
+      .select($"source", $"n_email", $"n_ipv4", $"n_card", $"n_phone",
+        (conv(substring(md5($"text_redacted"), 1, 15), 16, 10).cast("long")
+          % 1000000000L).as("chk"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_email").as("n_email"), sum($"n_ipv4").as("n_ipv4"),
+        sum($"n_card").as("n_card"), sum($"n_phone").as("n_phone"),
+        sum($"chk").as("redact_chk"))
+      .orderBy($"source")
+  }
+
+  val piiRedactSql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val card = "\\b[0-9]{13,19}\\b"
+    val phone = "\\+?[0-9][0-9()\\-\\s]{7,14}[0-9]"
+    s"""WITH aug AS (
+       |  SELECT doc_id, source, text
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR)
+       |         || '@ex' || CAST(doc_id % 5 AS VARCHAR) || '.org' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |         || '.' || CAST(doc_id % 199 AS VARCHAR) || '.9' ELSE '' END
+       |    || CASE WHEN doc_id % 17 = 0 THEN ' card 4111'
+       |         || lpad(CAST(doc_id % 1000000000000 AS VARCHAR), 12, '0') ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 0 THEN ' tel +1 (415) 555-'
+       |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    AS t0
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, source,
+       |    len(string_split_regex(t0, '$email')) - 1 AS n_email,
+       |    regexp_replace(t0, '$email', '[email]', 'g') AS t1 FROM aug),
+       |s2 AS (SELECT *, len(string_split_regex(t1, '$ipv4')) - 1 AS n_ipv4,
+       |    regexp_replace(t1, '$ipv4', '[ipv4]', 'g') AS t2 FROM s1),
+       |s3 AS (SELECT *, len(string_split_regex(t2, '$card')) - 1 AS n_card,
+       |    regexp_replace(t2, '$card', '[card]', 'g') AS t3 FROM s2),
+       |s4 AS (SELECT *, len(string_split_regex(t3, '$phone')) - 1 AS n_phone,
+       |    regexp_replace(t3, '$phone', '[phone]', 'g') AS t4 FROM s3)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_email) AS BIGINT) AS n_email,
+       |  CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+       |  CAST(sum(n_card) AS BIGINT) AS n_card,
+       |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       |  CAST(sum(CAST(('0x' || substring(md5(t4), 1, 15)) AS BIGINT)
+       |    % 1000000000) AS BIGINT) AS redact_chk
+       |FROM s4
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
 }

@@ -151,9 +151,11 @@ object ScaleData {
       .toDF("vec_id", "embedding", "label")
   }
 
-  /** Events ×n: id/user-shifted copies (raw INT64-nanos ts preserved). */
+  /** Events ×n: id/user-shifted copies. The footer schema (not a forced
+    * one) decides how ts reads, so whichever physical layout the base
+    * corpus has survives the copy and Tables.eventsAt re-adapts on read. */
   def events(spark: SparkSession, baseDir: String, n: Int): DataFrame =
-    spark.read.schema(graft.Tables.eventsRawSchema)
+    spark.read
       .parquet(s"$baseDir/events.parquet")
       .crossJoin(broadcast(copies(spark, n)))
       .select(

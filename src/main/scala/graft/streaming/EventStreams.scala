@@ -20,13 +20,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** File-source stream over an events parquet (µs-truncated ts like
-    * graft.Tables.events). */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream
-      .schema(graft.Tables.eventsRawSchema)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** File-source stream over an events parquet, normalized to the same
+    * µs-timestamp `ts` as graft.Tables.events. readStream needs the schema
+    * up front, so probe the existing footers once (batch-side) to learn
+    * which physical ts layout this directory carries; an empty directory
+    * defaults to the native timestamp layout. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val tsIsLong =
+      try graft.Tables.eventsTsIsLong(spark, path)
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (tsIsLong)
+      spark.readStream
+        .schema(graft.Tables.eventsRawSchema)
+        .parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else
+      spark.readStream
+        .schema(graft.Tables.eventsTsSchema)
+        .parquet(path)
+  }
 
   /** Tumbling 6-hour windows per event type with a 1-hour watermark. */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -21,4 +21,25 @@ class PipelineSpec extends SparkTestBase {
       if (d1 < d0) assert(c1 < c0, s"docs fell $d0->$d1 but chars held at $c0")
     }
   }
+
+  test("scrub-mode pipeline keeps contaminated docs but strictly fewer tokens") {
+    val drop = TrainingPipeline.pipelineAudit(spark, sfDir).collect()
+    val rows = TrainingPipeline.pipelineScrubAudit(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("stage_idx")).toSeq == (0L to 5L))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("raw", "quality", "lang", "exact", "near_dedup", "decontam_scrub"))
+    val docs = rows.map(_.getAs[Long]("n_docs")).toSeq
+    val toks = rows.map(_.getAs[Long]("n_tokens_total")).toSeq
+    assert(docs == docs.sorted.reverse, s"doc counts must not grow: $docs")
+    assert(toks == toks.sorted.reverse, s"token counts must not grow: $toks")
+    assert(docs.last > 0)
+    // the whole point of scrub-mode: contaminated docs SURVIVE (only the
+    // eval subset itself leaves), so the final stage keeps at least as
+    // many docs as the drop-mode pipeline's decontam stage
+    assert(docs.last >= drop.last.getAs[Long]("n_docs"),
+      s"scrub-mode kept ${docs.last} docs < drop-mode ${drop.last.getAs[Long]("n_docs")}")
+    // stages 0-4 share drop-mode's predicates: doc counts must agree
+    assert(docs.take(5).toSeq == drop.take(5).map(_.getAs[Long]("n_docs")).toSeq,
+      "stages 0-4 must be identical between the two pipeline modes")
+  }
 }

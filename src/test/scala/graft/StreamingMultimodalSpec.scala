@@ -53,7 +53,7 @@ class StreamingMultimodalSpec extends SparkTestBase {
     val n1 = spark.read.parquet(outDir).count()
     assert(n1 == Tables.events(spark, sfDir).count())
     // new data lands while the query is down: a second file, disjoint ids
-    spark.read.schema(Tables.eventsRawSchema).parquet(s"$src/events.parquet")
+    spark.read.parquet(s"$src/events.parquet")
       .withColumn("event_id", col("event_id") + 10000000L)
       .write.mode("append").parquet(src)
     drainOnce()
@@ -238,8 +238,7 @@ class StreamingMultimodalSpec extends SparkTestBase {
     // append part-files at the TOP level of src: the file stream source
     // does not recurse into subdirectories
     def addFile(filter: org.apache.spark.sql.Column): Unit =
-      spark.read.schema(Tables.eventsRawSchema)
-        .parquet(s"$sfDir/events.parquet").filter(filter)
+      spark.read.parquet(s"$sfDir/events.parquet").filter(filter)
         .write.mode("append").parquet(src)
     addFile(col("event_id") % 2 === 0)
 

@@ -189,4 +189,26 @@ class TextOpsSpec extends SparkTestBase {
     // in-distribution scores are finite, positive, vocabulary-bounded
     inDist.foreach(p => assert(p > 1 && p < 1e6))
   }
+
+  test("t_pii_redact audit finds exactly the planted identifiers") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = Map(
+      "n_email" -> docs.count(_ % 7 == 0).toLong,
+      "n_ipv4" -> docs.count(_ % 11 == 0).toLong,
+      "n_card" -> docs.count(_ % 17 == 0).toLong,
+      "n_phone" -> docs.count(_ % 13 == 0).toLong)
+    val rows = TextOps.piiRedact(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    expected.foreach { case (c, want) =>
+      val got = rows.map(_.getAs[Long](c)).sum
+      assert(got == want, s"$c: redacted $got, planted $want")
+    }
+    // the checksum column is populated and bounded by the per-row modulus
+    rows.foreach { r =>
+      val chk = r.getAs[Long]("redact_chk")
+      assert(chk >= 0 && chk < r.getAs[Long]("n_docs") * 1000000000L)
+    }
+  }
 }
