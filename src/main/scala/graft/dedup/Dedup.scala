@@ -215,7 +215,7 @@ object Dedup {
   }
 
   /** Shared SQL fragment: per-doc shingle hashes (mirrors shingleHashes). */
-  private def shingleSql: String =
+  private[dedup] def shingleSql: String =
     s"""SELECT doc_id,
        |  (CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % $P) AS h
        |FROM (
@@ -223,7 +223,7 @@ object Dedup {
        |  FROM documents,
        |       UNNEST(range(1, greatest(len(lower(text)) - ${K - 1}, 1) + 1)) AS t(i))""".stripMargin
 
-  private def sigSql: String = {
+  private[dedup] def sigSql: String = {
     val aggs = (0 until NumHashes).map { j =>
       val a = 2L * j + 1; val b = 101L * j + 7
       s"min((h * $a + $b) % $P) AS mh$j"
@@ -231,14 +231,14 @@ object Dedup {
     s"SELECT doc_id,\n  $aggs\nFROM shingles GROUP BY doc_id"
   }
 
-  private def bandSql: String =
+  private[dedup] def bandSql: String =
     (0 until Bands).map { b =>
       val ks = (0 until RowsPerBand).zipWithIndex
         .map { case (r, i) => s"mh${b * RowsPerBand + r} AS k$i" }.mkString(", ")
       s"SELECT doc_id, $b AS band, $ks FROM sigs"
     }.mkString("\nUNION ALL\n")
 
-  private def bandJoinSql: String =
+  private[dedup] def bandJoinSql: String =
     ("l.band = r.band" +: (0 until RowsPerBand).map(i => s"l.k$i = r.k$i"))
       .mkString(" AND ")
 

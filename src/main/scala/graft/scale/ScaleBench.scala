@@ -139,6 +139,14 @@ object ScaleBench {
       "s_ivf_topk_indexed" -> (graft.similarity.Ann.ivfTopKCached _),
       "s_pq_topk_indexed" -> (graft.similarity.Ann.pqTopKCached _),
       "t_pipeline_audit" -> (graft.pipelines.TrainingPipeline.pipelineAudit _),
+      // cross-batch admission: per-batch cost must track the BATCH (probe
+      // partition-pruned, store side map-only), so the three-batch total
+      // should grow ~linearly with the corpus like the one-shot band join
+      "d_incremental_admit_fast" -> ((s: SparkSession, d: String) =>
+        graft.dedup.IncrementalDedup.incrementalAdmitFast(s, d)),
+      // PII audit: pure map-side scan + tiny per-source aggregate — the
+      // strictest linear-growth case in the suite
+      "t_pii_redact" -> (graft.ops.TextOps.piiRedact _),
       "t_span_scrub" -> (graft.ops.TextOps.spanScrub _),
       // hot-gram guard: the replicated scale corpus drives every
       // duplicated gram's df past ScrubHotDf, so the broadcast path
