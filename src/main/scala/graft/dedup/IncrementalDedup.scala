@@ -70,6 +70,28 @@ object IncrementalDedup {
         storeSchema)
   }
 
+  /** Batch → its LSH bucket rows with the store partition key attached. */
+  private[graft] def batchBands(batch: DataFrame,
+                                algo: String = "md5"): DataFrame =
+    Dedup.bandRows(Dedup.signaturesFromSets(Dedup.shingleSets(batch, algo)))
+      .withColumn("bp", pmod(col("k0"), lit(StoreParts.toLong)).cast("int"))
+
+  /** Batch-local first owner per bucket — also the append payload. */
+  private[graft] def bucketMins(bands: DataFrame): DataFrame =
+    bands.groupBy(keyCols.map(col): _*)
+      .agg(min(col("doc_id")).as("batch_owner"))
+
+  /** The store probe: one map-only pass over only the `bp=` partitions the
+    * batch touches, with the batch's bucket keys broadcast — the store
+    * side joins without ever shuffling (PlanSpec pins this shape). The
+    * `bp` list is a driver-side collect of <= [[StoreParts]] ints. */
+  private[graft] def probeHits(spark: SparkSession, storeDir: String,
+                               bmin: DataFrame): DataFrame = {
+    val bps = bmin.select("bp").distinct().collect().map(_.getInt(0)).toSeq
+    storeAt(spark, storeDir).filter(col("bp").isInCollection(bps))
+      .join(broadcast(bmin.select(keyCols.map(col): _*)), keyCols)
+  }
+
   /** Admit one id-ordered batch against the bucket store at `storeDir`,
     * append its previously-unseen buckets, and return
     * `(doc_id, is_dup, dup_of)` — `dup_of` the smallest earlier doc
@@ -77,23 +99,10 @@ object IncrementalDedup {
   def admitBatch(batch: DataFrame, storeDir: String,
                  algo: String = "md5"): DataFrame = {
     val spark = batch.sparkSession
-    val bands = Dedup.bandRows(
-        Dedup.signaturesFromSets(Dedup.shingleSets(batch, algo)))
-      .withColumn("bp", pmod(col("k0"), lit(StoreParts.toLong)).cast("int"))
-      .persist()
-    // batch-local first owner per bucket — also the append payload
-    val bmin = bands.groupBy(keyCols.map(col): _*)
-      .agg(min(col("doc_id")).as("batch_owner"))
-      .persist()
-    // prune the store scan to the directory partitions this batch touches
-    // (driver-side list of <= StoreParts ints — a dimension-sized collect)
-    val bps = bmin.select("bp").distinct().collect().map(_.getInt(0)).toSeq
-    val stored = storeAt(spark, storeDir).filter(col("bp").isInCollection(bps))
-    // one map-only pass over the pruned store: its buckets that this batch
-    // also has; the result is batch-bounded from here on
-    val storedHits = stored
-      .join(broadcast(bmin.select(keyCols.map(col): _*)), keyCols)
-      .persist()
+    val bands = batchBands(batch, algo).persist()
+    val bmin = bucketMins(bands).persist()
+    // batch-bounded from here on
+    val storedHits = probeHits(spark, storeDir, bmin).persist()
     val priorRej = bands
       .join(storedHits, keyCols)
       .filter(col("owner") < col("doc_id"))
@@ -152,6 +161,25 @@ object IncrementalDedup {
     }
     parts.reduce(_ unionAll _).orderBy("doc_id")
   }
+
+  /** Right-to-be-forgotten reach into the bucket store: buckets OWNED by
+    * a removed document are deleted — a partition-selective rewrite
+    * ([[graft.sources.Store.deleteKeys]] on the `owner` column: only the
+    * `bp=` partitions containing hits are rewritten, the rest stay
+    * byte-identical) — so re-submitted identical content is admitted
+    * fresh instead of flagged as a dup of a document that no longer
+    * exists. Call it with the same key list as the base-table takedown.
+    *
+    * Semantics note: if a LIVE document shared a freed bucket (it was a
+    * dup of the removed owner), the next submission of that content is
+    * re-admitted once before re-occupying the bucket under the new
+    * owner — the standard dedup-store slack after deletions; the
+    * alternative (recomputing each freed bucket's next-earliest owner)
+    * needs a corpus scan and buys one duplicate. */
+  def removeOwners(spark: SparkSession, storeDir: String,
+                   owners: Seq[Long]): Long =
+    graft.sources.Store.deleteKeys(spark, storeDir, "owner",
+      owners, Seq("bp"))
 
   val incrementalAdmitSql: String =
     s"""WITH shingles AS (${Dedup.shingleSql}),

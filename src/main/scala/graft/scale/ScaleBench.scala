@@ -288,6 +288,9 @@ object ScaleBench {
     val sb = new StringBuilder
     sb.append("{\n  \"meta\": {\"base\": \"").append(baseDir)
       .append("\", \"cpus\": ").append(cpus)
+      // heap decides spill at fixed data: record it so runs are comparable
+      .append(", \"heap_gb\": ")
+      .append(Runtime.getRuntime.maxMemory / (1024L * 1024 * 1024))
       .append(", \"scales\": [").append(scales.mkString(","))
       .append("], \"note\": \"x10/x50 = sf1/sf5-equivalent row counts; ")
       .append("disjoint-shard scale model (ScaleData scaladoc): true dup ")

@@ -266,6 +266,35 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming crawl admission: each microbatch of documents admits
+    * against the persistent band-bucket store exactly like a batch crawl
+    * shard ([[graft.dedup.IncrementalDedup.admitBatch]]); flags land
+    * under `flagsDir` partitioned by batch id. With id-ordered input
+    * files the streamed flags equal the one-shot global dedup rule — the
+    * same order-independence argument as the batch form, spec-pinned.
+    *
+    * Exactly-once BY IDEMPOTENCE, the rollup-sink pattern: admission is
+    * a pure function of (store ∪ batch) so a replayed microbatch
+    * recomputes identical flags and its store appends are no-ops, and
+    * the flags write is a dynamic overwrite of the batch's own
+    * `batch_id=` partition — replay rewrites the same bytes, never
+    * duplicates rows. */
+  def admissionSink(docsStream: DataFrame, storeDir: String,
+                    flagsDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.dedup.IncrementalDedup
+          .admitBatch(batch.select(col("doc_id"), col("text")), storeDir)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(flagsDir)
+        ()
+      }
+      .start()
+
   final case class Scd2State(state: String, sinceUs: Long, version: Long)
   final case class Scd2Closed(user_id: Long, version: Long, state: String,
                               valid_from_us: Long, valid_to_us: Long)

@@ -52,6 +52,102 @@ class IncrementalDedupSpec extends SparkTestBase {
       "replay must not grow the bucket store")
   }
 
+  test("store probe broadcasts the batch keys and prunes bp partitions") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val store = freshStore()
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    IncrementalDedup.admitBatch(docs.filter($"doc_id" <= maxId / 2), store)
+    val b2 = docs.filter($"doc_id" > maxId / 2)
+    val probe = IncrementalDedup.probeHits(spark, store,
+      IncrementalDedup.bucketMins(IncrementalDedup.batchBands(b2)))
+    val p = probe.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastExchange"),
+      s"batch bucket keys must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "probe lost its equi keys")
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("bp#")),
+      s"store scan must prune bp= partitions:\n${p.take(1500)}")
+  }
+
+  test("removeOwners frees a taken-down doc's buckets; resubmission admits") {
+    val store = freshStore()
+    // pick a doc that is admitted (owns its buckets) in batch 1
+    val flags1 = asMap(IncrementalDedup.admitBatch(docs, store))
+    val victim = flags1.collect { case (id, (0L, _)) => id }.min
+    val before = spark.read.parquet(store)
+    val victimBuckets = before.filter($"owner" === victim).count()
+    assert(victimBuckets > 0, s"victim $victim must own buckets")
+    val untouchedBps = before.filter($"owner" === victim)
+      .select("bp").distinct().collect().map(_.getInt(0)).toSet
+    val n = IncrementalDedup.removeOwners(spark, store, Seq(victim))
+    assert(n == victimBuckets, s"removed $n of $victimBuckets bucket rows")
+    val after = spark.read.parquet(store)
+    assert(after.filter($"owner" === victim).count() == 0)
+    // untouched partitions keep every row
+    assert(after.filter(!$"bp".isInCollection(untouchedBps)).count() ==
+      before.filter(!$"bp".isInCollection(untouchedBps)).count())
+    // identical content under a fresh id is admitted again, and
+    // re-occupies the freed buckets under the new owner
+    val resubmitId = docs.agg(max($"doc_id")).head().getLong(0) + 1000L
+    val resubmit = docs.filter($"doc_id" === victim)
+      .select(lit(resubmitId).as("doc_id"), $"text")
+    val flags2 = asMap(IncrementalDedup.admitBatch(resubmit, store))
+    assert(flags2(resubmitId)._1 == 0L,
+      "resubmitted content must be admitted after the owner takedown")
+    assert(spark.read.parquet(store)
+      .filter($"owner" === resubmitId).count() == victimBuckets)
+  }
+
+  test("streaming admission sink equals the one-shot rule; replay is clean") {
+    import graft.streaming.EventStreams
+    val src = java.nio.file.Files.createTempDirectory("adm_src").toString
+    val store = freshStore()
+    val flagsDir = java.nio.file.Files.createTempDirectory("adm_flags").toString
+    val chk = java.nio.file.Files.createTempDirectory("adm_chk").toString
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    // two id-ordered files; maxFilesPerTrigger=1 forces one microbatch each
+    docs.filter($"doc_id" <= maxId / 2).coalesce(1)
+      .write.parquet(s"$src/b0")
+    val f0 = new java.io.File(s"$src/b0").listFiles
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(f0.toPath,
+      java.nio.file.Paths.get(s"$src/part0.parquet"))
+    docs.filter($"doc_id" > maxId / 2).coalesce(1)
+      .write.parquet(s"$src/b1")
+    val f1 = new java.io.File(s"$src/b1").listFiles
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(f1.toPath,
+      java.nio.file.Paths.get(s"$src/part1.parquet"))
+    // the file source orders microbatches by mtime: make the id-order
+    // unambiguous regardless of filesystem timestamp granularity
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$src/part1.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(s"$src/part0.parquet")).toMillis + 10000))
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(Tables.documentsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      val q = EventStreams.admissionSink(stream, store, flagsDir, chk)
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val streamed = spark.read.parquet(flagsDir)
+      .select("doc_id", "is_dup", "dup_of")
+    val oneShot = asMap(IncrementalDedup.admitBatch(docs, freshStore()))
+    assert(asMap(streamed.orderBy("doc_id")) == oneShot,
+      "streamed microbatch admission must equal the one-shot global rule")
+    // restart with nothing new: no reprocessing, no duplicate flag rows
+    run()
+    assert(spark.read.parquet(flagsDir).count() == streamed.count())
+    assert(spark.read.parquet(flagsDir).select("doc_id").distinct().count()
+      == streamed.count())
+  }
+
   test("a half-appended crash window recovers: same flags, store completes") {
     val storeA = freshStore()
     val maxId = docs.agg(max($"doc_id")).head().getLong(0)

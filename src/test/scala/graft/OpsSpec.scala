@@ -26,7 +26,7 @@ class OpsSpec extends SparkTestBase {
     // measures them per scale)
     val rowsOnly = Set("d_minhash_lsh_fast", "d_lsh_jaccard_fast",
       "d_minhash_capped", "d_lsh_jaccard_capped", "d_simhash_wide",
-      "d_embedding_capped", "d_embedding_scaled",
+      "d_embedding_capped", "d_embedding_scaled", "d_incremental_admit_fast",
       "a_quantiles_approx", "a_approx_ndv", "a_kmv_overlap", "t_perplexity", "t_freq_tokens")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
