@@ -118,11 +118,12 @@ object IncrementalDedup {
       .select(col("doc_id"),
         col("dup_of").isNotNull.cast("long").as("is_dup"), col("dup_of"))
       .orderBy("doc_id")
-      // materialize BEFORE the store append mutates what a re-read would
-      // see (flags are replay-stable either way; this keeps one run
-      // internally consistent)
-      .cache()
-    flags.count()
+      // eager localCheckpoint: materialize BEFORE the store append mutates
+      // what a re-read would see (flags are replay-stable either way), cut
+      // the lineage so later actions never re-probe, and let the blocks
+      // free on GC — a long-running admissionSink stream must not accrete
+      // a cached DataFrame per microbatch
+      .localCheckpoint()
     val newBuckets = bmin
       .join(storedHits.select(keyNames.map(col): _*), keyNames, "left_anti")
       .select(col("band") +:
