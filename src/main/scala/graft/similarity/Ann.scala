@@ -292,21 +292,28 @@ object Ann {
   /** Number of coarse cells each query probes. */
   val IvfProbes = 3
 
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorExpressions.register(spark)
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), quantized(col("embedding")).as("q"))
-    // integer centroids per label cell: per-coordinate sum DIV count
-    val cents = emb
-      .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+  /** (vec_id, label, q): the quantized row form every IVF path shares. */
+  private def quantizedRows(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"), quantized(col("embedding")).as("q"))
+
+  /** Integer centroids per label cell: per-coordinate sum DIV count.
+    * floor (not truncate): DuckDB's // truncates toward zero, so both
+    * engines spell out floor(sum / n) explicitly. floor over the merged
+    * cell equals floor over any build/upsert split of it — the identity
+    * [[ivfIndexUpsert]]'s exactness rests on. */
+  private def centroidsOf(q: DataFrame): DataFrame =
+    q.select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
       .groupBy("label", "i")
-      // floor (not truncate): DuckDB's // truncates toward zero, so both
-      // sides spell out floor(sum / n) explicitly
       .agg(floor(sum(col("x").cast("long")) / count(lit(1))).as("cx"))
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
       .select(col("label").as("c_label"),
         expr("transform(pairs, p -> CAST(p.cx AS DOUBLE))").as("centroid"))
+
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = quantizedRows(Tables.embeddings(spark, dir))
+    val cents = centroidsOf(emb)
     // nearest centroid per query: argmin ‖q − c‖² = argmin(‖c‖² − 2 q·c)
     val queries = emb.filter(col("vec_id") < AnnQueryIds)
       .select(col("vec_id").as("query_id"), col("q").as("qv"))
@@ -337,18 +344,58 @@ object Ann {
     * subquery in the plan). */
   def ivfIndexBuild(spark: SparkSession, dir: String, indexPath: String): Unit = {
     graft.functions.VectorExpressions.register(spark)
+    ivfIndexBuildFrom(quantizedRows(Tables.embeddings(spark, dir)), indexPath)
+  }
+
+  /** [[ivfIndexBuild]] over an arbitrary quantized-row set — the unit
+    * the incremental path shares with the full build. */
+  private def ivfIndexBuildFrom(q: DataFrame, indexPath: String): Unit = {
+    centroidsOf(q).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    q.write.mode("overwrite").partitionBy("label").parquet(s"$indexPath/cells")
+  }
+
+  /** Incremental IVF index maintenance: fold a batch of new vectors into
+    * a persisted index WITHOUT a full rebuild — the lifecycle step between
+    * build-once/serve-many and takedown. The new rows upsert into their
+    * `label=` cell partitions (key-deduplicated partition rewrite, so a
+    * replayed batch is a no-op — [[graft.sources.Store.upsertPartitions]]);
+    * centroids are then recomputed for the TOUCHED cells only, reading
+    * just those partitions, and merged over the untouched cells' old rows.
+    * Because the cell centroid is floor(Σx / n), recomputing over the
+    * merged cell equals the full-rebuild value EXACTLY — the
+    * `s_ivf_upsert` oracle (the unmodified full-corpus ivfTopKSql)
+    * hash-gates that identity end-to-end. Per-batch cost: the batch, the
+    * touched partitions, and a centroid table rewrite — never the corpus. */
+  def ivfIndexUpsert(newVecs: DataFrame, indexPath: String): Unit = {
+    val spark = newVecs.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val q = quantizedRows(newVecs)
+    graft.sources.Store.upsertPartitions(q, s"$indexPath/cells",
+      Seq("vec_id"), Seq("label"))
+    val touched = q.select("label").distinct()
+    val recomputed = centroidsOf(
+      spark.read.parquet(s"$indexPath/cells")
+        .join(broadcast(touched), Seq("label")))
+    val kept = spark.read.parquet(s"$indexPath/centroids")
+      .join(broadcast(touched.select(col("label").as("c_label"))),
+        Seq("c_label"), "left_anti")
+    // localCheckpoint: the merge READS the centroid table this overwrites
+    val merged = kept.unionByName(recomputed).localCheckpoint()
+    merged.write.mode("overwrite").parquet(s"$indexPath/centroids")
+  }
+
+  /** `s_ivf_upsert`: build the index on two thirds of the corpus, fold
+    * the remaining third in via [[ivfIndexUpsert]], then serve — the
+    * oracle is the UNMODIFIED full-corpus IVF SQL, so the hash gate
+    * proves incremental maintenance ≡ full rebuild. */
+  def ivfUpsertServe(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), quantized(col("embedding")).as("q"))
-    val cents = emb
-      .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
-      .groupBy("label", "i")
-      .agg(floor(sum(col("x").cast("long")) / count(lit(1))).as("cx"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
-      .select(col("label").as("c_label"),
-        expr("transform(pairs, p -> CAST(p.cx AS DOUBLE))").as("centroid"))
-    cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
-    emb.write.mode("overwrite").partitionBy("label").parquet(s"$indexPath/cells")
+    val idx = java.nio.file.Files
+      .createTempDirectory("ivf_upsert_index").toString
+    graft.functions.VectorExpressions.register(spark)
+    ivfIndexBuildFrom(quantizedRows(emb.filter(col("vec_id") % 3 =!= 0)), idx)
+    ivfIndexUpsert(emb.filter(col("vec_id") % 3 === 0), idx)
+    ivfTopKIndexed(spark, dir, idx)
   }
 
   /** Query the persisted IVF index: identical results to [[ivfTopK]],

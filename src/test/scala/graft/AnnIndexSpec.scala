@@ -73,6 +73,35 @@ class AnnIndexSpec extends SparkTestBase {
     assert(Ann.cachedIndexDir(a, "pq") != Ann.cachedIndexDir(b, "pq"))
   }
 
+  test("ivf upsert equals a full rebuild, replays clean, spares cold cells") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("ivf_up").toString
+    Ann.ivfIndexBuild(spark, sfDir, idx) // full build = the expectation
+    val full = Ann.ivfTopKIndexed(spark, sfDir, idx).collect().map(_.toSeq)
+    // build WITHOUT one whole label cell, then upsert it back in
+    val victims = emb.filter(col("label") === 0)
+    val idx2 = java.nio.file.Files.createTempDirectory("ivf_up2").toString
+    val baseDir = java.nio.file.Files.createTempDirectory("ivf_base").toString
+    emb.filter(col("label") =!= 0).write.parquet(s"$baseDir/embeddings.parquet")
+    Ann.ivfIndexBuild(spark, baseDir, idx2)
+    val untouched = new java.io.File(s"$idx2/cells/label=3")
+    val filesBefore = Option(untouched.listFiles())
+      .map(_.map(f => f.getName -> f.length()).toMap).getOrElse(Map.empty)
+    Ann.ivfIndexUpsert(victims, idx2)
+    val upserted = Ann.ivfTopKIndexed(spark, sfDir, idx2).collect().map(_.toSeq)
+    assert(upserted.toSeq == full.toSeq,
+      "incremental upsert must equal the full rebuild exactly")
+    // replay: key-deduplicated upsert is a no-op for content
+    Ann.ivfIndexUpsert(victims, idx2)
+    val replayed = Ann.ivfTopKIndexed(spark, sfDir, idx2).collect().map(_.toSeq)
+    assert(replayed.toSeq == full.toSeq)
+    // a cell no upsert row touches keeps its files byte-identical
+    assert(filesBefore.nonEmpty, "expected a label=3 cell at this SF")
+    val filesAfter = Option(untouched.listFiles())
+      .map(_.map(f => f.getName -> f.length()).toMap).getOrElse(Map.empty)
+    assert(filesAfter == filesBefore, "untouched cell partitions rewritten")
+  }
+
   test("concurrent first builds serialize on the lock; both serve correctly") {
     // FileChannel.lock throws OverlappingFileLockException on same-JVM
     // overlap — the JVM monitor must make two threads queue instead
