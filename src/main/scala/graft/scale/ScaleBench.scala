@@ -137,6 +137,10 @@ object ScaleBench {
       // persisted-index serve path: indexes are pre-built untimed below,
       // so these cells measure QUERY-ONLY latency growth with corpus size
       "s_ivf_topk_indexed" -> (graft.similarity.Ann.ivfTopKCached _),
+      // incremental index maintenance: build on 2/3, fold 1/3 in, serve —
+      // the upsert leg must track the BATCH + touched cells, so total
+      // growth stays bounded by the build leg's corpus scan
+      "s_ivf_upsert" -> (graft.similarity.Ann.ivfUpsertServe _),
       "s_pq_topk_indexed" -> (graft.similarity.Ann.pqTopKCached _),
       "t_pipeline_audit" -> (graft.pipelines.TrainingPipeline.pipelineAudit _),
       // cross-batch admission: per-batch cost must track the BATCH (probe

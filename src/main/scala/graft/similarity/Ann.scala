@@ -611,6 +611,25 @@ object Ann {
       .localCheckpoint()
   }
 
+  /** The exact-integer argmin assignment of quantized vectors against a
+    * long-format codebook — the unit training, build, and frozen-codebook
+    * append all share (so the append encoder cannot drift from the build
+    * encoder). Packed centroids broadcast; per-row work is a SubDim-element
+    * codegen fold; the only aggregation is the M-cell-per-vector argmin. */
+  private def pqAssignAgainst(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val centArr = cents.groupBy(col("m"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, cx))), p -> p.cx)")
+        .as("carr"))
+    emb.crossJoin(broadcast(centArr))
+      .withColumn("dist", expr(
+        s"aggregate(zip_with(slice(q, m * $SubDim + 1, $SubDim), carr, " +
+          "(x, c) -> c * c - x * c * 2D), 0D, (a, v) -> a + v)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cell"), col("dist"))
+  }
+
   private def pqParts(spark: SparkSession, dir: String): PqParts = {
     import spark.implicits._
     graft.functions.VectorExpressions.register(spark)
@@ -645,20 +664,7 @@ object Ann {
     // no n·Dim·K-row intermediate feeding a hash aggregate: the only
     // per-row work is a SubDim-element codegen fold, and the only
     // aggregation left is the M·K-per-vector argmin.
-    def assign(cents: DataFrame): DataFrame = {
-      val centArr = cents.groupBy(col("m"), col("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(j, cx))), p -> p.cx)")
-          .as("carr"))
-      emb.crossJoin(broadcast(centArr))
-        .withColumn("dist", expr(
-          s"aggregate(zip_with(slice(q, m * $SubDim + 1, $SubDim), carr, " +
-            "(x, c) -> c * c - x * c * 2D), 0D, (a, v) -> a + v)"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cell"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("cell"), col("dist"))
-    }
-    PqParts(emb, coords, cents0, assign)
+    PqParts(emb, coords, cents0, pqAssignAgainst(emb, _))
   }
 
   /** Test hook: the (vec_id, m, cell, dist) assignment against the seed
@@ -694,7 +700,39 @@ object Ann {
       .agg(expr(s"transform(array_sort(collect_list(struct(m, cell))), p -> p.cell)")
         .as("code"))
     cents1.write.mode("overwrite").parquet(s"$indexPath/codebooks")
-    codes.write.mode("overwrite").parquet(s"$indexPath/codes")
+    // codes partitioned by a vec_id hash: [[pqIndexAppend]] then rewrites
+    // only the partitions a batch touches, never the corpus-sized table
+    codes.withColumn("cp", pmod(col("vec_id"), lit(PqCodesParts.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("cp").parquet(s"$indexPath/codes")
+  }
+
+  /** Codes-table directory partition count (`cp = vec_id % PqCodesParts`). */
+  val PqCodesParts = 16
+
+  /** Fold new vectors into a persisted PQ index with FROZEN codebooks —
+    * the production maintenance op: codebooks are a trained artifact,
+    * re-trained on a cadence, while arriving vectors are encoded against
+    * the frozen ones (encoding drift is bounded by codebook staleness —
+    * the standard tradeoff; IVF, whose centroids merge exactly, has the
+    * stronger [[ivfIndexUpsert]] story). Encoding is the SAME
+    * broadcast-codebook argmin as training-time assignment
+    * ([[pqAssignAgainst]] is shared code, so the append encoder cannot
+    * drift from the build encoder — AnnIndexSpec pins build-encoded ≡
+    * append-encoded), and the codes land via a key-deduplicated rewrite
+    * of only the touched `cp=` partitions, so replays are no-ops and
+    * per-batch cost is batch + touched partitions. */
+  def pqIndexAppend(newVecs: DataFrame, indexPath: String): Unit = {
+    val spark = newVecs.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val emb = newVecs.select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val cents1 = spark.read.parquet(s"$indexPath/codebooks")
+    val codes = pqAssignAgainst(emb, cents1)
+      .groupBy(col("vec_id"))
+      .agg(expr(s"transform(array_sort(collect_list(struct(m, cell))), p -> p.cell)")
+        .as("code"))
+      .withColumn("cp", pmod(col("vec_id"), lit(PqCodesParts.toLong)).cast("int"))
+    graft.sources.Store.upsertPartitions(codes, s"$indexPath/codes",
+      Seq("vec_id"), Seq("cp"))
   }
 
   /** Query a persisted PQ index: identical results to [[pqTopK]], but

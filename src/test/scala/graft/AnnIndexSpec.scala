@@ -102,6 +102,36 @@ class AnnIndexSpec extends SparkTestBase {
     assert(filesAfter == filesBefore, "untouched cell partitions rewritten")
   }
 
+  test("pq append: frozen-codebook encoding matches the build encoder") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // subset-built index, rest appended with frozen codebooks
+    val idxA = java.nio.file.Files.createTempDirectory("pq_app_a").toString
+    val baseDir = java.nio.file.Files.createTempDirectory("pq_base").toString
+    emb.filter(col("vec_id") % 3 =!= 0)
+      .write.parquet(s"$baseDir/embeddings.parquet")
+    Ann.pqIndexBuild(spark, baseDir, idxA)
+    Ann.pqIndexAppend(emb.filter(col("vec_id") % 3 === 0), idxA)
+    // same codebooks, ALL vectors encoded through the append path alone
+    val idxC = java.nio.file.Files.createTempDirectory("pq_app_c").toString
+    spark.read.parquet(s"$idxA/codebooks")
+      .write.parquet(s"$idxC/codebooks")
+    Ann.pqIndexAppend(emb, idxC)
+    def codesOf(p: String) = spark.read.parquet(s"$p/codes")
+      .select("vec_id", "code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val a = codesOf(idxA); val c = codesOf(idxC)
+    assert(a.keySet == c.keySet &&
+      emb.count() == a.size, "codes must cover the corpus exactly once")
+    assert(a == c, "build-encoded and append-encoded codes must agree")
+    // served results identical through either history
+    val servedA = Ann.pqTopKIndexed(spark, sfDir, idxA).collect().map(_.toSeq)
+    val servedC = Ann.pqTopKIndexed(spark, sfDir, idxC).collect().map(_.toSeq)
+    assert(servedA.toSeq == servedC.toSeq)
+    // replay: no content change
+    Ann.pqIndexAppend(emb.filter(col("vec_id") % 3 === 0), idxA)
+    assert(codesOf(idxA) == a, "replayed append must be a content no-op")
+  }
+
   test("concurrent first builds serialize on the lock; both serve correctly") {
     // FileChannel.lock throws OverlappingFileLockException on same-JVM
     // overlap — the JVM monitor must make two threads queue instead
