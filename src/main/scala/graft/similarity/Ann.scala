@@ -86,6 +86,56 @@ object Ann {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Metadata-filtered vector search (`s_ann_filtered`): top-k neighbors
+    * among only the corpus vectors whose DOCUMENT passes a metadata
+    * predicate (here `lang = 'en'`) — the vector-DB "filtered search"
+    * shape (pre-filtering, not post-filtering: post-filtering a top-k can
+    * return < k rows when the filter is selective, so the filter must cut
+    * the candidate set BEFORE ranking). The predicate runs on the
+    * documents table's pruned (doc_id, lang) scan and semi-joins the
+    * vector corpus on the shared id — one equi-exchange; scoring and the
+    * per-query top-k (bounded map-side by RewriteWindowTopK) are then
+    * identical to [[bruteForceTopK]]. At corpus scale the same plan holds
+    * with the filter pushed into whatever metadata store shards alongside
+    * the vectors; nothing about the ranking changes. */
+  def bruteForceTopKFiltered(spark: SparkSession, dir: String,
+                             lang: String = "en", k: Int = 5): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val allowed = Tables.documents(spark, dir)
+      .filter(col("lang") === lang).select(col("doc_id").as("vec_id"))
+    val queries = emb.filter(col("vec_id") < AnnQueryIds)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    val cand = emb.join(allowed, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("neighbor_id"), col("q").as("nv"))
+    val scored = broadcast(queries).join(cand, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        intDot(col("qv"), col("nv")).cast("long").as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dot")
+      .orderBy("query_id", "rank")
+  }
+
+  val bruteForceTopKFilteredSql: String =
+    s"""WITH q AS (SELECT vec_id, $qListSql AS qv FROM embeddings),
+       |allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
+       |  FROM q a JOIN q b ON a.vec_id < $AnnQueryIds AND a.vec_id <> b.vec_id
+       |  JOIN allowed al ON b.vec_id = al.vec_id)
+       |SELECT query_id, rank, neighbor_id, dot FROM (
+       |  SELECT query_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY dot DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Deterministic ±1 hyperplane matrix: sign(p,i) = +1 iff the first hex
     * digit of md5("p_i") is >= '8'. Computed driver-side once; the oracle
     * reproduces the identical md5 logic in SQL. */
@@ -504,10 +554,32 @@ object Ann {
     * k-means|| topology MLlib uses. Driver traffic per round is the
     * MODEL (k·d values), never the data. */
   def kmeansIvf(spark: SparkSession, dir: String): DataFrame = {
+    // inertia needs the true ‖v − c‖² = ‖v‖² + dist
+    kmeansAssign(spark, dir)
+      .withColumn("v2", intDot(col("q"), col("q")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+           sum(col("v2") + col("dist")).cast("long").as("inertia"))
+      .orderBy("cell")
+  }
+
+  /** The trained Lloyd assignment (vec_id, q, cell, dist) after
+    * [[KmeansRounds]] rounds — the unit [[kmeansIvf]] (inertia summary)
+    * and [[semanticDedup]] (within-cell dedup) share, so the clustering
+    * the dedup runs over is bit-identical to the one the oracle SQL
+    * unrolls. `dist` is the assignment objective ‖c‖² − 2 v·c (the ‖v‖²
+    * term is rank-invariant per vector and added back where the true
+    * distance matters). */
+  private def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssignOver(Tables.embeddings(spark, dir))
+
+  /** [[kmeansAssign]] over an arbitrary (vec_id, embedding, …) set. */
+  private def kmeansAssignOver(emb0: DataFrame): DataFrame = {
+    val spark = emb0.sparkSession
     import spark.implicits._
     graft.functions.VectorExpressions.register(spark)
     graft.functions.HashExpressions.register(spark)
-    val emb = Tables.embeddings(spark, dir)
+    val emb = emb0
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
     val h = graft.functions.HashExpressions.md5Prefix64(
       concat(lit("seed:"), col("vec_id").cast("string")), 15)
@@ -538,14 +610,186 @@ object Ann {
         }.sortBy(_._1)
       }
     }
-    // inertia needs the true ‖v − c‖² = ‖v‖² + dist
-    val out = assigned
-      .withColumn("v2", intDot(col("q"), col("q")))
-      .groupBy("cell")
-      .agg(count(lit(1)).as("n_members"),
-           sum(col("v2") + col("dist")).cast("long").as("inertia"))
-      .orderBy("cell")
-    out
+    assigned
+  }
+
+  /** Semantic-dedup cosine threshold τ = 0.9, tested exactly as the
+    * rational inequality dot² · 100 ≥ ‖a‖²‖b‖² · 81 (with dot > 0) over
+    * ×100-quantized coordinates — the [[embeddingDupOver]] trick, kept at
+    * the coarser scale so every product stays inside the 2^53 exact-double
+    * range (dot ≤ 64·10⁴ ⇒ dot²·100 ≤ 4.1·10¹³). */
+  val SemDedupTauSqNum = 81L
+  val SemDedupTauSqDen = 100L
+
+  /** SemDeDup (`d_semantic_dedup`): semantic deduplication by k-means
+    * clustering + within-cluster cosine pruning (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540). Exact near-duplicate detection
+    * (D5) finds COPIES; SemDeDup removes semantic REDUNDANCY — documents
+    * whose embeddings say the same thing in different words — and the
+    * paper's result is that pruning it speeds training at equal quality.
+    *
+    * Shape: cluster once with the SAME Lloyd training as `s_kmeans_ivf`
+    * ([[kmeansAssign]]), then compare pairs ONLY within a cell — the
+    * paper's exact device for avoiding the all-pairs O(n²): pairwise cost
+    * is Σ|cell|², and with k scaled ∝ n (cells of ~constant occupancy,
+    * same argument as [[embeddingDupScaled]]'s plane count) that stays
+    * linear in the corpus. The cell equi-join keys the only shuffle; no
+    * vector ever leaves its cell.
+    *
+    * Keep rule, from the paper: within a semantic-duplicate pair, keep
+    * the example FARTHEST from its cluster centroid (it preserves more
+    * diversity than keeping the central one); ties break toward the
+    * smaller vec_id. A row is dropped iff SOME same-cell neighbor is
+    * τ-similar and strictly farther (or equally far with a smaller id) —
+    * a pure pairwise EXISTS, so no connected components are needed and
+    * the oracle replays it as a plain SQL anti-pattern. All arithmetic is
+    * integer-exact: distances compare as v² + (‖c‖² − 2 v·c) with no
+    * division, cosine as the rational inequality above.
+    *
+    * The synthetic embeddings are ISOTROPIC — the corpus contains no pair
+    * above cos 0.6 at any SF — so, like `t_pii_redact` does for PII, the
+    * query PLANTS its positives deterministically on BOTH engines: each
+    * vec_id < [[SemDedupTwinIds]] gains a twin at
+    * vec_id + [[SemDedupTwinBase]] — exact copies (distance TIE, the
+    * tie-break decides) for the first half, ×0.5-scaled copies (strictly
+    * different distance, the farther-kept rule decides) for the second.
+    * The hash gate therefore exercises clustering, the τ-pair join, and
+    * BOTH branches of the keep rule ([[semanticAugmented]]). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupOver(semanticAugmented(spark, dir))
+
+  /** Planted-twin corpus: the embeddings plus, for each of the first
+    * [[SemDedupTwinIds]] vectors, a twin offset by [[SemDedupTwinBase]] —
+    * an EXACT copy for the first half (cosine 1, distance TIE → the
+    * tie-break must drop the twin) and a ×0.5-scaled copy for the second
+    * half (cosine still 1, distance strictly different → the strict
+    * farther-kept branch decides). The 0.5 factor is exact in BOTH float
+    * and double arithmetic (a pure exponent decrement), so the two
+    * engines construct bit-identical twins. */
+  private[graft] def semanticAugmented(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val exact = emb.filter(col("vec_id") < SemDedupTwinIds / 2)
+      .select((col("vec_id") + SemDedupTwinBase).as("vec_id"), col("embedding"))
+    val halved = emb.filter(col("vec_id") >= SemDedupTwinIds / 2 &&
+        col("vec_id") < SemDedupTwinIds)
+      .select((col("vec_id") + SemDedupTwinBase).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+    emb.unionAll(exact).unionAll(halved)
+  }
+
+  val SemDedupTwinIds = 10L
+  val SemDedupTwinBase = 10000000L
+
+  /** [[semanticDedup]] over an arbitrary (vec_id, embedding) corpus — the
+    * unit the oracle query, the spec fixtures, and scaled variants share. */
+  def semanticDedupOver(emb0: DataFrame): DataFrame = {
+    val spark = emb0.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val p100 = emb0
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 100)).as("p"))
+      .withColumn("n2", intDot(col("p"), col("p")).cast("long"))
+    val rows = kmeansAssignOver(emb0)
+      .withColumn("d", (intDot(col("q"), col("q")) + col("dist")).cast("long"))
+      .join(p100, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("d"), col("p"), col("n2"))
+    val l = rows.select(col("cell"), col("vec_id").as("va"), col("p").as("pa"),
+      col("n2").as("na"), col("d").as("da"))
+    val r = rows.select(col("cell").as("cell_r"), col("vec_id").as("vb"),
+      col("p").as("pb"), col("n2").as("nb"), col("d").as("db"))
+    val dropped = l.join(r, col("cell") === col("cell_r") && col("va") =!= col("vb"))
+      .withColumn("dot", intDot(col("pa"), col("pb")).cast("long"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * SemDedupTauSqDen >=
+          col("na") * col("nb") * SemDedupTauSqNum)
+      .filter(col("db") > col("da") ||
+        (col("db") === col("da") && col("vb") < col("va")))
+      .select(col("va").as("vec_id")).distinct()
+      .withColumn("dropped", lit(1))
+    rows.join(dropped, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("d"),
+        when(col("dropped").isNull, lit(1)).otherwise(lit(0)).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB twin of [[semanticDedup]]: the planted-twin `aug` corpus,
+    * then the `s_kmeans_ivf` training CTEs (same seeding, rounds, and
+    * floor-means, over `aug`) down to the final assignment, then the
+    * within-cell τ-pairs and the farther-kept rule. */
+  val semanticDedupSql: String = {
+    def distCte(cents: String, n: Int): String =
+      s"""d$n AS (
+         |  SELECT c.vec_id, k.cell,
+         |    sum(k.cx * k.cx - 2 * c.x * k.cx) AS dist
+         |  FROM coords c JOIN $cents k ON c.i = k.i
+         |  GROUP BY 1, 2),
+         |a$n AS (
+         |  SELECT vec_id, cell, dist FROM (
+         |    SELECT vec_id, cell, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM d$n) t
+         |  WHERE rn = 1)""".stripMargin
+    val p100 = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 100.0))"
+    s"""WITH aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $SemDedupTwinBase AS vec_id, embedding
+       |  FROM embeddings WHERE vec_id < ${SemDedupTwinIds / 2}
+       |  UNION ALL
+       |  SELECT vec_id + $SemDedupTwinBase AS vec_id,
+       |    list_transform(embedding, x -> x * CAST(0.5 AS FLOAT)) AS embedding
+       |  FROM embeddings
+       |  WHERE vec_id >= ${SemDedupTwinIds / 2} AND vec_id < $SemDedupTwinIds),
+       |qv AS (SELECT vec_id, $qListSql AS q FROM aug),
+       |coords AS (
+       |  SELECT vec_id, i, q[i + 1] AS x
+       |  FROM qv, UNNEST(range(0, $Dim)) AS t(i)),
+       |vnorm AS (SELECT vec_id, sum(x * x) AS v2 FROM coords GROUP BY 1),
+       |hashed AS (
+       |  SELECT vec_id,
+       |    CAST(('0x' || substring(md5('seed:' || CAST(vec_id AS VARCHAR)), 1, 15))
+       |         AS BIGINT) AS h
+       |  FROM qv),
+       |seeds AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id,
+       |      CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cell
+       |    FROM hashed) t
+       |  WHERE cell < $KmeansCells),
+       |cents0 AS (
+       |  SELECT s.cell, c.i, c.x AS cx
+       |  FROM seeds s JOIN coords c ON s.vec_id = c.vec_id),
+       |${distCte("cents0", 1)},
+       |cents1 AS (
+       |  SELECT a.cell, c.i, floor(sum(c.x) / count(*)) AS cx
+       |  FROM a1 a JOIN coords c ON a.vec_id = c.vec_id
+       |  GROUP BY 1, 2),
+       |${distCte("cents1", 2)},
+       |pn AS (
+       |  SELECT vec_id, $p100 AS p,
+       |    CAST(list_dot_product($p100, $p100) AS BIGINT) AS n2
+       |  FROM aug),
+       |dset AS (
+       |  SELECT a.vec_id, a.cell,
+       |    CAST(v.v2 + a.dist AS BIGINT) AS d, p.p, p.n2
+       |  FROM a2 a JOIN vnorm v ON a.vec_id = v.vec_id
+       |  JOIN pn p ON a.vec_id = p.vec_id),
+       |pairs AS (
+       |  SELECT x.vec_id AS va, x.d AS da, y.d AS db, y.vec_id AS vb,
+       |    CAST(list_dot_product(x.p, y.p) AS BIGINT) AS dot,
+       |    x.n2 AS na, y.n2 AS nb
+       |  FROM dset x JOIN dset y
+       |    ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+       |dropped AS (
+       |  SELECT DISTINCT va AS vec_id FROM pairs
+       |  WHERE dot > 0
+       |    AND dot * dot * $SemDedupTauSqDen >= na * nb * $SemDedupTauSqNum
+       |    AND (db > da OR (db = da AND vb < va)))
+       |SELECT s.vec_id, s.cell, s.d,
+       |  CAST(dr.vec_id IS NULL AS INT) AS keep
+       |FROM dset s LEFT JOIN dropped dr ON s.vec_id = dr.vec_id
+       |ORDER BY s.vec_id""".stripMargin
   }
 
   /** Product-quantization geometry: M subspaces of SubDim coords each,

@@ -295,6 +295,34 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ANN index maintenance: each microbatch of newly embedded
+    * vectors folds into the persisted IVF index via
+    * [[graft.similarity.Ann.ivfIndexUpsert]], so the serving index stays
+    * fresh at ingest cadence without ever re-reading the corpus — the
+    * stream twin of the `s_ivf_upsert` lifecycle step, completing
+    * build → (streamed) upsert → serve → takedown.
+    *
+    * Exactly-once by idempotence, the [[admissionSink]] argument: the
+    * cell upsert is a KEY-deduplicated partition rewrite (a replayed
+    * row is dropped by the per-key dedup), and the centroid merge is a
+    * pure function of the post-upsert cells — so a checkpoint replay of
+    * a half-applied microbatch rewrites identical bytes. Empty
+    * microbatches are skipped so a quiet stream never touches the
+    * centroid table. */
+  def indexMaintenanceSink(vecsStream: DataFrame, indexPath: String,
+                           checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.similarity.Ann.ivfIndexUpsert(
+            batch.select(col("vec_id"), col("label"), col("embedding")),
+            indexPath)
+        ()
+      }
+      .start()
+
   final case class Scd2State(state: String, sinceUs: Long, version: Long)
   final case class Scd2Closed(user_id: Long, version: Long, state: String,
                               valid_from_us: Long, valid_to_us: Long)

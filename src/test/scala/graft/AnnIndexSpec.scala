@@ -102,6 +102,54 @@ class AnnIndexSpec extends SparkTestBase {
     assert(filesAfter == filesBefore, "untouched cell partitions rewritten")
   }
 
+  test("streaming index maintenance serves exactly the full-rebuild index") {
+    import graft.streaming.EventStreams
+    val emb = Tables.embeddings(spark, sfDir)
+    val idxFull = java.nio.file.Files.createTempDirectory("ivf_sfull").toString
+    Ann.ivfIndexBuild(spark, sfDir, idxFull)
+    val full = Ann.ivfTopKIndexed(spark, sfDir, idxFull).collect().map(_.toSeq).toSeq
+
+    // index built on two thirds; the last third arrives as a stream
+    val baseDir = java.nio.file.Files.createTempDirectory("ivf_sbase").toString
+    emb.filter(col("vec_id") % 3 =!= 0).write.parquet(s"$baseDir/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivf_sidx").toString
+    Ann.ivfIndexBuild(spark, baseDir, idx)
+
+    val src = java.nio.file.Files.createTempDirectory("ivf_ssrc").toString
+    val arriving = emb.filter(col("vec_id") % 3 === 0)
+    val midId = arriving.agg(max(col("vec_id"))).head().getLong(0) / 2
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtimePlus: Long): Unit = {
+      df.coalesce(1).write.parquet(s"$src/$name")
+      val f = new java.io.File(s"$src/$name").listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/$name.parquet")
+      java.nio.file.Files.move(f.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(dst).toMillis + mtimePlus))
+    }
+    stage(arriving.filter(col("vec_id") <= midId), "part0", 0L)
+    stage(arriving.filter(col("vec_id") > midId), "part1", 10000L)
+    def run(chk: String): Unit = {
+      val stream = spark.readStream.schema(Tables.embeddingsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = EventStreams.indexMaintenanceSink(stream, idx, chk)
+      q.processAllAvailable(); q.stop()
+    }
+    val chk = java.nio.file.Files.createTempDirectory("ivf_schk").toString
+    run(chk)
+    def served = Ann.ivfTopKIndexed(spark, sfDir, idx).collect().map(_.toSeq).toSeq
+    assert(served == full,
+      "streamed upserts must leave the index identical to a full rebuild")
+    // warm restart: no new files, nothing reprocessed, same answer
+    run(chk)
+    assert(served == full)
+    // cold restart (checkpoint lost): every microbatch REPLAYS — the
+    // key-deduplicated upsert makes the replays no-ops
+    run(java.nio.file.Files.createTempDirectory("ivf_schk2").toString)
+    assert(served == full)
+  }
+
   test("pq append: frozen-codebook encoding matches the build encoder") {
     val emb = Tables.embeddings(spark, sfDir)
     // subset-built index, rest appended with frozen codebooks

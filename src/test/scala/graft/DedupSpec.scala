@@ -255,4 +255,103 @@ class DedupSpec extends SparkTestBase {
     assert(fast == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
       12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("semantic dedup: total coverage, no surviving similar pair, every cell keeps one") {
+    val out = Ann.semanticDedup(spark, sfDir).cache()
+    assert(out.count() ==
+      Tables.embeddings(spark, sfDir).count() + Ann.SemDedupTwinIds)
+    // the planted EXACT twins MUST all be deduplicated: identical vectors
+    // tie on centroid distance and the larger (twin) id is the dropped
+    // side (halved twins may legitimately win over their original)
+    assert(out.filter(col("vec_id") >= Ann.SemDedupTwinBase &&
+      col("vec_id") < Ann.SemDedupTwinBase + Ann.SemDedupTwinIds / 2 &&
+      col("keep") === 1).count() == 0, "a planted exact twin survived")
+    assert(out.filter(col("vec_id") < Ann.SemDedupTwinIds / 2 &&
+      col("keep") === 0).count() == 0, "an original lost to its own exact twin")
+    // recompute τ-similar same-cell pairs among SURVIVORS: must be empty —
+    // within any τ-similar pair exactly one side satisfies the drop rule
+    val p100 = Ann.semanticAugmented(spark, sfDir).select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 100)).as("p"))
+    val kept = out.filter(col("keep") === 1).join(p100, Seq("vec_id"))
+      .withColumn("n2", Ann.intDot(col("p"), col("p")).cast("long"))
+    val l = kept.select(col("cell"), col("vec_id").as("va"), col("p").as("pa"),
+      col("n2").as("na"), col("d").as("da"))
+    val r = kept.select(col("cell").as("cr"), col("vec_id").as("vb"),
+      col("p").as("pb"), col("n2").as("nb"), col("d").as("db"))
+    val surviving = l.join(r, col("cell") === col("cr") && col("va") < col("vb"))
+      .withColumn("dot", Ann.intDot(col("pa"), col("pb")).cast("long"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * Ann.SemDedupTauSqDen >=
+          col("na") * col("nb") * Ann.SemDedupTauSqNum)
+    assert(surviving.count() == 0, "two τ-similar same-cell docs both survived")
+    // a cell never empties: the farthest-from-centroid member (smallest id
+    // among ties) has no dropper
+    val emptied = out.groupBy("cell")
+      .agg(sum("keep").as("n_keep")).filter(col("n_keep") === 0)
+    assert(emptied.count() == 0)
+    out.unpersist()
+  }
+
+  test("semantic dedup keeps the farther-from-centroid side of a dropped pair") {
+    val out = Ann.semanticDedup(spark, sfDir).cache()
+    val p100 = Ann.semanticAugmented(spark, sfDir).select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 100)).as("p"))
+    val rows = out.join(p100, Seq("vec_id"))
+      .withColumn("n2", Ann.intDot(col("p"), col("p")).cast("long"))
+    val l = rows.select(col("cell"), col("vec_id").as("va"), col("p").as("pa"),
+      col("n2").as("na"), col("d").as("da"), col("keep").as("ka"))
+    val r = rows.select(col("cell").as("cr"), col("vec_id").as("vb"),
+      col("p").as("pb"), col("n2").as("nb"), col("d").as("db"), col("keep").as("kb"))
+    val simPairs = l.join(r, col("cell") === col("cr") && col("va") < col("vb"))
+      .withColumn("dot", Ann.intDot(col("pa"), col("pb")).cast("long"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * Ann.SemDedupTauSqDen >=
+          col("na") * col("nb") * Ann.SemDedupTauSqNum)
+      .cache()
+    assert(simPairs.count() > 0, "fixture has no τ-similar same-cell pair — test is vacuous")
+    // whenever exactly one side of a similar pair survives, it is the
+    // farther one (or the smaller id on a distance tie)
+    val wrongSide = simPairs.filter(
+      (col("ka") === 1 && col("kb") === 0 &&
+        (col("da") < col("db") || (col("da") === col("db") && col("va") > col("vb")))) ||
+      (col("kb") === 1 && col("ka") === 0 &&
+        (col("db") < col("da") || (col("db") === col("da") && col("vb") > col("va")))))
+    assert(wrongSide.count() == 0, "kept the nearer-to-centroid side")
+    simPairs.unpersist(); out.unpersist()
+  }
+
+  test("filtered ANN = unfiltered ranking restricted to the allowed set") {
+    val allowed = Tables.documents(spark, sfDir).filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = Ann.bruteForceTopKFiltered(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => allowed.contains(r.getLong(2))),
+      "a neighbor escaped the metadata filter")
+    // pre-filtering must equal re-ranking the FULL ranking restricted to
+    // the allowed set (post-filtering a top-5 would lose rows instead)
+    val full = Ann.bruteForceTopK(spark, sfDir, k = Int.MaxValue).collect()
+    val expect = full.toSeq.filter(r => allowed.contains(r.getLong(2)))
+      .groupBy(_.getLong(0)).toSeq.flatMap { case (q, rs) =>
+        rs.sortBy(r => (-r.getLong(3), r.getLong(2))).take(5).zipWithIndex
+          .map { case (r, i) => (q, i + 1, r.getLong(2), r.getLong(3)) }
+      }.sortBy(t => (t._1, t._2))
+    val got = out.toSeq.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got == expect)
+  }
+
+  test("semantic dedup pair join stays equi-keyed on the cell") {
+    spark.catalog.clearCache()
+    val p = Ann.semanticDedup(spark, sfDir).queryExecution.executedPlan.toString
+    // the only nested-loop join allowed is the model-sized centroid
+    // BROADCAST cross (the kmeans assignment); the n×n pair join itself
+    // must be an equi join on the cell, never a cartesian
+    assert(!p.contains("CartesianProduct"), "within-cell pairs must equi-join")
+    val loops = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(loops.forall(_.contains("BuildRight, Cross")),
+      s"non-broadcast nested loop in the pair join:\n${loops.mkString("\n")}")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("cell")),
+      "expected an equi join keyed on the cell")
+  }
 }
