@@ -125,6 +125,10 @@ object ScaleBench {
         graft.similarity.Ann.embeddingDupCapped(s, d)),
       "d_embedding_scaled" -> ((s: SparkSession, d: String) =>
         graft.similarity.Ann.embeddingDupScaled(s, d)),
+      // SemDeDup scale form: LSH cells (planes grow with log n) keep the
+      // within-cell pairwise term at occupancy², assignment map-only
+      "d_semantic_scaled" -> ((s: SparkSession, d: String) =>
+        graft.similarity.Ann.semanticDedupScaled(s, d)),
       "d_decontaminate" -> (graft.dedup.Dedup.decontaminate _),
       "d_dup_clusters_fast" -> ((s: SparkSession, d: String) =>
         graft.dedup.Dedup.dupClustersFast(s, d)),

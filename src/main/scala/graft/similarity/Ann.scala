@@ -694,6 +694,13 @@ object Ann {
       .withColumn("d", (intDot(col("q"), col("q")) + col("dist")).cast("long"))
       .join(p100, Seq("vec_id"))
       .select(col("vec_id"), col("cell"), col("d"), col("p"), col("n2"))
+    semanticPrune(rows)
+  }
+
+  /** The SemDeDup keep-rule tail shared by the k-means cells
+    * ([[semanticDedupOver]]) and the LSH cells ([[semanticDedupScaled]]):
+    * `rows` = (vec_id, cell, d, p, n2) → (vec_id, cell, d, keep). */
+  private def semanticPrune(rows: DataFrame): DataFrame = {
     val l = rows.select(col("cell"), col("vec_id").as("va"), col("p").as("pa"),
       col("n2").as("na"), col("d").as("da"))
     val r = rows.select(col("cell").as("cell_r"), col("vec_id").as("vb"),
@@ -711,6 +718,58 @@ object Ann {
       .select(col("vec_id"), col("cell"), col("d"),
         when(col("dropped").isNull, lit(1)).otherwise(lit(0)).as("keep"))
       .orderBy("vec_id")
+  }
+
+  /** Target cell occupancy for the scaled SemDeDup variant. */
+  val SemDedupCellTarget = 64
+
+  /** Scale path for [[semanticDedup]] (`d_semantic_scaled`, rows-only).
+    *
+    * Flat k-means with k ∝ n (what constant occupancy requires) makes the
+    * ASSIGNMENT itself quadratic — every Lloyd round scores n·k ≈
+    * n²/target vector pairs; the paper pays that term on GPU farms. The
+    * Spark-first scale shape swaps the clusterer: cells are corpus-scaled
+    * hyperplane-LSH buckets ([[planesFor]] with p = log₂(n/target) — the
+    * [[embeddingDupScaled]] device), so assignment is MAP-ONLY codegen,
+    * expected occupancy stays ~target, and the whole pipeline is one
+    * aggregation (integer floor-mean bucket centroids), one cell-keyed
+    * join to attach them, and the same within-cell pair join — everything
+    * keyed on `cell`, one exchange family, linear in n.
+    *
+    * The keep rule is byte-for-byte [[semanticPrune]]: farther from the
+    * (now bucket) centroid survives, ties to the smaller id. An EXACT
+    * twin co-buckets with its original structurally (identical quantized
+    * vector → identical projections), so exact-dup recall is 1 by
+    * construction; a ×0.5 twin preserves every projection sign up to
+    * quantization rounding, so it co-buckets unless a projection sits
+    * within rounding distance of zero (DedupSpec pins both behaviours;
+    * organic cross-bucket τ-pairs can be missed at the usual LSH 1−p^k
+    * rate, the documented trade vs the exact k-means form). */
+  def semanticDedupScaled(spark: SparkSession, dir: String,
+                          target: Int = SemDedupCellTarget): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val emb0 = semanticAugmented(spark, dir)
+    val n = emb0.count()
+    val nPlanes = math.max(NumPlanes, math.min(56,
+      math.ceil(math.log(math.max(1.0, n.toDouble / target)) / math.log(2.0)).toInt))
+    val pl = planesFor(nPlanes)
+    val q = emb0.select(col("vec_id"), quantized(col("embedding")).as("q"),
+        transform(col("embedding"), x => round(x.cast("double") * 100)).as("p"))
+      .withColumn("cell", bucketExprSlice(col("q"), 0, nPlanes, pl))
+      .withColumn("n2", intDot(col("p"), col("p")).cast("long"))
+    val cents = q.select(col("cell"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("cell", "i")
+      .agg(floor(sum(col("x").cast("long")) / count(lit(1))).as("cx"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
+      .select(col("cell"),
+        expr("transform(pairs, p -> CAST(p.cx AS DOUBLE))").as("centroid"))
+    val rows = q.join(cents, Seq("cell"))
+      .withColumn("d", (intDot(col("q"), col("q"))
+        + intDot(col("centroid"), col("centroid"))
+        - intDot(col("q"), col("centroid")) * 2).cast("long"))
+      .select(col("vec_id"), col("cell"), col("d"), col("p"), col("n2"))
+    semanticPrune(rows)
   }
 
   /** DuckDB twin of [[semanticDedup]]: the planted-twin `aug` corpus,

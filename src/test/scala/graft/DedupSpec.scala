@@ -339,6 +339,35 @@ class DedupSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("scaled semantic dedup: twins structurally co-bucket and deduplicate") {
+    val out = graft.similarity.Ann.semanticDedupScaled(spark, sfDir).cache()
+    assert(out.count() ==
+      Tables.embeddings(spark, sfDir).count() + Ann.SemDedupTwinIds)
+    // LSH cells make planted recall STRUCTURAL: an exact twin shares every
+    // plane projection, a ×0.5 twin every projection SIGN — both co-bucket
+    // with their original, so every exact twin is dropped and no original
+    // loses to its own exact twin (the kmeans-form invariants, verbatim)
+    assert(out.filter(col("vec_id") >= Ann.SemDedupTwinBase &&
+      col("vec_id") < Ann.SemDedupTwinBase + Ann.SemDedupTwinIds / 2 &&
+      col("keep") === 1).count() == 0, "a planted exact twin survived")
+    assert(out.filter(col("vec_id") < Ann.SemDedupTwinIds / 2 &&
+      col("keep") === 0).count() == 0, "an original lost to its own exact twin")
+    // a HALVED twin is τ-similar to its original; when quantization keeps
+    // the pair co-celled exactly one side survives, and a cross-cell pair
+    // (a near-zero projection rounded across a plane) keeps both
+    val halvedIds = (Ann.SemDedupTwinIds / 2 until Ann.SemDedupTwinIds)
+    halvedIds.foreach { id =>
+      val pair = out.filter(col("vec_id") === id ||
+        col("vec_id") === id + Ann.SemDedupTwinBase).collect()
+      assert(pair.length == 2)
+      val keeps = pair.map(_.getInt(3)).sum
+      if (pair.map(_.getLong(1)).distinct.length == 1)
+        assert(keeps == 1, s"co-celled halved-twin pair of $id must keep one side")
+      else assert(keeps == 2, s"cross-cell halved-twin pair of $id must keep both")
+    }
+    out.unpersist()
+  }
+
   test("semantic dedup pair join stays equi-keyed on the cell") {
     spark.catalog.clearCache()
     val p = Ann.semanticDedup(spark, sfDir).queryExecution.executedPlan.toString
