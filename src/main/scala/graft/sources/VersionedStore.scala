@@ -1,0 +1,269 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-versioned parquet tables with time-travel reads — the
+  * training-reproducibility piece of the storage layer: a training run
+  * records the version it read, and that exact corpus stays addressable
+  * while later ingests, rewrites, and compactions land on top.
+  *
+  * Layout (the Delta/Iceberg idea reduced to its load-bearing core, on
+  * plain parquet):
+  * {{{
+  *   root/data/<uuid>.parquet      immutable data files, never mutated
+  *   root/_versions/v%09d.list     manifest: op line + relative file list
+  * }}}
+  *
+  * Commit protocol — files first, manifest last:
+  *  1. stage the dataframe to a temp dir,
+  *  2. move every part file into `data/` under a fresh unique name,
+  *  3. write the manifest to a temp name and RENAME it to `v{N}.list`.
+  * The rename is the commit point: Hadoop `FileSystem.rename` refuses an
+  * existing destination, so two concurrent committers race for the same
+  * version number and exactly one wins; the loser re-reads the head and
+  * retries on top (appends and overwrites commute with any winner). A
+  * crash before step 3 leaves orphan data files that no manifest
+  * references — invisible to every reader, reclaimed by [[vacuum]] —
+  * and never a manifest pointing at missing files.
+  *
+  * At 100 TB the manifest is O(files), the read path is an explicit file
+  * list (no directory listing on the hot path), and nothing here ever
+  * rewrites a data file except [[purgeKeys]] — the right-to-be-forgotten
+  * operation, which is EXPECTED to violate snapshot immutability: legal
+  * erasure must reach historical versions too, so it rewrites affected
+  * files once and remaps every retained manifest onto the purged copies.
+  */
+object VersionedStore {
+
+  private def fsOf(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionName(v: Long): String = f"v$v%09d.list"
+
+  private def parseVersion(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".list"))
+      name.stripPrefix("v").stripSuffix(".list").toLongOption
+    else None
+
+  /** All committed versions, ascending; empty for a fresh root. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(s"$root/_versions")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(s => parseVersion(s.getPath.getName)).sorted
+  }
+
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).lastOption
+
+  /** Manifest content: (op, relative data-file names). */
+  private def readManifest(fs: FileSystem, root: String, v: Long): (String, Seq[String]) = {
+    val in = fs.open(new Path(s"$root/_versions/${versionName(v)}"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = txt.linesIterator.toSeq
+    (lines.head.stripPrefix("#op "), lines.tail.filter(_.nonEmpty))
+  }
+
+  private def writeManifestFile(fs: FileSystem, root: String, v: Long,
+                                op: String, files: Seq[String]): Boolean = {
+    val tmp = new Path(s"$root/_versions/.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write((s"#op $op\n" + files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(s"$root/_versions/${versionName(v)}")
+    // rename-no-overwrite is the atomic commit point; false = lost the race
+    val won = !fs.exists(dst) && fs.rename(tmp, dst)
+    if (!won) fs.delete(tmp, false)
+    won
+  }
+
+  /** Stage `df` and move its part files into `data/` under fresh names;
+    * returns the relative names. Files are in their final location but
+    * referenced by NO manifest until the caller commits one. */
+  private def stageFiles(df: DataFrame, root: String): Seq[String] = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, root)
+    val staging = s"$root/.staging-${java.util.UUID.randomUUID()}"
+    df.write.parquet(staging)
+    fs.mkdirs(new Path(s"$root/data"))
+    val parts = fs.listStatus(new Path(staging)).toSeq
+      .filter(s => s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val names = parts.map { s =>
+      val name = s"${java.util.UUID.randomUUID().toString}.parquet"
+      require(fs.rename(s.getPath, new Path(s"$root/data/$name")),
+        s"staging move failed for ${s.getPath}")
+      name
+    }
+    fs.delete(new Path(staging), true)
+    names
+  }
+
+  /** Commit `base(headFiles) ++ staged` as the next version; retries the
+    * version number under concurrent committers. */
+  private def commit(spark: SparkSession, root: String, op: String,
+                     staged: Seq[String])
+                    (base: Seq[String] => Seq[String]): Long = {
+    val fs = fsOf(spark, root)
+    fs.mkdirs(new Path(s"$root/_versions"))
+    var v = latestVersion(spark, root).getOrElse(0L) + 1
+    while (true) {
+      val head =
+        if (v == 1) Seq.empty
+        else readManifest(fs, root, v - 1)._2
+      if (writeManifestFile(fs, root, v, op, base(head) ++ staged)) return v
+      v = latestVersion(spark, root).getOrElse(0L) + 1
+    }
+    v // unreachable
+  }
+
+  /** Append `df` as a new version (previous files + the new ones). */
+  def commitAppend(df: DataFrame, root: String): Long =
+    commit(df.sparkSession, root, "append", stageFiles(df, root))(head => head)
+
+  /** Replace the table content with `df` as a new version. Old versions
+    * keep their files and stay readable until [[vacuum]]. */
+  def commitOverwrite(df: DataFrame, root: String): Long =
+    commit(df.sparkSession, root, "overwrite", stageFiles(df, root))(_ => Seq.empty)
+
+  /** Read the table exactly as of `version`. */
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val fs = fsOf(spark, root)
+    val (_, files) = readManifest(fs, root, version)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.map(f => s"$root/data/$f"): _*)
+  }
+
+  def readLatest(spark: SparkSession, root: String): DataFrame =
+    readAt(spark, root,
+      latestVersion(spark, root).getOrElse(
+        sys.error(s"no committed version under $root")))
+
+  /** Right-to-be-forgotten across HISTORY: remove every row whose
+    * `keyCol` is in `keys` from every RETAINED version. Each affected
+    * data file is rewritten once (same name stem, new file) and every
+    * manifest that referenced it is remapped in place — the one
+    * deliberate break of manifest immutability, because erasure that
+    * spares time-travel reads is not erasure. Untouched files are never
+    * rewritten; returns the number of rows removed from the live file
+    * set. Readers racing the remap see either the old or the purged
+    * file — both complete manifests — never a torn state. */
+  def purgeKeys(spark: SparkSession, root: String, keyCol: String,
+                keys: Seq[Long]): Long = {
+    val fs = fsOf(spark, root)
+    val all = versions(spark, root)
+    val manifests = all.map(v => v -> readManifest(fs, root, v)).toMap
+    val fileSet = manifests.values.flatMap(_._2).toSet.toSeq.sorted
+    if (fileSet.isEmpty) return 0L
+    val keySet = keys.toSet
+    // one scan finds the affected files; only those are rewritten
+    val hits = spark.read.parquet(fileSet.map(f => s"$root/data/$f"): _*)
+      .filter(col(keyCol).isin(keys: _*))
+      .select(input_file_name()).distinct().collect()
+      .map(r => new Path(r.getString(0)).getName).toSet
+    var removed = 0L
+    val renames = hits.toSeq.sorted.map { f =>
+      val src = s"$root/data/$f"
+      val df = spark.read.parquet(src)
+      removed += df.filter(col(keyCol).isin(keys: _*)).count()
+      val kept = df.filter(!col(keyCol).isin(keys: _*))
+      val replacement = stageFiles(kept.coalesce(1), root)
+      f -> replacement
+    }.toMap
+    // remap every manifest onto the purged replacements, then drop originals
+    all.foreach { v =>
+      val (op, files) = manifests(v)
+      if (files.exists(renames.contains)) {
+        val mapped = files.flatMap(f => renames.getOrElse(f, Seq(f)))
+        val tmp = new Path(s"$root/_versions/.tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, false)
+        try out.write((s"#op $op\n" + mapped.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        // overwrite-rename: delete + rename (manifest content is a pure
+        // function of (old manifest, renames), so a crash between the two
+        // steps is repaired by re-running the purge)
+        fs.delete(new Path(s"$root/_versions/${versionName(v)}"), false)
+        require(fs.rename(tmp, new Path(s"$root/_versions/${versionName(v)}")))
+      }
+    }
+    renames.keys.foreach(f => fs.delete(new Path(s"$root/data/$f"), false))
+    removed
+  }
+
+  /** `s_time_travel`: ingest orders as two committed versions (before and
+    * after 1995-07-01), then aggregate EACH version by order status — a
+    * v1 read taken AFTER v2 landed must still see exactly the first
+    * slice. The oracle replays both versions' content rules straight from
+    * the orders table, so the hash gate proves the snapshot isolation,
+    * not just the arithmetic. */
+  def timeTravelDemo(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("vstore_demo").toString
+    val orders = graft.Tables.orders(spark, dir)
+    val cut = lit(java.sql.Timestamp.valueOf("1995-07-01 00:00:00"))
+    val v1 = commitAppend(orders.filter(col("o_orderdate") < cut), root)
+    val v2 = commitAppend(orders.filter(col("o_orderdate") >= cut), root)
+    def aggOf(v: Long) = readAt(spark, root, v)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(graft.ops.Num.micros(col("o_totalprice"))).as("total_micros"))
+      .withColumn("version", lit(v).cast("int"))
+    aggOf(v1).unionByName(aggOf(v2))
+      .select(col("version"), col("o_orderstatus"),
+        col("n_orders"), col("total_micros"))
+      .orderBy("version", "o_orderstatus")
+  }
+
+  /** v1 = the pre-cut slice only; v2 = the whole table (v1 + the
+    * append) — so the v1 half proves the old snapshot ignores the later
+    * ingest, and the v2 half proves the append lost nothing. */
+  val timeTravelDemoSql: String = {
+    def half(v: Int, where: String): String =
+      s"""SELECT $v AS version, o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(${graft.ops.Num.sqlMicros("o_totalprice")}) AS BIGINT) AS total_micros
+         |FROM orders $where
+         |GROUP BY 2""".stripMargin
+    s"""${half(1, "WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'")}
+       |UNION ALL
+       |${half(2, "")}
+       |ORDER BY version, o_orderstatus""".stripMargin
+  }
+
+  /** Retain the last `keepLast` versions: older manifests are dropped and
+    * every data file referenced ONLY by dropped manifests is deleted.
+    * Unreferenced debris (staged files whose commit never happened) is
+    * reclaimed too, but only past `debrisAgeHours` — a file younger than
+    * the horizon may belong to an IN-FLIGHT commit whose manifest hasn't
+    * landed yet, so the horizon must exceed the longest possible commit
+    * (the [[Store.vacuum]] rule). Returns the deleted file names. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int,
+             debrisAgeHours: Long = 24L): Seq[String] = {
+    require(keepLast >= 1, "must retain at least the head version")
+    val fs = fsOf(spark, root)
+    val all = versions(spark, root)
+    val dropped = all.dropRight(keepLast)
+    val kept = all.takeRight(keepLast)
+    val keptFiles = kept.flatMap(v => readManifest(fs, root, v)._2).toSet
+    val orphaned = dropped.flatMap(v => readManifest(fs, root, v)._2)
+      .distinct.filterNot(keptFiles)
+    // drop manifests first: a crash mid-vacuum must never leave a live
+    // manifest referencing a deleted file
+    dropped.foreach(v => fs.delete(new Path(s"$root/_versions/${versionName(v)}"), false))
+    orphaned.foreach(f => fs.delete(new Path(s"$root/data/$f"), false))
+    // also reclaim staged-but-never-committed debris outside the manifest
+    // set — but only past the age horizon (see scaladoc)
+    val live = kept.flatMap(v => readManifest(fs, root, v)._2).toSet
+    val dataDir = new Path(s"$root/data")
+    val horizon = System.currentTimeMillis() - debrisAgeHours * 3600L * 1000L
+    val unreferenced =
+      if (!fs.exists(dataDir)) Seq.empty
+      else fs.listStatus(dataDir).toSeq
+        .filter(s => !live(s.getPath.getName) &&
+          s.getModificationTime < horizon)
+        .map(_.getPath.getName).sorted
+    unreferenced.foreach(f => fs.delete(new Path(s"$root/data/$f"), false))
+    (orphaned ++ unreferenced).distinct.sorted
+  }
+}

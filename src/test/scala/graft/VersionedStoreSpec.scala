@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedStore
+
+/** Snapshot-versioned store: time-travel isolation, append/overwrite
+  * lifecycle, history-reaching purge, retention vacuum, and the
+  * concurrent-commit race. */
+class VersionedStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("vstore").toString
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("a v1 read taken after later commits sees exactly v1") {
+    val root = freshRoot()
+    val v1 = VersionedStore.commitAppend(spark.range(0, 100).toDF(), root)
+    val v2 = VersionedStore.commitAppend(spark.range(100, 150).toDF(), root)
+    assert((v1, v2) == (1L, 2L))
+    assert(ids(VersionedStore.readAt(spark, root, v1)) == (0L until 100L).toSet)
+    assert(ids(VersionedStore.readAt(spark, root, v2)) == (0L until 150L).toSet)
+    val v3 = VersionedStore.commitOverwrite(spark.range(500, 510).toDF(), root)
+    assert(ids(VersionedStore.readLatest(spark, root)) == (500L until 510L).toSet)
+    // both pre-overwrite snapshots stay intact
+    assert(ids(VersionedStore.readAt(spark, root, v1)) == (0L until 100L).toSet)
+    assert(ids(VersionedStore.readAt(spark, root, v2)) == (0L until 150L).toSet)
+    assert(VersionedStore.versions(spark, root) == Seq(1L, 2L, 3L))
+    assert(v3 == 3L)
+  }
+
+  test("purgeKeys erases a key from every retained version, sparing other files") {
+    val root = freshRoot()
+    // two files per commit so some files never contain the victim
+    VersionedStore.commitAppend(spark.range(0, 40).toDF().repartition(2), root)
+    VersionedStore.commitAppend(spark.range(40, 80).toDF().repartition(2), root)
+    val dataDir = new java.io.File(s"$root/data")
+    val before = dataDir.listFiles().map(f => f.getName -> f.length()).toMap
+    val removed = VersionedStore.purgeKeys(spark, root, "id", Seq(7L, 44L))
+    assert(removed == 2L)
+    VersionedStore.versions(spark, root).foreach { v =>
+      val got = ids(VersionedStore.readAt(spark, root, v))
+      assert(!got.contains(7L) && !got.contains(44L),
+        s"purged key still readable at version $v")
+    }
+    assert(ids(VersionedStore.readAt(spark, root, 1L)) == (0L until 40L).toSet - 7L)
+    assert(ids(VersionedStore.readAt(spark, root, 2L)) == (0L until 80L).toSet - 7L - 44L)
+    // files without a hit were not rewritten
+    val after = dataDir.listFiles().map(f => f.getName -> f.length()).toMap
+    val untouched = before.keySet.intersect(after.keySet)
+    assert(untouched.nonEmpty, "expected at least one victim-free file")
+    untouched.foreach(f => assert(before(f) == after(f)))
+    // idempotent: nothing left to purge
+    assert(VersionedStore.purgeKeys(spark, root, "id", Seq(7L, 44L)) == 0L)
+  }
+
+  test("vacuum drops old versions' exclusive files and aged orphans only") {
+    val root = freshRoot()
+    VersionedStore.commitAppend(spark.range(0, 20).toDF(), root)   // v1
+    VersionedStore.commitAppend(spark.range(20, 40).toDF(), root)  // v2 (shares v1 files)
+    val dataDir = new java.io.File(s"$root/data")
+    def parquets() = dataDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".parquet")).toSet
+    val v12Files = parquets()
+    VersionedStore.commitOverwrite(spark.range(99, 100).toDF(), root) // v3 (fresh files)
+    // plant debris: one aged orphan (reclaimable), one young (in-flight)
+    val aged = new java.io.File(dataDir, "orphan-aged.parquet")
+    val young = new java.io.File(dataDir, "orphan-young.parquet")
+    Seq(aged, young).foreach(f => java.nio.file.Files.write(f.toPath, Array[Byte](1)))
+    aged.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+    val deleted = VersionedStore.vacuum(spark, root, keepLast = 1)
+    assert(VersionedStore.versions(spark, root) == Seq(3L))
+    assert(ids(VersionedStore.readLatest(spark, root)) == Set(99L))
+    assert(deleted.contains("orphan-aged.parquet"))
+    assert(!deleted.contains("orphan-young.parquet"), "in-flight staging reclaimed")
+    assert(young.exists() && !aged.exists())
+    // every v1/v2 data file is gone; v3's files + the young orphan remain
+    val remaining = parquets()
+    assert(remaining.intersect(v12Files).isEmpty,
+      s"dropped versions' files survived: ${remaining.intersect(v12Files)}")
+    assert(remaining.contains("orphan-young.parquet"))
+  }
+
+  test("concurrent appends both land; the union survives") {
+    val root = freshRoot()
+    VersionedStore.commitAppend(spark.range(0, 10).toDF(), root)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(VersionedStore.commitAppend(spark.range(10, 20).toDF(), root))
+    val fb = Future(VersionedStore.commitAppend(spark.range(20, 30).toDF(), root))
+    val (va, vb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(va != vb, "two committers may never share a version")
+    assert(Set(va, vb) == Set(2L, 3L))
+    assert(ids(VersionedStore.readLatest(spark, root)) == (0L until 30L).toSet,
+      "the losing append must retry on top of the winner, losing nothing")
+  }
+
+  test("time-travel demo rows carry both versions' aggregates") {
+    val out = VersionedStore.timeTravelDemo(spark, sfDir).collect()
+    val versions = out.map(_.getInt(0)).toSet
+    assert(versions == Set(1, 2))
+    val n1 = out.filter(_.getInt(0) == 1).map(_.getLong(2)).sum
+    val n2 = out.filter(_.getInt(0) == 2).map(_.getLong(2)).sum
+    assert(n2 == Tables.orders(spark, sfDir).count(), "v2 must hold the whole table")
+    assert(n1 < n2, "v1 must be the strict pre-cut subset")
+  }
+}
