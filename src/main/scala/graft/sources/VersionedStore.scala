@@ -59,13 +59,23 @@ object VersionedStore {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
-  /** Manifest content: (op, relative data-file names). */
+  /** Manifest content: (op, entries). An entry is the relative file name,
+    * optionally followed by tab-separated zone-map bounds `min max` of the
+    * table's stats column ([[commitAppend]]'s `statsCol`). */
   private def readManifest(fs: FileSystem, root: String, v: Long): (String, Seq[String]) = {
     val in = fs.open(new Path(s"$root/_versions/${versionName(v)}"))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val lines = txt.linesIterator.toSeq
     (lines.head.stripPrefix("#op "), lines.tail.filter(_.nonEmpty))
   }
+
+  private def entryFile(entry: String): String = entry.takeWhile(_ != '\t')
+
+  private def entryBounds(entry: String): Option[(Long, Long)] =
+    entry.split('\t') match {
+      case Array(_, lo, hi) => Some((lo.toLong, hi.toLong))
+      case _ => None
+    }
 
   private def writeManifestFile(fs: FileSystem, root: String, v: Long,
                                 op: String, files: Seq[String]): Boolean = {
@@ -81,13 +91,28 @@ object VersionedStore {
   }
 
   /** Stage `df` and move its part files into `data/` under fresh names;
-    * returns the relative names. Files are in their final location but
-    * referenced by NO manifest until the caller commits one. */
-  private def stageFiles(df: DataFrame, root: String): Seq[String] = {
+    * returns the manifest entries. Files are in their final location but
+    * referenced by NO manifest until the caller commits one. With
+    * `statsCol` set, each entry carries the file's min/max of that column
+    * (cast to long) — the zone map [[readAtPruned]] skips files with. An
+    * empty part file gets no bounds and is always read (it costs one
+    * footer). */
+  private def stageFiles(df: DataFrame, root: String,
+                         statsCol: Option[String] = None): Seq[String] = {
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
     val staging = s"$root/.staging-${java.util.UUID.randomUUID()}"
     df.write.parquet(staging)
+    val stats: Map[String, (Long, Long)] = statsCol match {
+      case None => Map.empty
+      case Some(c) =>
+        spark.read.parquet(staging)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(c).cast("long")).as("lo"), max(col(c).cast("long")).as("hi"))
+          .collect()
+          .map(r => new Path(r.getString(0)).getName -> (r.getLong(1), r.getLong(2)))
+          .toMap
+    }
     fs.mkdirs(new Path(s"$root/data"))
     val parts = fs.listStatus(new Path(staging)).toSeq
       .filter(s => s.getPath.getName.startsWith("part-"))
@@ -96,7 +121,10 @@ object VersionedStore {
       val name = s"${java.util.UUID.randomUUID().toString}.parquet"
       require(fs.rename(s.getPath, new Path(s"$root/data/$name")),
         s"staging move failed for ${s.getPath}")
-      name
+      stats.get(s.getPath.getName) match {
+        case Some((lo, hi)) => s"$name\t$lo\t$hi"
+        case None => name
+      }
     }
     fs.delete(new Path(staging), true)
     names
@@ -120,19 +148,53 @@ object VersionedStore {
     v // unreachable
   }
 
-  /** Append `df` as a new version (previous files + the new ones). */
-  def commitAppend(df: DataFrame, root: String): Long =
-    commit(df.sparkSession, root, "append", stageFiles(df, root))(head => head)
+  /** Append `df` as a new version (previous files + the new ones). With
+    * `statsCol`, the new files carry zone-map bounds of that column in
+    * the manifest for [[readAtPruned]] file skipping. */
+  def commitAppend(df: DataFrame, root: String,
+                   statsCol: Option[String] = None): Long =
+    commit(df.sparkSession, root, "append",
+      stageFiles(df, root, statsCol))(head => head)
 
   /** Replace the table content with `df` as a new version. Old versions
     * keep their files and stay readable until [[vacuum]]. */
-  def commitOverwrite(df: DataFrame, root: String): Long =
-    commit(df.sparkSession, root, "overwrite", stageFiles(df, root))(_ => Seq.empty)
+  def commitOverwrite(df: DataFrame, root: String,
+                      statsCol: Option[String] = None): Long =
+    commit(df.sparkSession, root, "overwrite",
+      stageFiles(df, root, statsCol))(_ => Seq.empty)
 
   /** Read the table exactly as of `version`. */
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
     val fs = fsOf(spark, root)
-    val (_, files) = readManifest(fs, root, version)
+    val (_, entries) = readManifest(fs, root, version)
+    if (entries.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(entries.map(e => s"$root/data/${entryFile(e)}"): _*)
+  }
+
+  /** The manifest entries of `version` whose zone-map bounds overlap
+    * `[lo, hi]` — entries without bounds are conservatively kept. The
+    * file-skipping decision, exposed for tests and tooling. */
+  def overlappingFiles(spark: SparkSession, root: String, version: Long,
+                       lo: Long, hi: Long): Seq[String] = {
+    val (_, entries) = readManifest(fsOf(spark, root), root, version)
+    entries.filter(e => entryBounds(e) match {
+      case Some((flo, fhi)) => fhi >= lo && flo <= hi
+      case None => true
+    }).map(entryFile)
+  }
+
+  /** [[readAt]] restricted by the manifest zone map: only files whose
+    * `statsCol` range overlaps `[lo, hi]` are opened — file-level
+    * skipping BEFORE any parquet footer is touched, the manifest-stats
+    * idea of Delta/Iceberg. Callers still apply their exact predicate on
+    * top; pruning only discards files that cannot contain a match, so
+    * results are identical to filtering [[readAt]] (the
+    * `s_zonemap_prune` oracle gates exactly that). At 100 TB this is the
+    * difference between listing-then-opening a million footers and
+    * opening the dozen files a day-range query touches. */
+  def readAtPruned(spark: SparkSession, root: String, version: Long,
+                   lo: Long, hi: Long): DataFrame = {
+    val files = overlappingFiles(spark, root, version, lo, hi)
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files.map(f => s"$root/data/$f"): _*)
   }
@@ -156,9 +218,8 @@ object VersionedStore {
     val fs = fsOf(spark, root)
     val all = versions(spark, root)
     val manifests = all.map(v => v -> readManifest(fs, root, v)).toMap
-    val fileSet = manifests.values.flatMap(_._2).toSet.toSeq.sorted
+    val fileSet = manifests.values.flatMap(_._2.map(entryFile)).toSet.toSeq.sorted
     if (fileSet.isEmpty) return 0L
-    val keySet = keys.toSet
     // one scan finds the affected files; only those are rewritten
     val hits = spark.read.parquet(fileSet.map(f => s"$root/data/$f"): _*)
       .filter(col(keyCol).isin(keys: _*))
@@ -170,14 +231,21 @@ object VersionedStore {
       val df = spark.read.parquet(src)
       removed += df.filter(col(keyCol).isin(keys: _*)).count()
       val kept = df.filter(!col(keyCol).isin(keys: _*))
-      val replacement = stageFiles(kept.coalesce(1), root)
+      val replacement = stageFiles(kept.coalesce(1), root).map(entryFile)
       f -> replacement
     }.toMap
-    // remap every manifest onto the purged replacements, then drop originals
+    // remap every manifest onto the purged replacements, then drop the
+    // originals. A purged replacement KEEPS the old entry's zone-map
+    // bounds: row removal can only shrink a file's true range, so the old
+    // bounds stay valid (possibly loose) for pruning.
     all.foreach { v =>
       val (op, files) = manifests(v)
-      if (files.exists(renames.contains)) {
-        val mapped = files.flatMap(f => renames.getOrElse(f, Seq(f)))
+      if (files.exists(e => renames.contains(entryFile(e)))) {
+        val mapped = files.flatMap { e =>
+          val tail = e.drop(entryFile(e).length) // "\tlo\thi" or ""
+          renames.get(entryFile(e))
+            .map(_.map(n => n + tail)).getOrElse(Seq(e))
+        }
         val tmp = new Path(s"$root/_versions/.tmp-${java.util.UUID.randomUUID()}")
         val out = fs.create(tmp, false)
         try out.write((s"#op $op\n" + mapped.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -191,6 +259,35 @@ object VersionedStore {
     }
     renames.keys.foreach(f => fs.delete(new Path(s"$root/data/$f"), false))
     removed
+  }
+
+  /** Change-data feed between two versions of an APPEND-ONLY history:
+    * the rows added in (fromV, toV], read as the manifest file-set
+    * difference — no content diff, no re-read of the base. This is what
+    * an incremental consumer (a derived index via
+    * `EventStreams.indexMaintenanceSink`-style upserts, a downstream
+    * rollup) polls instead of re-scanning the corpus. Fails loudly if an
+    * overwrite intervenes — a file-set diff is not the row delta across
+    * one. A [[purgeKeys]] does NOT break the feed: it remaps files
+    * consistently across every manifest, so the diff stays the correct
+    * (post-purge) delta; the subset check below only trips on manifest
+    * corruption. */
+  def readChanges(spark: SparkSession, root: String,
+                  fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    val fs = fsOf(spark, root)
+    val fromFiles = readManifest(fs, root, fromV)._2.toSet
+    ((fromV + 1) to toV).foreach { v =>
+      val op = readManifest(fs, root, v)._1
+      require(op == "append",
+        s"readChanges needs an append-only range; v$v is '$op'")
+    }
+    val (_, toFiles) = readManifest(fs, root, toV)
+    require(fromFiles.subsetOf(toFiles.toSet),
+      s"v$fromV files were remapped (purge?) — file diff is not the row delta")
+    val added = toFiles.filterNot(fromFiles)
+    if (added.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(added.map(e => s"$root/data/${entryFile(e)}"): _*)
   }
 
   /** `s_time_travel`: ingest orders as two committed versions (before and
@@ -231,6 +328,34 @@ object VersionedStore {
        |ORDER BY version, o_orderstatus""".stripMargin
   }
 
+  /** `s_zonemap_prune`: commit orders range-clustered on o_orderkey with
+    * manifest zone maps, then answer a key-range aggregate through
+    * [[readAtPruned]] — the oracle is the plain filtered aggregate over
+    * the whole table, so the hash gate proves pruning discards ONLY files
+    * that cannot match (the spec separately proves it discards most of
+    * them). */
+  def zonemapPruneDemo(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("vstore_zm").toString
+    val orders = graft.Tables.orders(spark, dir)
+    val v = commitAppend(orders.repartitionByRange(8, col("o_orderkey")),
+      root, statsCol = Some("o_orderkey"))
+    val (lo, hi) = (1000L, 3000L)
+    readAtPruned(spark, root, v, lo, hi)
+      .filter(col("o_orderkey").between(lo, hi))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(graft.ops.Num.micros(col("o_totalprice"))).as("total_micros"))
+      .orderBy("o_orderstatus")
+  }
+
+  val zonemapPruneDemoSql: String =
+    s"""SELECT o_orderstatus, count(*) AS n_orders,
+       |  CAST(sum(${graft.ops.Num.sqlMicros("o_totalprice")}) AS BIGINT) AS total_micros
+       |FROM orders
+       |WHERE o_orderkey BETWEEN 1000 AND 3000
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   /** Retain the last `keepLast` versions: older manifests are dropped and
     * every data file referenced ONLY by dropped manifests is deleted.
     * Unreferenced debris (staged files whose commit never happened) is
@@ -245,8 +370,10 @@ object VersionedStore {
     val all = versions(spark, root)
     val dropped = all.dropRight(keepLast)
     val kept = all.takeRight(keepLast)
-    val keptFiles = kept.flatMap(v => readManifest(fs, root, v)._2).toSet
-    val orphaned = dropped.flatMap(v => readManifest(fs, root, v)._2)
+    val keptFiles = kept.flatMap(v =>
+      readManifest(fs, root, v)._2.map(entryFile)).toSet
+    val orphaned = dropped.flatMap(v =>
+        readManifest(fs, root, v)._2.map(entryFile))
       .distinct.filterNot(keptFiles)
     // drop manifests first: a crash mid-vacuum must never leave a live
     // manifest referencing a deleted file
@@ -254,7 +381,8 @@ object VersionedStore {
     orphaned.foreach(f => fs.delete(new Path(s"$root/data/$f"), false))
     // also reclaim staged-but-never-committed debris outside the manifest
     // set — but only past the age horizon (see scaladoc)
-    val live = kept.flatMap(v => readManifest(fs, root, v)._2).toSet
+    val live = kept.flatMap(v =>
+      readManifest(fs, root, v)._2.map(entryFile)).toSet
     val dataDir = new Path(s"$root/data")
     val horizon = System.currentTimeMillis() - debrisAgeHours * 3600L * 1000L
     val unreferenced =

@@ -98,6 +98,51 @@ class VersionedStoreSpec extends SparkTestBase {
       "the losing append must retry on top of the winner, losing nothing")
   }
 
+  test("readChanges feeds exactly the appended delta; non-append ranges fail loud") {
+    val root = freshRoot()
+    VersionedStore.commitAppend(spark.range(0, 10).toDF(), root)   // v1
+    VersionedStore.commitAppend(spark.range(10, 25).toDF(), root)  // v2
+    VersionedStore.commitAppend(spark.range(25, 30).toDF(), root)  // v3
+    assert(ids(VersionedStore.readChanges(spark, root, 1L, 3L)) == (10L until 30L).toSet)
+    assert(ids(VersionedStore.readChanges(spark, root, 2L, 3L)) == (25L until 30L).toSet)
+    assert(VersionedStore.readChanges(spark, root, 3L, 3L).isEmpty)
+    // an overwrite inside the range makes the file diff meaningless
+    VersionedStore.commitOverwrite(spark.range(0, 5).toDF(), root) // v4
+    val e = intercept[IllegalArgumentException](
+      VersionedStore.readChanges(spark, root, 2L, 4L))
+    assert(e.getMessage.contains("append-only"))
+    // a purge remaps files CONSISTENTLY across manifests, so the file
+    // diff stays the correct (post-purge) row delta
+    val root2 = freshRoot()
+    VersionedStore.commitAppend(spark.range(0, 10).toDF(), root2)
+    VersionedStore.commitAppend(spark.range(10, 20).toDF(), root2)
+    VersionedStore.purgeKeys(spark, root2, "id", Seq(3L, 15L))
+    assert(ids(VersionedStore.readChanges(spark, root2, 1L, 2L))
+      == (10L until 20L).toSet - 15L)
+  }
+
+  test("zone maps skip non-overlapping files; pruned read equals full filter") {
+    val root = freshRoot()
+    val v = VersionedStore.commitAppend(
+      spark.range(0, 1000).toDF().repartitionByRange(8, col("id")),
+      root, statsCol = Some("id"))
+    val all = VersionedStore.overlappingFiles(spark, root, v, Long.MinValue, Long.MaxValue)
+    val narrow = VersionedStore.overlappingFiles(spark, root, v, 100L, 220L)
+    assert(all.size >= 8)
+    assert(narrow.size <= 2, s"expected <=2 overlapping files, got ${narrow.size}")
+    val pruned = VersionedStore.readAtPruned(spark, root, v, 100L, 220L)
+      .filter(col("id").between(100, 220))
+    val full = VersionedStore.readAt(spark, root, v)
+      .filter(col("id").between(100, 220))
+    assert(ids(pruned) == ids(full))
+    assert(ids(pruned) == (100L to 220L).toSet)
+    // bounds survive a purge (kept valid, possibly loose) — pruning still correct
+    VersionedStore.purgeKeys(spark, root, "id", Seq(150L))
+    val afterPurge = VersionedStore.readAtPruned(spark, root, v, 100L, 220L)
+      .filter(col("id").between(100, 220))
+    assert(ids(afterPurge) == (100L to 220L).toSet - 150L)
+  }
+
   test("time-travel demo rows carry both versions' aggregates") {
     val out = VersionedStore.timeTravelDemo(spark, sfDir).collect()
     val versions = out.map(_.getInt(0)).toSet
