@@ -163,12 +163,36 @@ object VersionedStore {
     commit(df.sparkSession, root, "overwrite",
       stageFiles(df, root, statsCol))(_ => Seq.empty)
 
-  /** Read the table exactly as of `version`. */
-  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+  /** Read the table exactly as of `version`. With `mergeSchema`, the
+    * read unions the schemas of every referenced file (additive column
+    * evolution: old files surface the new columns as null). Off by
+    * default — merging reads every footer at planning time, so evolved
+    * tables should pay it knowingly. */
+  def readAt(spark: SparkSession, root: String, version: Long,
+             mergeSchema: Boolean = false): DataFrame = {
     val fs = fsOf(spark, root)
     val (_, entries) = readManifest(fs, root, version)
     if (entries.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(entries.map(e => s"$root/data/${entryFile(e)}"): _*)
+    else spark.read
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(entries.map(e => s"$root/data/${entryFile(e)}"): _*)
+  }
+
+  /** Rewrite the head version's content into `nFiles` files as a new
+    * `compact` version — the maintenance op that keeps a long-running
+    * append sink scannable (thousands of small commits → a bounded file
+    * count). Content-identical by construction; old versions keep their
+    * files until [[vacuum]]. Zone-map bounds are recomputed fresh when
+    * `statsCol` is given. [[readChanges]] refuses ranges that cross a
+    * compact — the file diff is a full rewrite, not a row delta — so
+    * incremental consumers checkpoint their version BEFORE compacting. */
+  def compactHead(spark: SparkSession, root: String, nFiles: Int,
+                  statsCol: Option[String] = None): Long = {
+    require(nFiles >= 1)
+    val head = latestVersion(spark, root).getOrElse(
+      sys.error(s"nothing to compact under $root"))
+    val df = readAt(spark, root, head).repartition(nFiles)
+    commit(spark, root, "compact", stageFiles(df, root, statsCol))(_ => Seq.empty)
   }
 
   /** The manifest entries of `version` whose zone-map bounds overlap

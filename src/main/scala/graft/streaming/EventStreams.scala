@@ -323,6 +323,27 @@ object EventStreams {
       }
       .start()
 
+  /** The PQ twin of [[indexMaintenanceSink]]: each microbatch encodes its
+    * vectors against the index's FROZEN codebooks and upserts only the
+    * touched code partitions ([[graft.similarity.Ann.pqIndexAppend]]) —
+    * codebooks retrain on a cadence, arrivals between retrains stream in
+    * at encode cost. Exactly-once by the same idempotence argument: the
+    * code upsert is key-deduplicated, and encoding against frozen
+    * codebooks is a pure per-row function, so checkpoint replays rewrite
+    * identical bytes. */
+  def pqMaintenanceSink(vecsStream: DataFrame, indexPath: String,
+                        checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.similarity.Ann.pqIndexAppend(
+            batch.select(col("vec_id"), col("embedding")), indexPath)
+        ()
+      }
+      .start()
+
   final case class Scd2State(state: String, sinceUs: Long, version: Long)
   final case class Scd2Closed(user_id: Long, version: Long, state: String,
                               valid_from_us: Long, valid_to_us: Long)

@@ -150,6 +150,51 @@ class AnnIndexSpec extends SparkTestBase {
     assert(served == full)
   }
 
+  test("streaming pq maintenance equals the batch append; replays are no-ops") {
+    import graft.streaming.EventStreams
+    val emb = Tables.embeddings(spark, sfDir)
+    // expectation: batch pqIndexAppend of the last third onto a 2/3 build
+    val baseDir = java.nio.file.Files.createTempDirectory("pq_sbase").toString
+    emb.filter(col("vec_id") % 3 =!= 0).write.parquet(s"$baseDir/embeddings.parquet")
+    val idxBatch = java.nio.file.Files.createTempDirectory("pq_sbatch").toString
+    Ann.pqIndexBuild(spark, baseDir, idxBatch)
+    val arriving = emb.filter(col("vec_id") % 3 === 0)
+    Ann.pqIndexAppend(arriving.select(col("vec_id"), col("embedding")), idxBatch)
+    val expect = Ann.pqTopKIndexed(spark, sfDir, idxBatch).collect().map(_.toSeq).toSeq
+
+    // same third arrives as two microbatches through the sink
+    val idx = java.nio.file.Files.createTempDirectory("pq_sidx").toString
+    Ann.pqIndexBuild(spark, baseDir, idx)
+    val src = java.nio.file.Files.createTempDirectory("pq_ssrc").toString
+    val midId = arriving.agg(max(col("vec_id"))).head().getLong(0) / 2
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtimePlus: Long): Unit = {
+      df.coalesce(1).write.parquet(s"$src/$name")
+      val f = new java.io.File(s"$src/$name").listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/$name.parquet")
+      java.nio.file.Files.move(f.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(dst).toMillis + mtimePlus))
+    }
+    stage(arriving.filter(col("vec_id") <= midId), "part0", 0L)
+    stage(arriving.filter(col("vec_id") > midId), "part1", 10000L)
+    def run(chk: String): Unit = {
+      val stream = spark.readStream.schema(Tables.embeddingsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = EventStreams.pqMaintenanceSink(stream, idx, chk)
+      q.processAllAvailable(); q.stop()
+    }
+    run(java.nio.file.Files.createTempDirectory("pq_schk").toString)
+    def served = Ann.pqTopKIndexed(spark, sfDir, idx).collect().map(_.toSeq).toSeq
+    assert(served == expect,
+      "streamed frozen-codebook appends must equal the batch append")
+    // cold restart: both microbatches replay; key-deduplicated code
+    // upsert + pure frozen-codebook encoding make them no-ops
+    run(java.nio.file.Files.createTempDirectory("pq_schk2").toString)
+    assert(served == expect)
+  }
+
   test("pq append: frozen-codebook encoding matches the build encoder") {
     val emb = Tables.embeddings(spark, sfDir)
     // subset-built index, rest appended with frozen codebooks

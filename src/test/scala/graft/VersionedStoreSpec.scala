@@ -143,6 +143,44 @@ class VersionedStoreSpec extends SparkTestBase {
     assert(ids(afterPurge) == (100L to 220L).toSet - 150L)
   }
 
+  test("compaction bounds the file count, keeps content, and fences CDC") {
+    val root = freshRoot()
+    (0 until 6).foreach(i =>
+      VersionedStore.commitAppend(
+        spark.range(i * 10, i * 10 + 10).toDF().coalesce(1), root))
+    val dataDir = new java.io.File(s"$root/data")
+    def parquets() = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
+    val beforeCount = parquets()
+    val vc = VersionedStore.compactHead(spark, root, nFiles = 2)
+    assert(ids(VersionedStore.readAt(spark, root, vc)) == (0L until 60L).toSet)
+    // old versions still readable alongside until vacuum reclaims them
+    assert(ids(VersionedStore.readAt(spark, root, 3L)) == (0L until 30L).toSet)
+    VersionedStore.vacuum(spark, root, keepLast = 1)
+    assert(parquets() < beforeCount && parquets() <= 3)
+    assert(ids(VersionedStore.readLatest(spark, root)) == (0L until 60L).toSet)
+    // CDC refuses to diff across the rewrite
+    val root2 = freshRoot()
+    VersionedStore.commitAppend(spark.range(0, 10).toDF(), root2)
+    VersionedStore.commitAppend(spark.range(10, 20).toDF(), root2)
+    VersionedStore.compactHead(spark, root2, nFiles = 1)
+    val e = intercept[IllegalArgumentException](
+      VersionedStore.readChanges(spark, root2, 1L, 3L))
+    assert(e.getMessage.contains("append-only"))
+  }
+
+  test("additive schema evolution surfaces through a merged read") {
+    val root = freshRoot()
+    val v1 = VersionedStore.commitAppend(spark.range(0, 5).toDF(), root)
+    val v2 = VersionedStore.commitAppend(
+      spark.range(5, 10).toDF().withColumn("score", col("id") * 2), root)
+    val merged = VersionedStore.readAt(spark, root, v2, mergeSchema = true)
+    assert(merged.columns.toSet == Set("id", "score"))
+    assert(merged.count() == 10)
+    assert(merged.filter(col("score").isNull).count() == 5,
+      "pre-evolution rows must surface the new column as null")
+    assert(VersionedStore.readAt(spark, root, v1).columns.toSet == Set("id"))
+  }
+
   test("time-travel demo rows carry both versions' aggregates") {
     val out = VersionedStore.timeTravelDemo(spark, sfDir).collect()
     val versions = out.map(_.getInt(0)).toSet
