@@ -253,6 +253,97 @@ object Windows {
        |LEFT JOIN perday p ON g.user_id = p.user_id AND g.day = p.day
        |ORDER BY g.user_id, day""".stripMargin
 
+  /** Daily-grid resampling with LINEAR interpolation (`w_interpolate`) —
+    * the [[resampleLocf]] sibling for signals where carrying the last
+    * value forward biases the fill (sensor drift, balances, prices).
+    * Steps 1–2 are shared shape-for-shape (per-day argmax close, then a
+    * generated grid — no calendar join); the fill then needs BOTH
+    * neighbors, so one window pass computes the last observation at-or-
+    * before and the first at-or-after each grid day (four framed window
+    * functions over the SAME user_id exchange — Spark plans one sort).
+    *
+    * The interpolation arithmetic is exact-integer: values ride as
+    * micros, and the interior fill is
+    * `v_p + floor((v_n − v_p)·(day − day_p) / (day_n − day_p))` — the
+    * numerator stays far inside 2⁵³ so the double floor is bit-stable
+    * cross-engine (an exactly-integer quotient is returned exactly by
+    * IEEE division; a fractional one sits ≥ 1/365 from the boundary,
+    * orders of magnitude above the ulp). Grid edges are observations by
+    * construction (the grid spans each user's [first, last] day), so
+    * every gap is interior and no edge policy is needed. */
+  def resampleInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"), $"ts", $"event_id",
+        micros($"value").as("v_u"))
+    val perDay = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id", $"day")
+          .orderBy($"ts".desc, $"event_id".desc)))
+      .filter($"rn" === 1)
+      .select($"user_id", $"day", $"v_u")
+    val grid = ev.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(perDay, Seq("user_id", "day"), "left")
+      .withColumn("v_p", last($"v_u", ignoreNulls = true).over(back))
+      .withColumn("d_p", last(when($"v_u".isNotNull, $"day"), ignoreNulls = true).over(back))
+      .withColumn("v_n", first($"v_u", ignoreNulls = true).over(fwd))
+      .withColumn("d_n", first(when($"v_u".isNotNull, $"day"), ignoreNulls = true).over(fwd))
+      .withColumn("filled_u",
+        when($"v_u".isNotNull, $"v_u")
+          .otherwise($"v_p" + floor(
+            (($"v_n" - $"v_p") * datediff($"day", $"d_p")) /
+              datediff($"d_n", $"d_p"))))
+      .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
+        ($"filled_u" / lit(1e6)).as("value"),
+        $"v_u".isNotNull.cast("int").as("is_observed"))
+      .orderBy($"user_id", $"day")
+  }
+
+  val resampleInterpolateSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+       |    ${Num.sqlMicros("value")} AS v_u
+       |  FROM events),
+       |perday AS (
+       |  SELECT user_id, day, v_u FROM (
+       |    SELECT user_id, day, v_u,
+       |      row_number() OVER (PARTITION BY user_id, day
+       |                         ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM ev) t
+       |  WHERE rn = 1),
+       |grid AS (
+       |  SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+       |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+       |        FROM ev GROUP BY 1) b),
+       |framed AS (
+       |  SELECT g.user_id, g.day, p.v_u,
+       |    last_value(p.v_u IGNORE NULLS) OVER wb AS v_p,
+       |    last_value(CASE WHEN p.v_u IS NOT NULL THEN g.day END IGNORE NULLS)
+       |      OVER wb AS d_p,
+       |    first_value(p.v_u IGNORE NULLS) OVER wf AS v_n,
+       |    first_value(CASE WHEN p.v_u IS NOT NULL THEN g.day END IGNORE NULLS)
+       |      OVER wf AS d_n
+       |  FROM grid g
+       |  LEFT JOIN perday p ON g.user_id = p.user_id AND g.day = p.day
+       |  WINDOW
+       |    wb AS (PARTITION BY g.user_id ORDER BY g.day
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    wf AS (PARTITION BY g.user_id ORDER BY g.day
+       |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       |  (CASE WHEN v_u IS NOT NULL THEN v_u
+       |        ELSE v_p + floor(((v_n - v_p) * (day - d_p)) * 1.0 / (d_n - d_p))
+       |   END / 1000000.0) AS value,
+       |  CAST(v_u IS NOT NULL AS INT) AS is_observed
+       |FROM framed
+       |ORDER BY user_id, day""".stripMargin
+
   /** SCD type-2 dimension build from an event stream: collapse each
     * user's event-type sequence into validity intervals — one row per
     * STATE CHANGE with [valid_from, valid_to) and an is_current flag.

@@ -24,9 +24,13 @@ class OpsSpec extends SparkTestBase {
     // round-5 rehearsal: xxhash64- or wide-hash-based, so rows-only like
     // the other fast twins (DedupSpec pins capped recall; SCALE_r5.json
     // measures them per scale)
+    // d_semantic_scaled swaps the oracle-gated k-means cells for
+    // corpus-scaled LSH cells (a production scale knob, like
+    // d_embedding_scaled) — rows-only; DedupSpec pins its twin census
     val rowsOnly = Set("d_minhash_lsh_fast", "d_lsh_jaccard_fast",
       "d_minhash_capped", "d_lsh_jaccard_capped", "d_simhash_wide",
-      "d_embedding_capped", "d_embedding_scaled", "d_incremental_admit_fast",
+      "d_embedding_capped", "d_embedding_scaled", "d_semantic_scaled",
+      "d_incremental_admit_fast",
       "a_quantiles_approx", "a_approx_ndv", "a_kmv_overlap", "t_perplexity", "t_freq_tokens")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
@@ -96,5 +100,40 @@ class OpsSpec extends SparkTestBase {
     val bad = SparkEntry.queries("w_rolling_mean")(spark, sfDir)
       .filter(col("rolling_avg") < mn - 1e-6 || col("rolling_avg") > mx + 1e-6)
     assert(bad.count() == 0)
+  }
+
+  test("interpolation gap fill: observed rows exact, fills bounded by neighbors") {
+    import graft.ops.Windows
+    val locf = Windows.resampleLocf(spark, sfDir)
+      .withColumnRenamed("value", "locf").cache()
+    val interp = Windows.resampleInterpolate(spark, sfDir).cache()
+    // identical grid: same (user, day) rows, same is_observed flags
+    assert(interp.count() == locf.count())
+    assert(interp.join(locf, Seq("user_id", "day", "is_observed")).count()
+      == locf.count(), "grid or observation flags diverge from LOCF")
+    // observed rows carry the exact observation (== the LOCF value there)
+    val locfVals = locf.drop("is_observed")
+    val obsDiff = interp.filter(col("is_observed") === 1)
+      .join(locfVals, Seq("user_id", "day"))
+      .filter(col("value") =!= col("locf"))
+    assert(obsDiff.count() == 0)
+    // a filled row lies within [min, max] of its bracketing observations;
+    // LOCF equals the left bracket, so |interp - locf| <= |v_n - v_p| and
+    // interp must be weakly between the LOCF value and the next observed.
+    // Verify directly against recomputed neighbours:
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    val withNext = interp.join(locfVals, Seq("user_id", "day"))
+      .withColumn("next_obs", first(when(col("is_observed") === 1, col("value")),
+        ignoreNulls = true).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+    val outOfBand = withNext.filter(col("is_observed") === 0 &&
+      (col("value") < least(col("locf"), col("next_obs")) - lit(1e-6) ||
+        col("value") > greatest(col("locf"), col("next_obs")) + lit(1e-6)))
+    assert(outOfBand.count() == 0, "an interpolated value escaped its bracket")
+    // non-vacuity: the events stream actually has interior gaps
+    assert(interp.filter(col("is_observed") === 0).count() > 0)
+    locf.unpersist(); interp.unpersist()
   }
 }
