@@ -48,9 +48,10 @@ object Multimodal {
     if (PpmCodec.isPpm(payload)) PpmCodec.decode(payload)
     else if (PngCodec.isPng(payload)) PngCodec.decode(payload)
     else if (JpegCodec.isJpeg(payload)) JpegCodec.decode(payload)
+    else if (GifCodec.isGif(payload)) GifCodec.decode(payload)
     else None
 
-  /** Dispatching decode: REAL pixels for PPM/PNG/JPEG payloads, REAL
+  /** Dispatching decode: REAL pixels for PPM/PNG/JPEG/GIF payloads, REAL
     * per-frame luma for Y4M video, REAL per-frame RGB for MJPEG/AVI
     * compressed video, stub otherwise. */
   private[multimodal] def decodePixels(payload: Array[Byte]): Array[Int] =
