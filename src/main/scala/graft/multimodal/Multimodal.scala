@@ -125,6 +125,110 @@ object Multimodal {
     }
   }
 
+  /** Spectral analysis frame: 40 ms at the 16 kHz synth rate. Fixed so
+    * every probe frequency is EXACTLY bin-aligned (bin spacing =
+    * rate/frame), which kills rectangular-window leakage ambiguity — a
+    * pure tone's nearest probe always dominates every sidelobe. */
+  val GoertzelFrame = 640
+
+  /** Probe spacing in Hz at 16 kHz / [[GoertzelFrame]] samples. */
+  val ProbeHz = 25
+
+  /** Number of probes: 25 Hz .. just under Nyquist/2 (4 kHz). */
+  val NumProbes = 159
+
+  /** Band rollup width for the energy vector (10 probes per band). */
+  val BandProbes = 10
+
+  final case class SpectralFeatures(mediaId: Long, sampleRate: Int,
+                                    nSamples: Int, peakHz: Int,
+                                    centroidHz: Int,
+                                    bandEnergyMilli: Array[Long])
+
+  /** REAL frequency-domain audio features via the Goertzel algorithm —
+    * the classic O(N) single-bin DFT (Goertzel 1958; the standard
+    * embedded/DSP device for probing known frequencies, e.g. DTMF
+    * detection). For each WAV payload: probe [[NumProbes]] bin-aligned
+    * frequencies over the first [[GoertzelFrame]] samples, emit the peak
+    * probe (dominant tone), an energy-weighted centroid, and a
+    * [[BandProbes]]-wide band-energy vector normalized to milli-units —
+    * the audio analogue of the image histogram in [[extractFeatures]],
+    * and the feature row an audio-corpus curation pipeline would key
+    * dedup/quality decisions on.
+    *
+    * Scale shape: partition-local mapPartitions with per-partition
+    * reusable buffers, zero shuffle, O(frame × probes) integer/double
+    * scalar work per item — embarrassingly parallel at any corpus size.
+    * Spec-gated ([[MultimodalOpsSpec]]): the synthesized tone's known
+    * frequency must be recovered to within one probe width. */
+  def extractSpectralFeatures(items: Dataset[MediaItem]): Dataset[SpectralFeatures] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions { it =>
+      val power = new Array[Double](NumProbes)
+      it.flatMap { m =>
+        WavCodec.decode(m.payload).map { case (rate, s) =>
+          val n = math.min(GoertzelFrame, s.length)
+          var k = 0
+          while (k < NumProbes) {
+            // bin (k+1) of an n-point DFT at this rate
+            val w = 2.0 * math.Pi * (k + 1) * ProbeHz / rate
+            val coeff = 2.0 * math.cos(w)
+            var s1 = 0.0; var s2 = 0.0
+            var i = 0
+            while (i < n) {
+              val s0 = s(i).toDouble / 32768.0 + coeff * s1 - s2
+              s2 = s1; s1 = s0
+              i += 1
+            }
+            power(k) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+            k += 1
+          }
+          var peak = 0; var total = 0.0; var wsum = 0.0
+          k = 0
+          while (k < NumProbes) {
+            if (power(k) > power(peak)) peak = k
+            total += power(k)
+            wsum += power(k) * (k + 1) * ProbeHz
+            k += 1
+          }
+          val nBands = NumProbes / BandProbes + 1
+          val bands = new Array[Long](nBands)
+          k = 0
+          while (k < NumProbes) {
+            bands(k / BandProbes) +=
+              math.round(1000.0 * power(k) / math.max(total, 1e-12))
+            k += 1
+          }
+          SpectralFeatures(m.mediaId, rate, s.length, (peak + 1) * ProbeHz,
+            math.round(wsum / math.max(total, 1e-12)).toInt, bands)
+        }
+      }
+    }
+  }
+
+  /** Bilinear resize + optional center-crop: decode, fixed-point bilinear
+    * resample ([[PpmCodec.resizeBilinear]] — deterministic across JVMs),
+    * re-encode in the source format. The quality twin of the
+    * nearest-neighbor [[resize]]; same partition-local zero-shuffle
+    * shape. Non-decodable payloads pass through unchanged (a training
+    * pipeline quarantines them via [[extractFeatures]]' stub path). */
+  def resizeBilinear(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.map { m =>
+      decodeImage(m.payload) match {
+        case Some((sw, sh, rgb)) =>
+          val resized = PpmCodec.resizeBilinear(sw, sh, rgb, w, h)
+          val out = if (PngCodec.isPng(m.payload)) PngCodec.encode(w, h, resized)
+                    else if (JpegCodec.isJpeg(m.payload)) JpegCodec.encode(w, h, resized)
+                    else PpmCodec.encode(w, h, resized)
+          m.copy(payload = out, meta = m.meta.copy(width = w, height = h, channels = 3))
+        case None => m
+      }
+    }
+  }
+
   /** Resample audio items to a new rate (REAL linear interpolation for
     * WAV payloads; others pass through). Partition-local, no shuffle. */
   def resampleAudio(items: Dataset[MediaItem], dstRate: Int): Dataset[MediaItem] = {

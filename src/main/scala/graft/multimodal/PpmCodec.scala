@@ -54,6 +54,72 @@ object PpmCodec {
     Some((w, h, rgb))
   }
 
+  /** Bilinear resample in 16.16 fixed-point integer arithmetic — fully
+    * deterministic across JVMs/platforms (no float rounding in the loop).
+    * Center-aligned sampling (src = (dst + .5)·scale − .5, the
+    * align_corners=false convention shared by PIL/OpenCV/torch), edges
+    * clamped. The interpolation weight math is exact: each output channel
+    * is a sum of four byte×weight products in a 64-bit accumulator with a
+    * single rounding shift. */
+  def resizeBilinear(w: Int, h: Int, rgb: Array[Byte],
+                     nw: Int, nh: Int): Array[Byte] = {
+    val out = new Array[Byte](nw * nh * 3)
+    val Fp = 16
+    val One = 1L << Fp
+    // scale in 16.16: src span per dst pixel
+    val sxStep = (w.toLong << Fp) / nw
+    val syStep = (h.toLong << Fp) / nh
+    var y = 0
+    while (y < nh) {
+      // center-aligned source coordinate, clamped at the borders
+      val syFx0 = ((2L * y + 1) * syStep - One) / 2
+      val syFx = math.max(0L, math.min(syFx0, (h.toLong - 1) << Fp))
+      val y0 = (syFx >> Fp).toInt
+      val y1 = math.min(y0 + 1, h - 1)
+      val wy = syFx & (One - 1)
+      var x = 0
+      while (x < nw) {
+        val sxFx0 = ((2L * x + 1) * sxStep - One) / 2
+        val sxFx = math.max(0L, math.min(sxFx0, (w.toLong - 1) << Fp))
+        val x0 = (sxFx >> Fp).toInt
+        val x1 = math.min(x0 + 1, w - 1)
+        val wx = sxFx & (One - 1)
+        val dst = (y * nw + x) * 3
+        var c = 0
+        while (c < 3) {
+          val p00 = rgb((y0 * w + x0) * 3 + c) & 0xff
+          val p01 = rgb((y0 * w + x1) * 3 + c) & 0xff
+          val p10 = rgb((y1 * w + x0) * 3 + c) & 0xff
+          val p11 = rgb((y1 * w + x1) * 3 + c) & 0xff
+          val top = p00 * (One - wx) + p01 * wx        // 8.16
+          val bot = p10 * (One - wx) + p11 * wx
+          val v = (top * (One - wy) + bot * wy + (1L << (2 * Fp - 1))) >> (2 * Fp)
+          out(dst + c) = v.toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Center crop to (cw, ch), clamped to the source size. */
+  def centerCrop(w: Int, h: Int, rgb: Array[Byte],
+                 cw: Int, ch: Int): (Int, Int, Array[Byte]) = {
+    val ow = math.min(cw, w)
+    val oh = math.min(ch, h)
+    val x0 = (w - ow) / 2
+    val y0 = (h - oh) / 2
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      System.arraycopy(rgb, ((y0 + y) * w + x0) * 3, out, y * ow * 3, ow * 3)
+      y += 1
+    }
+    (ow, oh, out)
+  }
+
   /** Nearest-neighbor resample — the deterministic resize every engine
     * agrees on. */
   def resizeNearest(w: Int, h: Int, rgb: Array[Byte],

@@ -168,6 +168,55 @@ object Events {
       |LEFT JOIN s3 ON s1.user_id = s3.user_id
       |ORDER BY s1.user_id""".stripMargin
 
+  /** Conversion attribution: every purchase credited to the user's most
+    * recent prior view/click (last-touch) and their earliest one
+    * (first-touch), rolled up per conversion day × touch pair — the
+    * standard marketing-attribution query, and the batch twin of what a
+    * real pipeline runs continuously.
+    *
+    * Shape: ONE window pass per user carries both touches as
+    * ignore-nulls last/first over an unbounded-preceding row frame (no
+    * self-join, no as-of join — the LOCF device [[Windows]] uses for
+    * resampling). The purchase filter then shrinks the stream before the
+    * day-level aggregate; the only exchanges are the user_id hash and the
+    * final small rollup. Ties inside a timestamp are totalized by
+    * event_id, so the credited touch is deterministic on both engines. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touch = when($"event_type".isin("view", "click"), $"event_type")
+    Tables.events(spark, dir)
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase" && $"last_touch".isNotNull)
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"),
+        $"last_touch", $"first_touch")
+      .agg(count(lit(1)).as("n_conversions"),
+           exactSum($"value").as("attributed_value"))
+      .orderBy($"day", $"last_touch", $"first_touch")
+  }
+
+  val attributionSql: String =
+    s"""WITH t AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN event_type IN ('view','click')
+       |                    THEN event_type END IGNORE NULLS)
+       |      OVER w AS last_touch,
+       |    first_value(CASE WHEN event_type IN ('view','click')
+       |                     THEN event_type END IGNORE NULLS)
+       |      OVER w AS first_touch
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT strftime(ts, '%Y-%m-%d') AS day, last_touch, first_touch,
+       |  count(*) AS n_conversions,
+       |  ${sqlExactSum("value")} AS attributed_value
+       |FROM t
+       |WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+       |GROUP BY 1, 2, 3
+       |ORDER BY day, last_touch, first_touch""".stripMargin
+
   /** Cohort retention matrix: users bucketed by the ISO week of their
     * first event (the cohort), counted in each subsequent week they were
     * active — the standard product-analytics retention triangle.

@@ -354,6 +354,64 @@ object Windows {
     * first's exchange; ties at one timestamp are totalized by the state
     * string. At 100 TB this is one shuffle on user_id regardless of
     * history depth. */
+  /** EWMA frame depth: weights below 2^-8 contribute < 0.4% and a bounded
+    * frame keeps the window a single streaming pass. */
+  val EwmaDepth = 8
+
+  /** W2 variant: exponentially weighted moving average of `value` per
+    * user — the time-series smoother pandas spells `.ewm(alpha=.5).mean()`
+    * (the adjusted form: weights renormalized over the rows actually
+    * present). The reference smooths tracking series with flat rolling
+    * means (movement_stats cell 2); EWMA is the recency-weighted twin
+    * every monitoring/feature pipeline also wants, and the interesting
+    * part is making a RECURSIVE definition exact and order-stable on two
+    * engines at once.
+    *
+    * Shape: the recursion is unrolled into a bounded trailing frame of
+    * [[EwmaDepth]] lags (α = 1/2 ⇒ weights below the frame are < 2^-8 —
+    * truncation pandas itself allows via `.ewm(... ).mean()` on a rolling
+    * slice). Each term is integer micros × a power-of-two weight, so
+    * numerator and denominator are exact BIGINTs in both engines
+    * (order-independent, AQE/partitioning-proof like [[Num.exactSum]]),
+    * and the single double division at the end is the same IEEE-754 op on
+    * both sides. One window pass, [[EwmaDepth]] lag expressions, all
+    * inside whole-stage codegen; the only exchange is the user_id hash —
+    * the 100-TB plan shape. */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val xm = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", micros($"value").as("xm"))
+    val terms = (0 until EwmaDepth).map { j =>
+      val wt = 1L << (EwmaDepth - 1 - j) // newest lag gets the top weight
+      (coalesce(lag($"xm", j).over(w), lit(0L)) * wt,
+        when(lag($"xm", j).over(w).isNull, 0L).otherwise(wt))
+    }
+    xm.withColumn("num", terms.map(_._1).reduce(_ + _))
+      .withColumn("den", terms.map(_._2).reduce(_ + _))
+      .select($"event_id", $"user_id",
+        ($"num".cast("double") / ($"den" * lit(1000000.0))).as("ewma_value"))
+      .orderBy($"event_id")
+  }
+
+  val ewmaSql: String = {
+    val terms = (0 until EwmaDepth).map { j =>
+      val wt = 1L << (EwmaDepth - 1 - j)
+      (s"COALESCE(lag(xm, $j) OVER w, 0) * $wt",
+        s"CASE WHEN lag(xm, $j) OVER w IS NULL THEN 0 ELSE $wt END")
+    }
+    s"""SELECT event_id, user_id,
+       |  CAST(num AS DOUBLE) / (den * 1000000.0) AS ewma_value
+       |FROM (
+       |  SELECT event_id, user_id,
+       |    ${terms.map(_._1).mkString(" + ")} AS num,
+       |    ${terms.map(_._2).mkString(" + ")} AS den
+       |  FROM (SELECT event_id, user_id, ts, ${Num.sqlMicros("value")} AS xm
+       |        FROM events)
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+       |ORDER BY event_id""".stripMargin
+  }
+
   def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
