@@ -117,7 +117,10 @@ object IncrementalDedup {
       .join(dupOf, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         col("dup_of").isNotNull.cast("long").as("is_dup"), col("dup_of"))
-      .orderBy("doc_id")
+      // unordered by contract — callers that need an order sort the
+      // union once (admitThreeWay), not per batch; a per-batch orderBy
+      // booked a range-partitioning sample job per micro-batch for rows
+      // whose order nobody reads
       // eager localCheckpoint: materialize BEFORE the store append mutates
       // what a re-read would see (flags are replay-stable either way), cut
       // the lineage so later actions never re-probe, and let the blocks
@@ -129,7 +132,13 @@ object IncrementalDedup {
       .select(col("band") +:
         (0 until Dedup.RowsPerBand).map(r => col(s"k$r")) :+
         col("batch_owner").as("owner") :+ col("bp"): _*)
-    newBuckets.write.mode("append").partitionBy("bp").parquet(storeDir)
+    // repartition ON the partition column first: without it every shuffle
+    // partition writes a file into every `bp=` dir (tasks × StoreParts
+    // small files per batch — the dominant admitBatch cost measured at
+    // sf0.1, and the classic small-files explosion at crawl scale);
+    // with it, exactly one file per touched bp per batch
+    newBuckets.repartition(col("bp"))
+      .write.mode("append").partitionBy("bp").parquet(storeDir)
     bands.unpersist(); bmin.unpersist(); storedHits.unpersist()
     flags
   }
