@@ -441,4 +441,46 @@ object Aggregates {
       |FROM flagged
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** Pearson chi-square contingency cells for lang x source association —
+    * the categorical-independence screen a corpus-mix audit runs (are
+    * sources language-skewed?). Emits one row per observed cell with its
+    * expected count and chi2 contribution; summing `chi2_cell` gives the
+    * test statistic, but the PER-CELL form is the actionable output (it
+    * names the skewed cells) and keeps the oracle hash exact: every value
+    * is integer arithmetic until one shared-shape double expression
+    * ((o*n - rn*cn)^2 / (rn*cn*n), computed identically in both
+    * engines). Scale: three aggregates over the same small cell table +
+    * broadcast-sized joins - the heavy lifting is the first groupBy,
+    * map-side combinable on (lang, source). */
+  def chi2Cells(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.documents(spark, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+    val tot = cells.agg(sum($"o").as("n"))
+    val rt = cells.groupBy($"lang").agg(sum($"o").as("row_n"))
+    val ct = cells.groupBy($"source").agg(sum($"o").as("col_n"))
+    val num = ($"o" * $"n" - $"row_n" * $"col_n").cast("double")
+    cells.join(rt, "lang").join(ct, "source").crossJoin(tot)
+      .select($"lang", $"source", $"o".as("observed"),
+        (($"row_n" * $"col_n").cast("double") / $"n").as("expected"),
+        (num * num / (($"row_n" * $"col_n").cast("double") * $"n"))
+          .as("chi2_cell"))
+      .orderBy("lang", "source")
+  }
+
+  val chi2CellsSql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT sum(o) AS n FROM cells),
+      |rt AS (SELECT lang, sum(o) AS row_n FROM cells GROUP BY 1),
+      |ct AS (SELECT source, sum(o) AS col_n FROM cells GROUP BY 1)
+      |SELECT c.lang, c.source, CAST(c.o AS BIGINT) AS observed,
+      |  CAST(rt.row_n * ct.col_n AS DOUBLE) / n AS expected,
+      |  CAST(c.o * n - rt.row_n * ct.col_n AS DOUBLE)
+      |    * CAST(c.o * n - rt.row_n * ct.col_n AS DOUBLE)
+      |    / (CAST(rt.row_n * ct.col_n AS DOUBLE) * n) AS chi2_cell
+      |FROM cells c, tot, rt, ct
+      |WHERE c.lang = rt.lang AND c.source = ct.source
+      |ORDER BY c.lang, c.source""".stripMargin
 }

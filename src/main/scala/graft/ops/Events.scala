@@ -217,6 +217,39 @@ object Events {
        |GROUP BY 1, 2, 3
        |ORDER BY day, last_touch, first_touch""".stripMargin
 
+  /** Path mining: the most common 3-step event sequences across users —
+    * the "what do people actually do" query next to [[funnel]]'s "do they
+    * do THIS". One lag window per user builds consecutive triples
+    * in-row (no self-joins — the naive form is two self-joins on
+    * adjacent ranks), then a plain count + top-k. Ties totalized by
+    * (count DESC, path ASC) so the limit is deterministic on both
+    * engines. Scale: one user_id exchange + one path-keyed aggregate;
+    * paths are a small domain (|event_types|³), so the final agg is
+    * map-side combined down to almost nothing. */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("e2", lag($"event_type", 2).over(w))
+      .withColumn("e1", lag($"event_type", 1).over(w))
+      .filter($"e2".isNotNull)
+      .select(concat_ws(">", $"e2", $"e1", $"event_type").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(25)
+  }
+
+  val topPathsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type, 2) OVER w AS e2,
+      |    lag(event_type, 1) OVER w AS e1
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT e2 || '>' || e1 || '>' || event_type AS path, count(*) AS n
+      |FROM seq WHERE e2 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin
+
   /** Cohort retention matrix: users bucketed by the ISO week of their
     * first event (the cohort), counted in each subsequent week they were
     * active — the standard product-analytics retention triangle.

@@ -178,6 +178,13 @@ object ScaleBench {
       "t_doc_keywords" -> (graft.ops.TextOps.docKeywords _),
       "t_quality_classifier" -> (graft.ops.TextOps.qualityClassifier _),
       "w_scd2_intervals" -> (graft.ops.Windows.scd2Intervals _),
+      // round-7 additions: ewma/attribution are one user_id exchange over
+      // a corpus that grows by USERS (series length fixed — no window
+      // frame ever grows); merge is one full-outer join whose source side
+      // stays customer-keyed while order counts grow ×N inside the agg
+      "w_ewma" -> (graft.ops.Windows.ewma _),
+      "e_attribution" -> (graft.ops.Events.attribution _),
+      "s_merge_upsert" -> (graft.ops.Merge.mergeUpsert _),
       "a_kmv_overlap" -> ((s: SparkSession, d: String) =>
         graft.ops.Sketches.kmvUserOverlap(s, d)),
       "s_zorder_key" -> (graft.ops.ZOrder.zKeyQuery _))

@@ -84,6 +84,16 @@ object TextFormats {
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame =
     roundtrip(spark, dir, writeCsv, readCsv, "csv")
 
+  /** `s_orc_roundtrip`: the second columnar format Spark ships natively.
+    * Not a text format, but it rides the same gate: zstd ORC out, read
+    * back with the declared schema — type mapping and compression must
+    * be lossless, and ORC brings its own predicate pushdown/statistics
+    * at scale (the parquet alternative for ORC-standardized shops). */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, dir,
+      (df, d) => df.write.mode("overwrite").option("compression", "zstd").orc(d),
+      (s, d, schema) => s.read.schema(schema).orc(d), "orc")
+
   val roundtripSql: String =
     """SELECT doc_id, text, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
