@@ -57,6 +57,47 @@ class MergeSpec extends SparkTestBase {
     assert(out.filter($"id" === 9L).count() == 0)
   }
 
+  test("fuzz: mergeInto agrees with a scalar reference on random tables") {
+    // deterministic LCG so failures reproduce
+    var seed = 0x9e3779b97f4a7c15L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    (0 until 20).foreach { trial =>
+      val tgtRows = (0 until 30).map(_ => (nextInt(20).toLong, nextInt(100).toLong))
+        .distinctBy(_._1)
+      val srcRows = (0 until 30).map(_ => (nextInt(25).toLong, nextInt(100).toLong))
+        .distinctBy(_._1)
+      // clause thresholds drawn per trial; two matched clauses + insert
+      val t1 = nextInt(100); val t2 = nextInt(100)
+      val out = Merge.mergeInto(
+        tgtRows.toDF("id", "v"), srcRows.toDF("id", "amt"),
+        "id", "id",
+        Seq(
+          Matched(col("s.amt") < t1, delete = true),
+          Matched(col("s.amt") < t2,
+            set = Map("v" -> (col("t.v") + col("s.amt"))))),
+        insert = Some(Map("id" -> col("s.id"), "v" -> col("s.amt"))))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // scalar reference with the same first-true-wins semantics
+      val src = srcRows.toMap
+      val ref = scala.collection.mutable.Map.empty[Long, Long]
+      tgtRows.foreach { case (id, v) =>
+        src.get(id) match {
+          case Some(amt) if amt < t1 => () // delete
+          case Some(amt) if amt < t2 => ref(id) = v + amt
+          case _ => ref(id) = v
+        }
+      }
+      srcRows.foreach { case (id, amt) =>
+        if (!tgtRows.exists(_._1 == id)) ref(id) = amt
+      }
+      assert(out == ref.toMap,
+        s"trial $trial (t1=$t1 t2=$t2): $out vs $ref")
+    }
+  }
+
   test("s_merge_upsert exercises every clause class") {
     val out = Merge.mergeUpsert(spark, sfDir).cache()
     val customers = Tables.customer(spark, sfDir)

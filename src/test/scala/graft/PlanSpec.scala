@@ -312,4 +312,41 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.contains("ScalaUDF"), p)
   }
+
+  test("ewma: eight lags ride ONE user_id window exchange, pruned scan") {
+    val p = plan(SparkEntry.queries("w_ewma")(spark, sfDir))
+    val userExchanges = p.linesIterator
+      .count(_.contains("hashpartitioning(user_id"))
+    assert(userExchanges == 1, s"lag frame must share one exchange:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"),
+      s"over-wide scan: $readSchema")
+  }
+
+  test("attribution: both touch carriers share one user_id exchange") {
+    val p = plan(SparkEntry.queries("e_attribution")(spark, sfDir))
+    val userExchanges = p.linesIterator
+      .count(_.contains("hashpartitioning(user_id"))
+    assert(userExchanges == 1,
+      s"last/first touch windows must reuse one exchange:\n$p")
+  }
+
+  test("top paths: one window exchange, partial agg, top-k without global sort") {
+    val p = plan(SparkEntry.queries("e_top_paths")(spark, sfDir))
+    assert(p.linesIterator
+      .count(_.contains("hashpartitioning(user_id")) == 1, p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"path counts must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit 25 must not globally sort:\n$p")
+  }
+
+  test("merge upsert: one full-outer equi-join, no nested-loop anywhere") {
+    val p = plan(SparkEntry.queries("s_merge_upsert")(spark, sfDir))
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"merge must stay an equi-join:\n$p")
+    assert(!p.contains("ScalaUDF"), "clause chain must be codegen when()s")
+  }
 }
