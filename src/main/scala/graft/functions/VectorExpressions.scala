@@ -177,5 +177,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // scaladoc); every session built with this extension — including the
     // driver's Verify/Bench — runs its window-top-k queries through it
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+    // whole-operator extension point: the native as-of join's planner
+    // strategy (logical AsOfJoin node -> sort-merge AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinPlan.Strategy)
   }
 }

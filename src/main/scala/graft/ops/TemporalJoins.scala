@@ -83,6 +83,28 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
+  /** `j_asof_native`: the same as-of query through the CUSTOM PHYSICAL
+    * OPERATOR ([[graft.plans.AsOfJoinPlan]] — logical node + strategy +
+    * sort-merge SparkPlan) instead of the union-window composition. Both
+    * run against the identical DuckDB ASOF JOIN oracle, so the hash gate
+    * proves the custom executor end to end; AsOfJoinSpec additionally
+    * pins row-parity between the two forms on adversarial fixtures. */
+  def asofLastViewNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val right = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts_us").agg(max("value").as("last_view_value"))
+      .select(col("user_id").as("r_user_id"),
+        col("ts_us").as("last_view_ts_us"), col("last_view_value"))
+    val left = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("value").as("purchase_value"))
+    graft.plans.AsOfJoinPlan.asofJoinNative(left, right,
+        Seq("user_id"), Seq("r_user_id"), "ts_us", "last_view_ts_us")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("purchase_value"), col("last_view_ts_us"), col("last_view_value"))
+      .orderBy("event_id")
+  }
+
   val asofLastViewSql: String =
     """WITH r AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS view_value
