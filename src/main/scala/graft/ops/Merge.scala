@@ -47,6 +47,8 @@ object Merge {
                 keyT: String, keyS: String,
                 matched: Seq[Matched],
                 insert: Option[Map[String, Column]]): DataFrame = {
+    require(!(target.columns ++ source.columns).exists(Set("__t", "__s", "__action")),
+      "mergeInto reserves the __t/__s/__action column names")
     val t = target.withColumn("__t", lit(true)).alias("t")
     val s = source.withColumn("__s", lit(true)).alias("s")
     val joined = t.join(s, col(s"t.$keyT") === col(s"s.$keyS"), "full_outer")

@@ -35,7 +35,12 @@ object TemporalJoins {
     * Shape: union both sides, ONE window pass per key — right rows sort
     * before left rows at equal ts (side 0 < 1) so a running
     * `last(_, ignoreNulls)` is exactly the as-of match. One shuffle on
-    * `keys`, zero row blow-up, any number of value columns. */
+    * `keys`, zero row blow-up, any number of value columns.
+    *
+    * Null-key caveat: window partitioning groups nulls together, so
+    * null-key left rows WOULD match null-key right rows — unlike SQL
+    * join semantics (and [[graft.plans.AsOfJoinPlan]], which drops
+    * them). Filter null keys first if the input can contain them. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                ts: String, strict: Boolean = false): DataFrame = {
     val rightVals = right.columns.toSeq.filterNot(c => keys.contains(c) || c == ts)

@@ -354,6 +354,39 @@ object Windows {
     * first's exchange; ties at one timestamp are totalized by the state
     * string. At 100 TB this is one shuffle on user_id regardless of
     * history depth. */
+  /** W2 sibling: EXACT rolling median over the same 5-event trailing
+    * frame as [[rollingMean]] — the robust smoother (one outlier moves a
+    * mean by x/n, a median not at all). No built-in windowed median
+    * exists; the frame is collected in-row (bounded: K values), sorted,
+    * and indexed — O(K log K) per row inside codegen'd expressions, one
+    * user_id exchange. Exactness device: median over integer MICROS —
+    * odd frames index exactly, even frames average two exact integers
+    * ((a+b)/2 is an exact dyadic at these magnitudes in every
+    * formulation), so both engines' interpolation agree bit-for-bit
+    * before the single /1e6. */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-4, 0)
+    Tables.events(spark, dir)
+      .withColumn("xs", array_sort(collect_list(micros($"value")).over(w)))
+      .select($"event_id", $"user_id",
+        (when(size($"xs") % 2 === 1,
+            element_at($"xs", ((size($"xs") + 1) / 2).cast("int")).cast("double"))
+          .otherwise((element_at($"xs", (size($"xs") / 2).cast("int")) +
+            element_at($"xs", (size($"xs") / 2).cast("int") + 1)).cast("double") / 2.0)
+          / 1000000.0).as("rolling_median"))
+      .orderBy("event_id")
+  }
+
+  val rollingMedianSql: String =
+    s"""SELECT event_id, user_id,
+       |  median(${Num.sqlMicros("value")})
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+       |    / 1000000.0 AS rolling_median
+       |FROM events ORDER BY event_id""".stripMargin
+
   /** EWMA frame depth: weights below 2^-8 contribute < 0.4% and a bounded
     * frame keeps the window a single streaming pass. */
   val EwmaDepth = 8

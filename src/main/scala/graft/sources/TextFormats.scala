@@ -69,8 +69,11 @@ object TextFormats {
     val tmp = java.nio.file.Files.createTempDirectory(s"rt_$tag").toString
     via(docs, tmp)
     back(spark, tmp, graft.Tables.documentsSchema)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        col("n_chars"))
+      // CSV has no portable encoding of "" distinct from NULL; the
+      // documents corpus carries no null text, so restoring empties is
+      // exact (and a no-op on the JSONL/ORC paths, which round-trip "")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
       .orderBy("doc_id")
   }
 

@@ -39,6 +39,33 @@ class EventsWindowSpec extends SparkTestBase {
     assert(r.last < 20.0, s"spike at idx 7 over-persists: ${r.last}")
   }
 
+  test("rolling median matches a scalar reference and shrugs off outliers") {
+    def ref(xs: Seq[Double]): Seq[Double] = xs.indices.map { i =>
+      val fr = xs.slice(math.max(0, i - 4), i + 1)
+        .map(v => math.floor(v * 1e6 + 0.5).toLong).sorted
+      val n = fr.length
+      val m = if (n % 2 == 1) fr(n / 2).toDouble
+              else (fr(n / 2 - 1) + fr(n / 2)).toDouble / 2.0
+      m / 1e6
+    }
+    val uid = Tables.events(spark, sfDir).groupBy($"user_id")
+      .agg(count(lit(1)).as("n")).orderBy($"n".desc).head().getLong(0)
+    val series = Tables.events(spark, sfDir)
+      .filter($"user_id" === uid).orderBy($"ts", $"event_id")
+      .select($"event_id", $"value").collect()
+    val expected = ref(series.map(_.getDouble(1)).toSeq)
+    val got = ops.Windows.rollingMedian(spark, sfDir)
+      .filter($"user_id" === uid).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    series.map(_.getLong(0)).zip(expected).foreach { case (eid, e) =>
+      assert(got(eid) == e, s"event $eid: ${got(eid)} vs $e")
+    }
+    // robustness: a spike in a 5-frame moves the median to at most the
+    // frame's 2nd-largest value, never the spike itself
+    val spiked = ref(Seq(1.0, 2.0, 3.0, 1e6, 2.0))
+    assert(spiked.last == 2.0)
+  }
+
   test("attribution credits the latest prior touch, ties by event_id") {
     val ev = Seq(
       // user 1: view then click then purchase -> last=click, first=view
