@@ -1,0 +1,189 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.HashExpressions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators for pretraining curation (SURVEY.md §2.13):
+  * DSIR-style importance weighting against a target distribution, and
+  * deterministic epoch shuffling into training shards.
+  *
+  * DSIR (Data Selection via Importance Resampling, Xie et al. 2023,
+  * arXiv:2302.03169) fits two hashed-bag-of-ngrams generative models —
+  * one over a small trusted "target" corpus, one over the raw pool —
+  * and scores every raw document by its log importance ratio
+  * `Σ_b c_db · (ln p̂_target[b] − ln p̂_raw[b])`. Documents are then kept
+  * top-k (or Gumbel-resampled) by that weight.
+  *
+  * Scale shape (the whole point of hashing the features): the model is
+  * B buckets, not a vocabulary — [[dsirBins]] reduces any corpus to
+  * exactly B rows, which then BROADCAST to the scoring join. Per-doc
+  * feature extraction is a map-side explode with partial aggregation on
+  * (doc_id, bucket); the only full shuffle is keyed on doc_id, which is
+  * uniform by construction. Nothing in the pipeline is proportional to
+  * vocabulary size, and no all-pairs structure exists anywhere.
+  *
+  * Cross-engine determinism follows the PSI precedent (Drift.psiBins):
+  * the integer core — hashed bucket counts for both models — is
+  * oracle-gated exactly; the `ln` step (engine-specific libm) is
+  * spec-gated against an independent driver-side reference.
+  */
+object DataSelection {
+
+  /** Hashed feature buckets. Real DSIR uses 10k; 512 keeps the oracle
+    * table readable while exercising the identical plan shape. */
+  val DsirBuckets = 512
+  /** Hex digits of the md5 prefix used as the bucket hash (60 bits —
+    * same convention as the dedup shingle hashes, Dedup.scala). */
+  val DsirHashHex = 15
+  /** Stand-in target distribution: English documents. */
+  val DsirTargetLang = "en"
+  /** Laplace smoothing pseudo-count for both models. */
+  val DsirAlpha = 1.0
+  /** Documents kept by the selection step. */
+  val DsirKeep = 100
+
+  /** Hashed unigram+bigram feature stream: one (doc_id, lang, bucket)
+    * row per gram occurrence. Guarded `when` keeps Spark's descending
+    * `sequence(1, 0)` from manufacturing bigrams for 1-token docs
+    * (DuckDB's generate_series is empty there). */
+  private def featureBuckets(spark: SparkSession, dir: String): DataFrame = {
+    HashExpressions.register(spark)
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", split(trim(lower($"text")), "\\s+").as("t"))
+    val bigrams = when(size($"t") >= 2,
+      expr("transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
+      .otherwise(expr("CAST(array() AS array<string>)"))
+    docs
+      .select($"doc_id", $"lang", explode(concat($"t", bigrams)).as("g"))
+      .select($"doc_id", $"lang",
+        (HashExpressions.md5Prefix64($"g", DsirHashHex) % DsirBuckets).as("bucket"))
+  }
+
+  /** Oracle-gated integer core: per-bucket gram-occurrence counts for
+    * the target model (lang = en) and the raw model (everything). */
+  def dsirBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    featureBuckets(spark, dir)
+      .groupBy($"bucket")
+      .agg(sum(when($"lang" === DsirTargetLang, 1L).otherwise(0L)).as("target_n"),
+           count(lit(1)).as("raw_n"))
+      .orderBy($"bucket")
+  }
+
+  val dsirBinsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |base AS (SELECT doc_id, lang, t, len(t) AS n FROM toks),
+       |uni AS (
+       |  SELECT doc_id, lang, t[i] AS g
+       |  FROM base, UNNEST(generate_series(1, n)) AS s(i)),
+       |bi AS (
+       |  SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS g
+       |  FROM base, UNNEST(generate_series(1, n - 1)) AS s(i)
+       |  WHERE n >= 2),
+       |grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+       |SELECT
+       |  (CAST(('0x' || substring(md5(g), 1, $DsirHashHex)) AS BIGINT)
+       |     % $DsirBuckets) AS bucket,
+       |  CAST(count(*) FILTER (WHERE lang = '$DsirTargetLang') AS BIGINT) AS target_n,
+       |  count(*) AS raw_n
+       |FROM grams
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+
+  /** Per-document importance log-weights and the top-[[DsirKeep]]
+    * selection flag. Rows-only in the oracle (libm ln); the arithmetic
+    * is spec-gated against a driver-side scalar reference
+    * (DataSelectionSpec).
+    *
+    * Plan: B-row model → broadcast; per-doc partial agg on
+    * (doc_id, bucket); one doc_id-keyed shuffle; rank via a single
+    * global sort of n_docs rows (the selection output — small by
+    * definition; at 100 TB you'd threshold on the weight quantile
+    * instead, same plan minus the window). */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bins = dsirBins(spark, dir)
+    val b = lit(DsirBuckets.toDouble)
+    val a = lit(DsirAlpha)
+    // Totals are two scalars; fold them in with a window-free cross of
+    // the B-row frame (stays tiny, then broadcasts).
+    val totals = bins.agg(sum($"target_n").cast("double").as("t_total"),
+                          sum($"raw_n").cast("double").as("r_total"))
+    val model = bins.crossJoin(broadcast(totals))
+      .select($"bucket",
+        (log(($"target_n" + a) / ($"t_total" + a * b)) -
+         log(($"raw_n" + a) / ($"r_total" + a * b))).as("log_ratio"))
+    val perDoc = featureBuckets(spark, dir)
+      .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("c"))
+    val scored = perDoc
+      .join(broadcast(model), "bucket")
+      .groupBy($"doc_id")
+      .agg(sum($"c" * $"log_ratio").as("weight"), sum($"c").as("n_grams"))
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"weight".desc, $"doc_id")))
+      .select($"doc_id", $"weight", $"n_grams",
+              ($"rk" <= DsirKeep).as("selected"))
+      .orderBy($"doc_id")
+  }
+
+  /** Shards for the deterministic epoch shuffle. */
+  val ShuffleShards = 8
+  /** Seed prefix — vary per epoch for a fresh order. */
+  val ShuffleSeed = "epoch0"
+
+  private def shuffleKey(docId: Column): Column =
+    md5(concat(lit(ShuffleSeed + ":"), docId.cast("string")).cast("binary"))
+
+  /** Deterministic epoch shuffle: every document gets a pseudorandom
+    * rank `md5(seed:doc_id)` and a shard `hash % S`; training readers
+    * stream each shard in rank order. The per-shard `order_md5` chain
+    * makes the ORDER itself oracle-checkable, not just membership.
+    *
+    * Scale: shard assignment is map-only; the production write is
+    * `repartition(S, shard).sortWithinPartitions(h)` (see
+    * DataSelectionSpec's layout test) — no global sort, no driver
+    * state, rerunnable for any epoch by changing the seed. The
+    * collect_list here exists only to fold the order into one digest
+    * per shard for verification; it never ships document text. */
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    HashExpressions.register(spark)
+    import spark.implicits._
+    val keyed = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        shuffleKey($"doc_id").as("h"),
+        (HashExpressions.md5Prefix64(
+          concat(lit(ShuffleSeed + ":"), $"doc_id".cast("string")),
+          DsirHashHex) % ShuffleShards).as("shard"))
+    keyed
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_chars").as("total_chars"),
+           md5(concat_ws(",",
+             expr("transform(array_sort(collect_list(struct(h, doc_id))), x -> CAST(x.doc_id AS STRING))"))
+             .cast("binary")).as("order_md5"))
+      .orderBy($"shard")
+  }
+
+  val shardShuffleSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, n_chars,
+       |    md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)) AS h,
+       |    (CAST(('0x' || substring(
+       |       md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)), 1, $DsirHashHex))
+       |       AS BIGINT) % $ShuffleShards) AS shard
+       |  FROM documents)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id))
+       |    AS order_md5
+       |FROM k
+       |GROUP BY 1
+       |ORDER BY shard""".stripMargin
+}

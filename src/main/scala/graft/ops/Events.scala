@@ -289,4 +289,52 @@ object Events {
       |FROM cells
       |GROUP BY 1, 2
       |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** Additive seasonal decomposition of the daily event count: per-day
+    * volume split into a day-of-week seasonal component (the mean count
+    * for that weekday) and a residual — the classical seasonal-mean
+    * decomposition dashboards run before anomaly thresholds.
+    *
+    * Determinism: the weekday index is pure integer arithmetic
+    * (`epoch_day % 7`, 0 = Thursday) — no engine-specific DOW
+    * convention — and the seasonal mean is integer basis points
+    * (`(sum·10000) div count`, all positive), so residuals are exact
+    * integers in both engines.
+    *
+    * Scale: the event scan reduces to one row per day first (the only
+    * large shuffle, keyed on day), after which the weekday window runs
+    * over a frame whose size is the calendar, not the corpus. */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow", pmod(datediff($"d", lit("1970-01-01").cast("date")), lit(7)).cast("long"))
+    val byDow = Window.partitionBy($"dow")
+    daily
+      .withColumn("seasonal_bp",
+        expr("(sum(n_events) OVER (PARTITION BY dow) * 10000) DIV count(*) OVER (PARTITION BY dow)"))
+      .select(date_format($"d", "yyyy-MM-dd").as("day"), $"dow",
+        $"n_events",
+        $"seasonal_bp",
+        ($"n_events" * 10000 - $"seasonal_bp").as("resid_bp"))
+      .orderBy($"day")
+  }
+
+  val seasonalDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+      |  FROM events GROUP BY 1),
+      |dowed AS (
+      |  SELECT d, n_events,
+      |    CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS dow
+      |  FROM daily)
+      |SELECT strftime(d, '%Y-%m-%d') AS day, dow, n_events,
+      |  CAST((sum(n_events) OVER (PARTITION BY dow) * 10000)
+      |    // count(*) OVER (PARTITION BY dow) AS BIGINT) AS seasonal_bp,
+      |  CAST(n_events * 10000 -
+      |    (sum(n_events) OVER (PARTITION BY dow) * 10000)
+      |      // count(*) OVER (PARTITION BY dow) AS BIGINT) AS resid_bp
+      |FROM dowed
+      |ORDER BY day""".stripMargin
 }

@@ -1,0 +1,140 @@
+package graft
+
+import graft.ops.DataSelection
+import org.apache.spark.sql.functions._
+
+/** DSIR importance weighting + epoch shuffle + seasonal decomposition.
+  * The integer bucket cores are oracle-gated by the driver; these specs
+  * cover the pieces the DuckDB oracle can't: the ln-weight arithmetic
+  * (vs an independent scalar reference), the selection semantics, the
+  * production shard layout, and the residual bound of the decomposition. */
+class DataSelectionSpec extends SparkTestBase {
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bucketOf(gram: String): Long =
+    java.lang.Long.parseLong(md5Hex(gram).take(DataSelection.DsirHashHex), 16) %
+      DataSelection.DsirBuckets
+
+  private def gramsOf(text: String): Seq[String] = {
+    val t = text.trim.toLowerCase.split("\\s+").toSeq
+    t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+  }
+
+  test("dsir weights match an independent scalar reference") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+
+    // reference model, computed with plain Scala collections + Math.log
+    val byDoc = docs.map { case (id, _, tx) =>
+      id -> gramsOf(tx).groupBy(bucketOf).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val raw = new scala.collection.mutable.HashMap[Long, Long]().withDefaultValue(0L)
+    val tgt = new scala.collection.mutable.HashMap[Long, Long]().withDefaultValue(0L)
+    docs.foreach { case (id, lang, _) =>
+      byDoc(id).foreach { case (b, c) =>
+        raw(b) += c
+        if (lang == DataSelection.DsirTargetLang) tgt(b) += c
+      }
+    }
+    val (a, bn) = (DataSelection.DsirAlpha, DataSelection.DsirBuckets.toDouble)
+    val (tTot, rTot) = (tgt.values.sum.toDouble, raw.values.sum.toDouble)
+    def refWeight(id: Long): Double = byDoc(id).map { case (b, c) =>
+      c * (math.log((tgt(b) + a) / (tTot + a * bn)) -
+           math.log((raw(b) + a) / (rTot + a * bn)))
+    }.sum
+
+    val got = DataSelection.dsirWeights(spark, sfDir)
+      .select($"doc_id", $"weight", $"selected")
+      .as[(Long, Double, Boolean)].collect()
+    assert(got.length == docs.length)
+    got.foreach { case (id, w, _) =>
+      val r = refWeight(id)
+      assert(math.abs(w - r) <= 1e-9 * math.max(1.0, math.abs(r)),
+        s"doc $id: spark=$w ref=$r")
+    }
+    val nSel = got.count(_._3)
+    assert(nSel == math.min(DataSelection.DsirKeep, docs.length))
+    // the target language must, on average, outscore the rest — the
+    // entire point of the importance ratio
+    val langOf = docs.map(d => d._1 -> d._2).toMap
+    val enW = got.filter(g => langOf(g._1) == "en").map(_._2)
+    val otherW = got.filter(g => langOf(g._1) != "en").map(_._2)
+    assert(enW.nonEmpty && otherW.nonEmpty)
+    assert(enW.sum / enW.size > otherW.sum / otherW.size,
+      "target-language docs must have higher mean importance weight")
+  }
+
+  test("shard shuffle digest equals the production partition-sorted layout") {
+    import spark.implicits._
+    val expected = DataSelection.shardShuffle(spark, sfDir)
+      .select($"shard", $"order_md5").as[(Long, String)].collect().toMap
+
+    // production path: repartition on the shard column, sort within
+    // partitions by the rank hash — then fold each partition's doc_id
+    // stream into the same digest, never collecting doc order globally
+    val keyed = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        md5(concat(lit(DataSelection.ShuffleSeed + ":"), $"doc_id".cast("string"))
+          .cast("binary")).as("h"),
+        (graft.functions.HashExpressions.md5Prefix64(
+          concat(lit(DataSelection.ShuffleSeed + ":"), $"doc_id".cast("string")),
+          DataSelection.DsirHashHex) % DataSelection.ShuffleShards).as("shard"))
+    val perPart = keyed
+      .repartition(DataSelection.ShuffleShards, $"shard")
+      .sortWithinPartitions($"h", $"doc_id")
+      .select($"shard", $"doc_id")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        // local def, not the spec's helper: the closure must not drag
+        // the (non-serializable) suite instance onto executors
+        def hex(s: String): String =
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val rows = it.toVector
+        rows.groupBy(_._1).map { case (shard, rs) =>
+          (shard, hex(rs.map(_._2).mkString(",")))
+        }.iterator
+      }.collect()
+    // hash-partitioning on one column sends each shard to exactly one
+    // partition, so every (shard, digest) must match the query's digest
+    assert(perPart.length == expected.size, s"${perPart.length} vs ${expected.size}")
+    perPart.foreach { case (shard, digest) =>
+      assert(expected(shard) == digest, s"shard $shard layout != digest")
+    }
+  }
+
+  test("epoch seed changes the order but not shard balance invariants") {
+    import spark.implicits._
+    val s0 = DataSelection.shardShuffle(spark, sfDir)
+      .select($"shard", $"n_docs", $"order_md5")
+      .as[(Long, Long, String)].collect()
+    val total = s0.map(_._2).sum
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(total == nDocs, "shards must partition the corpus exactly")
+    // md5 % S balances: no shard may hold more than 3x its fair share
+    val fair = nDocs.toDouble / DataSelection.ShuffleShards
+    s0.foreach { case (sh, n, _) =>
+      assert(n <= fair * 3 + 4, s"shard $sh skewed: $n docs vs fair $fair")
+    }
+  }
+
+  test("seasonal residuals per weekday sum to the floor remainder only") {
+    import spark.implicits._
+    val rows = graft.ops.Events.seasonalDecompose(spark, sfDir)
+      .select($"dow", $"n_events", $"seasonal_bp", $"resid_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (dow, rs) =>
+      val residSum = rs.map(_._4).sum
+      // Σ resid = total*10000 - cnt*floor(total*10000/cnt) ∈ [0, cnt)
+      assert(residSum >= 0 && residSum < rs.length,
+        s"dow $dow residual sum $residSum outside [0, ${rs.length})")
+      // decomposition reconstructs the series exactly
+      rs.foreach { case (_, n, sbp, rbp) => assert(n * 10000 == sbp + rbp) }
+    }
+  }
+}

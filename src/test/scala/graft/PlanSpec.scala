@@ -349,4 +349,32 @@ class PlanSpec extends SparkTestBase {
       s"merge must stay an equi-join:\n$p")
     assert(!p.contains("ScalaUDF"), "clause chain must be codegen when()s")
   }
+
+  test("dsir weights: B-row model broadcasts; doc scoring combines map-side") {
+    val p = plan(SparkEntry.queries("t_dsir_weights")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket model must broadcast to the scoring join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"nothing all-pairs may appear in DSIR:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"per-doc bucket counts must partial-aggregate:\n$p")
+  }
+
+  test("shard shuffle: never reads document text") {
+    val p = plan(SparkEntry.queries("t_shard_shuffle")(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("n_chars"),
+      readSchema)
+    assert(!readSchema.contains("text"),
+      s"epoch shuffle must assign shards from ids alone: $readSchema")
+  }
+
+  test("seasonal decomposition: corpus-sized shuffle only for the daily agg") {
+    val p = plan(SparkEntry.queries("w_seasonal_decompose")(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("ts") && !readSchema.contains("props"),
+      s"scan must read only the timestamp: $readSchema")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"daily counts must combine map-side before any window:\n$p")
+  }
 }
