@@ -1,0 +1,263 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid lexical+vector retrieval (SURVEY.md §2.13): BM25 keyword
+  * scoring over an inverted index, and reciprocal-rank fusion of the
+  * keyword list with the quantized-cosine vector list — the standard
+  * two-tower serving shape of a modern search/RAG stack.
+  *
+  * Query set: the first [[QueryTerms]] distinct tokens of each document
+  * with `doc_id < HybridQueries` form that document's query (a
+  * self-describing benchmark both engines derive identically — the same
+  * convention as Ann.AnnQueryIds). The embeddings table shares the
+  * documents id space (vec_id = doc_id), so the two modalities rank the
+  * same corpus.
+  *
+  * Determinism: the inverted-index core (tf, df, dl) is pure integers
+  * and oracle-gated; RRF uses integer reciprocal scores
+  * (`RrfScale div (RrfK + rank)`), so the FUSED ranking is also exact
+  * and oracle-gated end-to-end. Only the BM25 log-idf scoring itself is
+  * rows-only (libm), spec-gated against a driver-side scalar reference —
+  * the PSI/DSIR precedent.
+  *
+  * Scale: the per-(doc,term) tf aggregate is the only corpus-sized
+  * shuffle and it partial-aggregates map-side; df reduces tf by term;
+  * the query-term table is Q·T rows and BROADCASTS into the posting
+  * join, so candidate generation is an equi-join on term — never
+  * all-pairs. Rank windows partition by query_id (Q partitions of
+  * bounded size after the top-k rewrite). The vector side reuses the
+  * brute-force quantized-dot shape (broadcast queries) whose IVF/PQ
+  * variants are the documented 100 TB path.
+  */
+object Retrieval {
+
+  /** Documents whose prefixes serve as queries (doc_id < this). */
+  val HybridQueries = 10
+  /** Query length: first distinct tokens of the query document. */
+  val QueryTerms = 5
+  /** Candidates kept from each modality before fusion. */
+  val FuseK = 20
+  /** Fused results returned per query. */
+  val TopK = 10
+  /** RRF constant (Cormack et al. 2009) and the integer scale that
+    * replaces the 1/(k+rank) float with an exact quotient. */
+  val RrfK = 60
+  val RrfScale = 1000000000L
+  /** BM25 shape parameters (Robertson/Sparck Jones defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** (doc_id, term, tf) posting list + per-term df + per-doc dl. */
+  private def index(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", split(trim(lower($"text")), "\\s+").as("t"))
+    val tf = base.select($"doc_id", explode($"t").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val dl = base.select($"doc_id", size($"t").cast("long").as("dl"))
+    val qt = base.filter($"doc_id" < HybridQueries)
+      .select($"doc_id".as("query_id"),
+        explode(array_distinct(slice($"t", 1, QueryTerms))).as("term"))
+    (tf, df, dl, qt)
+  }
+
+  /** Oracle-gated integer core: for every (query, candidate) pair that
+    * shares at least one term (self excluded), the matched-term count,
+    * summed term frequencies, summed document frequencies, and the
+    * candidate's length — everything BM25 consumes except the log. */
+  def bm25Core(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (tf, df, dl, qt) = index(spark, dir)
+    broadcast(qt)
+      .join(tf, "term")
+      .join(broadcast(df), "term")
+      .filter($"doc_id" =!= $"query_id")
+      .join(dl, "doc_id")
+      .groupBy($"query_id", $"doc_id", $"dl")
+      .agg(count(lit(1)).as("n_terms"),
+           sum($"tf").as("sum_tf"),
+           sum($"df").as("sum_df"))
+      .select($"query_id", $"doc_id", $"n_terms", $"sum_tf", $"sum_df", $"dl")
+      .orderBy($"query_id", $"doc_id")
+  }
+
+  val bm25CoreSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+       |tf AS (
+       |  SELECT doc_id, t[i] AS term, count(*) AS tf
+       |  FROM base, UNNEST(generate_series(1, n)) AS s(i)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |qt AS (
+       |  SELECT DISTINCT doc_id AS query_id, t[i] AS term
+       |  FROM base, UNNEST(generate_series(1, LEAST(n, $QueryTerms))) AS s(i)
+       |  WHERE doc_id < $HybridQueries)
+       |SELECT qt.query_id, tf.doc_id AS doc_id,
+       |  count(*) AS n_terms,
+       |  CAST(sum(tf.tf) AS BIGINT) AS sum_tf,
+       |  CAST(sum(df.df) AS BIGINT) AS sum_df,
+       |  CAST(b.n AS BIGINT) AS dl
+       |FROM qt
+       |JOIN tf USING (term)
+       |JOIN df USING (term)
+       |JOIN base b ON b.doc_id = tf.doc_id
+       |WHERE tf.doc_id <> qt.query_id
+       |GROUP BY qt.query_id, tf.doc_id, b.n
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Full BM25 top-k per query (Lucene's non-negative idf form). Libm
+    * ln ⇒ rows-only in the oracle; arithmetic is spec-gated against a
+    * scalar reference (RetrievalSpec). The two corpus scalars (N,
+    * avgdl) ride a broadcast 1-row cross join — no collect. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (tf, df, dl, qt) = index(spark, dir)
+    val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+                        avg($"dl").as("avgdl"))
+    val scored = broadcast(qt)
+      .join(tf, "term")
+      .join(broadcast(df), "term")
+      .filter($"doc_id" =!= $"query_id")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
+      .withColumn("contrib",
+        $"idf" * ($"tf" * (Bm25K1 + 1.0)) /
+          ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * $"dl" / $"avgdl")))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"contrib").as("score"))
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"rank", $"doc_id", $"score")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Keyword candidate ranks from the integer core: exact ordering by
+    * (matched terms, total tf, id) — no floats anywhere. */
+  private def keywordRanks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"n_terms".desc, $"sum_tf".desc, $"doc_id")
+    bm25Core(spark, dir)
+      .withColumn("rank_kw", row_number().over(w))
+      .filter($"rank_kw" <= FuseK)
+      .select($"query_id", $"doc_id", $"rank_kw")
+  }
+
+  /** Vector candidate ranks by quantized integer dot product (the
+    * brute-force oracle shape from Ann, restricted to the hybrid query
+    * ids and sharing the documents id space). */
+  private def vectorRanks(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", Ann.quantized($"embedding").as("q"))
+    val queries = emb.filter($"vec_id" < HybridQueries)
+      .select($"vec_id".as("query_id"), $"q".as("qv"))
+    val cand = emb.select($"vec_id".as("doc_id"), $"q".as("nv"))
+    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"doc_id")
+    broadcast(queries).join(cand, $"query_id" =!= $"doc_id")
+      .select($"query_id", $"doc_id",
+        Ann.intDot($"qv", $"nv").cast("long").as("dot"))
+      .withColumn("rank_vec", row_number().over(w))
+      .filter($"rank_vec" <= FuseK)
+      .select($"query_id", $"doc_id", $"rank_vec")
+  }
+
+  /** Reciprocal-rank fusion of the keyword and vector lists — integer
+    * quotients, so the fused ranking itself is oracle-exact. A doc
+    * missing from one list contributes 0 from that side (rank sentinel
+    * 0 in the output marks the absence). */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fused = keywordRanks(spark, dir)
+      .join(vectorRanks(spark, dir), Seq("query_id", "doc_id"), "full_outer")
+      .select($"query_id", $"doc_id",
+        coalesce($"rank_kw", lit(0)).as("rank_kw"),
+        coalesce($"rank_vec", lit(0)).as("rank_vec"))
+      // DIV, not `/`: float division + truncation agrees for these
+      // magnitudes but exact integer division is the contract
+      .withColumn("rrf_score", expr(
+        s"""CAST(CASE WHEN rank_kw > 0
+           |  THEN ${RrfScale}L DIV (rank_kw + $RrfK) ELSE 0 END +
+           |CASE WHEN rank_vec > 0
+           |  THEN ${RrfScale}L DIV (rank_vec + $RrfK) ELSE 0 END
+           |AS BIGINT)""".stripMargin))
+    val w = Window.partitionBy($"query_id").orderBy($"rrf_score".desc, $"doc_id")
+    fused.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"rank", $"doc_id", $"rrf_score",
+              $"rank_kw".cast("long").as("rank_kw"),
+              $"rank_vec".cast("long").as("rank_vec"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+       |tf AS (
+       |  SELECT doc_id, t[i] AS term, count(*) AS tf
+       |  FROM base, UNNEST(generate_series(1, n)) AS s(i)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |qt AS (
+       |  SELECT DISTINCT doc_id AS query_id, t[i] AS term
+       |  FROM base, UNNEST(generate_series(1, LEAST(n, $QueryTerms))) AS s(i)
+       |  WHERE doc_id < $HybridQueries),
+       |core AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    count(*) AS n_terms, sum(tf.tf) AS sum_tf
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |  WHERE tf.doc_id <> qt.query_id
+       |  GROUP BY 1, 2),
+       |kw AS (
+       |  SELECT query_id, doc_id, rank_kw FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY n_terms DESC, sum_tf DESC, doc_id) AS rank_kw
+       |    FROM core) t WHERE rank_kw <= $FuseK),
+       |q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000.0)) AS qv
+       |  FROM embeddings),
+       |vec AS (
+       |  SELECT query_id, doc_id, rank_vec FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT) DESC,
+       |                 b.vec_id) AS rank_vec
+       |    FROM q a JOIN q b
+       |      ON a.vec_id < $HybridQueries AND a.vec_id <> b.vec_id) t
+       |  WHERE rank_vec <= $FuseK),
+       |fused AS (
+       |  SELECT COALESCE(kw.query_id, vec.query_id) AS query_id,
+       |    COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+       |    CAST(COALESCE(rank_kw, 0) AS BIGINT) AS rank_kw,
+       |    CAST(COALESCE(rank_vec, 0) AS BIGINT) AS rank_vec,
+       |    (CASE WHEN rank_kw IS NOT NULL
+       |          THEN $RrfScale // (rank_kw + $RrfK) ELSE 0 END) +
+       |    (CASE WHEN rank_vec IS NOT NULL
+       |          THEN $RrfScale // (rank_vec + $RrfK) ELSE 0 END) AS rrf_score
+       |  FROM kw FULL OUTER JOIN vec
+       |    ON kw.query_id = vec.query_id AND kw.doc_id = vec.doc_id)
+       |SELECT query_id, rank, doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+       |  rank_kw, rank_vec
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, doc_id) AS rank
+       |  FROM fused) t
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+}

@@ -369,6 +369,23 @@ class PlanSpec extends SparkTestBase {
       s"epoch shuffle must assign shards from ids alone: $readSchema")
   }
 
+  test("bm25: query terms broadcast into the posting equi-join, no cartesian") {
+    val p = plan(SparkEntry.queries("s_bm25_topk")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term and df joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must stay an equi-join on term:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"tf must partial-aggregate map-side:\n$p")
+  }
+
+  test("hybrid rrf: fusion is an equi-join of two bounded rank lists") {
+    val p = plan(SparkEntry.queries("s_hybrid_rrf")(spark, sfDir))
+    assert(p.contains("FullOuter"), s"fusion must be a full outer join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF"), "RRF arithmetic must be codegen")
+  }
+
   test("seasonal decomposition: corpus-sized shuffle only for the daily agg") {
     val p = plan(SparkEntry.queries("w_seasonal_decompose")(spark, sfDir))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
