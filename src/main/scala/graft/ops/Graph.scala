@@ -48,14 +48,18 @@ object Graph {
       .unionAll(pairs.select(($"p" * 2 + 1).as("src"), ($"c" * 2).as("dst")))
       .localCheckpoint()
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    // degree rides WITH the edge: one 3-column table replaces the
+    // per-iteration (edges ⋈ deg) re-join — each iteration is then a
+    // single equi-join + aggregation over this checkpointed relation
+    val edgesDeg = edges.join(deg, "src")
+      .select($"src", $"dst", $"d").localCheckpoint()
     val n = deg.count()
     val base = 1000000000L / n
     val jump = (15L * base) / 100L
     var ranks = deg.select($"src".as("node"), lit(base).as("r"))
     for (_ <- 1 to PrIters) {
-      ranks = edges
+      ranks = edgesDeg
         .join(ranks, $"src" === $"node")
-        .join(deg, Seq("src"))
         .select($"dst", expr("r div d").as("contrib"))
         .groupBy($"dst")
         .agg((lit(jump) + expr("85 * sum(contrib) div 100")).as("r"))

@@ -187,7 +187,16 @@ object ScaleBench {
       "s_merge_upsert" -> (graft.ops.Merge.mergeUpsert _),
       "a_kmv_overlap" -> ((s: SparkSession, d: String) =>
         graft.ops.Sketches.kmvUserOverlap(s, d)),
-      "s_zorder_key" -> (graft.ops.ZOrder.zKeyQuery _))
+      "s_zorder_key" -> (graft.ops.ZOrder.zKeyQuery _),
+      // round-7 batch 2: DSIR's model stays B buckets at every corpus
+      // size (the broadcast never grows); shard assignment is map-only
+      // plus one shard-keyed exchange; BM25's posting join grows with
+      // postings while the query side is constant; RRF fuses two
+      // bounded-k lists so fusion cost is flat in corpus size
+      "t_dsir_weights" -> (graft.ops.DataSelection.dsirWeights _),
+      "t_shard_shuffle" -> (graft.ops.DataSelection.shardShuffle _),
+      "s_bm25_topk" -> (graft.similarity.Retrieval.bm25TopK _),
+      "s_hybrid_rrf" -> (graft.similarity.Retrieval.hybridRrf _))
 
     def clearPersisted(): Unit = {
       spark.catalog.clearCache()
