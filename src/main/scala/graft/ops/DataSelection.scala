@@ -125,11 +125,18 @@ object DataSelection {
       .join(broadcast(model), "bucket")
       .groupBy($"doc_id")
       .agg(sum($"c" * $"log_ratio").as("weight"), sum($"c").as("n_grams"))
+    // top-K selection WITHOUT a global window (an unpartitioned
+    // row_number would sort the whole corpus in one task): limit-K is a
+    // TakeOrderedAndProject — per-partition top-K, K rows to the driver
+    // side of the plan — and the K winners broadcast back as a semi probe
+    val winners = scored
+      .orderBy($"weight".desc, $"doc_id")
+      .limit(DsirKeep)
+      .select($"doc_id".as("sel_id"))
     scored
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy($"weight".desc, $"doc_id")))
+      .join(broadcast(winners), $"doc_id" === $"sel_id", "left_outer")
       .select($"doc_id", $"weight", $"n_grams",
-              ($"rk" <= DsirKeep).as("selected"))
+              $"sel_id".isNotNull.as("selected"))
       .orderBy($"doc_id")
   }
 

@@ -358,6 +358,10 @@ class PlanSpec extends SparkTestBase {
       s"nothing all-pairs may appear in DSIR:\n$p")
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
       s"per-doc bucket counts must partial-aggregate:\n$p")
+    // selection must be limit-K + broadcast semi probe, never a global
+    // unpartitioned window (= whole corpus sorted in one task)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), s"no window may rank the full corpus:\n$p")
   }
 
   test("shard shuffle: never reads document text") {
