@@ -196,6 +196,7 @@ object ScaleBench {
       "t_dsir_weights" -> (graft.ops.DataSelection.dsirWeights _),
       "t_shard_shuffle" -> (graft.ops.DataSelection.shardShuffle _),
       "s_bm25_topk" -> (graft.similarity.Retrieval.bm25TopK _),
+      "s_bm25_topk_indexed" -> (graft.similarity.Retrieval.bm25TopKCached _),
       "s_hybrid_rrf" -> (graft.similarity.Retrieval.hybridRrf _))
 
     def clearPersisted(): Unit = {
@@ -220,6 +221,7 @@ object ScaleBench {
       try {
         graft.similarity.Ann.pqTopKCached(spark, dirs(n)).queryExecution.toRdd.count()
         graft.similarity.Ann.ivfTopKCached(spark, dirs(n)).queryExecution.toRdd.count()
+        graft.similarity.Retrieval.bm25TopKCached(spark, dirs(n)).queryExecution.toRdd.count()
       } catch { case e: Throwable =>
         System.err.println(s"[scale] index pre-build x$n failed: ${e.getMessage}")
       }

@@ -1087,8 +1087,9 @@ object Ann {
     * trees (commit debris, manifests) are excluded, matching Spark's own
     * visibility rules, so a vacuum or manifest refresh does not force a
     * rebuild. */
-  private[graft] def dataFingerprint(spark: SparkSession, dir: String): String = {
-    val root = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+  private[graft] def dataFingerprint(spark: SparkSession, dir: String,
+                                     table: String = "embeddings.parquet"): String = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$table")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val md = java.security.MessageDigest.getInstance("MD5")
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1140,10 +1141,11 @@ object Ann {
     * rename, all under an exclusive file lock — a reader either sees the
     * complete old index, the complete new one, or no marker (and then
     * queues on the lock to build), never a torn mix. */
-  private def ensureIndex(spark: SparkSession, dir: String, kind: String)
+  private[graft] def ensureIndex(spark: SparkSession, dir: String, kind: String,
+                                 table: String = "embeddings.parquet")
                          (build: String => Unit): String = {
     val idx = new java.io.File(cachedIndexDir(dir, kind))
-    val want = trainingFingerprint + "\n" + dataFingerprint(spark, dir)
+    val want = trainingFingerprint + "\n" + dataFingerprint(spark, dir, table)
     def fresh: Boolean = {
       val marker = new java.io.File(idx, "_built")
       marker.exists() &&
@@ -1171,7 +1173,7 @@ object Ann {
               deleteLocal(idx)
               require(tmp.renameTo(idx), s"could not install ANN index at $idx")
               graft.sources.Store.registerDerived(
-                s"$dir/embeddings.parquet", idx.getPath)(() => deleteLocal(idx))
+                s"$dir/$table", idx.getPath)(() => deleteLocal(idx))
             } finally deleteLocal(tmp) // no-op after a successful rename
           }
         } finally lock.release()

@@ -114,33 +114,49 @@ object Retrieval {
        |GROUP BY qt.query_id, tf.doc_id, b.n
        |ORDER BY 1, 2""".stripMargin
 
+  /** Shared BM25 scoring over whichever (postings, df, dl) sources the
+    * caller supplies — inline tokenization or the persisted index. The
+    * per-pair score folds term contributions in SORTED term order
+    * (bounded by QueryTerms, so the collect is tiny): float + is not
+    * associative, and a partition-order `sum` would differ in the last
+    * ULP between physical plans — this makes inline ≡ indexed ≡ any
+    * shuffle-partition posture bit-for-bit. */
+  private def bm25Score(qt: DataFrame, tf: DataFrame, df: DataFrame,
+                        dl: DataFrame): DataFrame = {
+    val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+                        avg(col("dl")).as("avgdl"))
+    val scored = broadcast(qt)
+      .join(tf, "term")
+      .join(broadcast(df), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl.select(col("doc_id"), col("dl")), "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
+        .as("cs"))
+      .withColumn("score",
+        expr("aggregate(cs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Full BM25 top-k per query (Lucene's non-negative idf form). Libm
     * ln ⇒ rows-only in the oracle; arithmetic is spec-gated against a
     * scalar reference (RetrievalSpec). The two corpus scalars (N,
     * avgdl) ride a broadcast 1-row cross join — no collect. */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val (tf, df, dl, qt) = index(spark, dir)
-    val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-                        avg($"dl").as("avgdl"))
-    val scored = broadcast(qt)
-      .join(tf, "term")
-      .join(broadcast(df), "term")
-      .filter($"doc_id" =!= $"query_id")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(corpus))
-      .withColumn("idf",
-        log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
-      .withColumn("contrib",
-        $"idf" * ($"tf" * (Bm25K1 + 1.0)) /
-          ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * $"dl" / $"avgdl")))
-      .groupBy($"query_id", $"doc_id")
-      .agg(sum($"contrib").as("score"))
-    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= TopK)
-      .select($"query_id", $"rank", $"doc_id", $"score")
-      .orderBy($"query_id", $"rank")
+    bm25Score(qt, tf, df, dl)
   }
 
   /** Keyword candidate ranks from the integer core: exact ordering by
@@ -201,6 +217,98 @@ object Retrieval {
               $"rank_kw".cast("long").as("rank_kw"),
               $"rank_vec".cast("long").as("rank_vec"))
       .orderBy($"query_id", $"rank")
+  }
+
+  // ───────────────────────── persisted inverted index ──────────────────
+  // The build-once/serve-many split for the keyword tower, mirroring the
+  // IVF/PQ index maintenance: postings partition by a term-hash bucket
+  // `tp` (ALL postings of a term live in exactly one partition, so df
+  // computed inside a pruned read is the GLOBAL df), doc lengths by a
+  // doc-hash bucket `dp`. Incremental upserts rewrite only touched
+  // buckets through Store.upsertPartitions — key-deduplicated, so
+  // checkpoint replays are no-ops — and never re-tokenize the corpus.
+
+  /** Term-hash partition count: O(corpus/64) postings per directory. */
+  val TermBuckets = 64
+  /** Doc-hash partition count for the doc-length table. */
+  val DocBuckets = 16
+
+  private def withTp(postings: DataFrame): DataFrame = {
+    graft.functions.HashExpressions.register(postings.sparkSession)
+    postings.withColumn("tp",
+      (graft.functions.HashExpressions.md5Prefix64(col("term"),
+        graft.ops.DataSelection.DsirHashHex) % TermBuckets).cast("int"))
+  }
+
+  /** Tokenize a (doc_id, text) frame into postings + lengths. */
+  private def tokenize(docs: DataFrame): (DataFrame, DataFrame) = {
+    val base = docs.select(col("doc_id"),
+      split(trim(lower(col("text"))), "\\s+").as("t"))
+    val tf = base.select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = base.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+      .withColumn("dp", (pmod(col("doc_id"), lit(DocBuckets))).cast("int"))
+    (withTp(tf), dl)
+  }
+
+  /** Full build: tokenises the corpus at `dir` into `indexDir`. */
+  def postingIndexBuild(spark: SparkSession, dir: String, indexDir: String): Unit = {
+    val (tf, dl) = tokenize(Tables.documents(spark, dir).select("doc_id", "text"))
+    // repartition ON the partition column: one file per bucket per build,
+    // not tasks × buckets (the admission store's small-files lesson)
+    tf.repartition(col("tp")).write.mode("overwrite")
+      .partitionBy("tp").parquet(s"$indexDir/postings")
+    dl.repartition(col("dp")).write.mode("overwrite")
+      .partitionBy("dp").parquet(s"$indexDir/doclen")
+  }
+
+  /** Incremental upsert: fold a batch of new/changed documents into the
+    * index. Cost ∝ batch postings + touched buckets; the corpus is never
+    * re-read. Replaying a batch rewrites identical content (upsert keys
+    * (doc_id, term) / (doc_id)), so streaming checkpoint recovery is
+    * exactly-once by idempotence. */
+  def postingIndexUpsert(batch: DataFrame, indexDir: String): Unit = {
+    val (tf, dl) = tokenize(batch.select("doc_id", "text"))
+    graft.sources.Store.upsertPartitions(tf, s"$indexDir/postings",
+      keyCols = Seq("doc_id", "term"), partitionCols = Seq("tp"))
+    graft.sources.Store.upsertPartitions(dl, s"$indexDir/doclen",
+      keyCols = Seq("doc_id"), partitionCols = Seq("dp"))
+  }
+
+  /** BM25 served FROM the persisted index: the query's term buckets are
+    * a handful of literals, so the postings scan prunes to those `tp=`
+    * directories before any footer is opened; df aggregates inside the
+    * pruned read (= global df, the partitioning invariant); only N and
+    * avgdl scan the narrow doclen table. Results are pinned identical to
+    * the inline [[bm25TopK]] (RetrievalSpec), which stays the oracle
+    * story — this entry carries the serve latency. */
+  def bm25TopKIndexed(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .filter($"doc_id" < HybridQueries)
+      .select($"doc_id", split(trim(lower($"text")), "\\s+").as("t"))
+    val qt = withTp(base.select($"doc_id".as("query_id"),
+      explode(array_distinct(slice($"t", 1, QueryTerms))).as("term")))
+    // the probed buckets: ≤ Q·T values, driver-side by design (the
+    // takedown-partition-list precedent — model-sized, never corpus)
+    val tps = qt.select($"tp").distinct().as[Int].collect().toSeq
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter($"tp".isin(tps: _*))
+    val df = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(s"$indexDir/doclen")
+      .select($"doc_id", $"dl")
+    bm25Score(qt.drop("tp"), postings.drop("tp"), df, dl)
+  }
+
+  /** Bench/scale entry: the keyword twin of Ann.pqTopKCached — the index
+    * builds once through the SAME hardened cache (corpus data
+    * fingerprint in the `_built` marker, cross-process build locks,
+    * atomic rename install, takedown-invalidation registration), keyed
+    * on the DOCUMENTS table, then every call times pure serve latency. */
+  def bm25TopKCached(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Ann.ensureIndex(spark, dir, "posting",
+      table = "documents.parquet")(postingIndexBuild(spark, dir, _))
+    bm25TopKIndexed(spark, dir, idx)
   }
 
   val hybridRrfSql: String =

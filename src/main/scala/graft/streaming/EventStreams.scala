@@ -323,6 +323,29 @@ object EventStreams {
       }
       .start()
 
+  /** The KEYWORD twin of [[indexMaintenanceSink]]: each microbatch of
+    * new documents tokenizes and folds into the persisted inverted index
+    * ([[graft.similarity.Retrieval.postingIndexUpsert]]) — postings land
+    * only in the term-hash buckets the batch touches, doc lengths in the
+    * doc-hash buckets, and the BM25 serve path reads the union of all
+    * folded batches with global df intact (all postings of a term share
+    * one bucket). Exactly-once by the same idempotence argument: both
+    * upserts are key-deduplicated partition rewrites, and tokenization
+    * is a pure per-row function, so checkpoint replays rewrite identical
+    * bytes. */
+  def postingMaintenanceSink(docsStream: DataFrame, indexPath: String,
+                             checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.similarity.Retrieval.postingIndexUpsert(
+            batch.select(col("doc_id"), col("text")), indexPath)
+        ()
+      }
+      .start()
+
   /** The PQ twin of [[indexMaintenanceSink]]: each microbatch encodes its
     * vectors against the index's FROZEN codebooks and upserts only the
     * touched code partitions ([[graft.similarity.Ann.pqIndexAppend]]) —

@@ -1,0 +1,114 @@
+package graft
+
+import graft.similarity.Retrieval
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index: full build ≡ incremental upserts ≡ streamed
+  * microbatches; replays are no-ops; untouched term buckets keep their
+  * bytes; the indexed BM25 serve path equals the inline query. */
+class PostingIndexSpec extends SparkTestBase {
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  private def tableRows(path: String): Seq[Seq[Any]] =
+    spark.read.parquet(path).collect()
+      .map(r => r.schema.fieldNames.sorted.toSeq.map(n => r.get(r.fieldIndex(n))))
+      .sortBy(_.mkString("|")).toSeq
+
+  private def indexRows(idx: String): (Seq[Seq[Any]], Seq[Seq[Any]]) =
+    (tableRows(s"$idx/postings"), tableRows(s"$idx/doclen"))
+
+  test("full build equals two incremental upserts; replay is a no-op") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val full = tmp("posting_full")
+    Retrieval.postingIndexBuild(spark, sfDir, full)
+
+    val inc = tmp("posting_inc")
+    val mid = 25L
+    Retrieval.postingIndexUpsert(docs.filter($"doc_id" < mid), inc)
+    Retrieval.postingIndexUpsert(docs.filter($"doc_id" >= mid), inc)
+    assert(indexRows(inc) == indexRows(full),
+      "incremental index must equal the one-shot build row-for-row")
+
+    // replaying the second batch rewrites identical content
+    Retrieval.postingIndexUpsert(docs.filter($"doc_id" >= mid), inc)
+    assert(indexRows(inc) == indexRows(full), "replay must be a no-op")
+  }
+
+  test("an upsert touches only its own term buckets") {
+    import spark.implicits._
+    val idx = tmp("posting_touch")
+    Retrieval.postingIndexBuild(spark, sfDir, idx)
+    def bucketFiles(): Map[String, (Long, Long)] = {
+      val root = java.nio.file.Paths.get(s"$idx/postings")
+      val out = scala.collection.mutable.Map[String, (Long, Long)]()
+      java.nio.file.Files.walk(root).forEach { p =>
+        val rel = root.relativize(p).toString
+        if (rel.startsWith("tp=") && rel.endsWith(".parquet"))
+          out(rel) = (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      }
+      out.toMap
+    }
+    val before = bucketFiles()
+    // one new doc of one repeated term: exactly ONE tp bucket may change
+    Retrieval.postingIndexUpsert(
+      Seq((9999L, "zzzuniqueterm zzzuniqueterm zzzuniqueterm"))
+        .toDF("doc_id", "text"), idx)
+    val after = bucketFiles()
+    val changed = (before.keySet ++ after.keySet).filter(k =>
+      before.get(k) != after.get(k)).map(_.takeWhile(_ != '/'))
+    assert(changed.size == 1,
+      s"single-term upsert must rewrite one tp bucket, touched: $changed")
+    // and the new doc is served from it
+    val served = spark.read.parquet(s"$idx/postings")
+      .filter($"term" === "zzzuniqueterm").select($"doc_id", $"tf")
+      .as[(Long, Long)].collect().toSeq
+    assert(served == Seq((9999L, 3L)))
+  }
+
+  test("indexed bm25 serve equals the inline query") {
+    val idx = tmp("posting_serve")
+    Retrieval.postingIndexBuild(spark, sfDir, idx)
+    val inline = Retrieval.bm25TopK(spark, sfDir).collect().map(_.toSeq).toSeq
+    val indexed = Retrieval.bm25TopKIndexed(spark, sfDir, idx)
+      .collect().map(_.toSeq).toSeq
+    assert(indexed == inline,
+      "the persisted-index serve path must reproduce the inline ranking")
+  }
+
+  test("streamed posting maintenance equals the batch build; cold replay no-op") {
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val full = tmp("posting_sfull")
+    Retrieval.postingIndexBuild(spark, sfDir, full)
+    val expect = indexRows(full)
+
+    val src = tmp("posting_ssrc")
+    docs.filter($"doc_id" < 25).write.parquet(s"$src/b0")
+    docs.filter($"doc_id" >= 25).write.parquet(s"$src/b1")
+    val idx = tmp("posting_sidx")
+    def run(chk: String): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+      val q = EventStreams.postingMaintenanceSink(stream, idx, chk)
+      q.processAllAvailable(); q.stop()
+    }
+    val chk = tmp("posting_schk")
+    run(chk)
+    assert(indexRows(idx) == expect,
+      "streamed upserts must equal the one-shot build")
+    // warm restart reprocesses nothing; cold restart replays as no-ops
+    run(chk)
+    assert(indexRows(idx) == expect)
+    run(tmp("posting_schk2"))
+    assert(indexRows(idx) == expect)
+  }
+}
