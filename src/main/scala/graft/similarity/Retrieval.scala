@@ -275,6 +275,23 @@ object Retrieval {
       keyCols = Seq("doc_id"), partitionCols = Seq("dp"))
   }
 
+  /** Takedown reach for the inverted index: remove every posting and
+    * the doc length of the given documents. Only buckets containing a
+    * victim rewrite (Store.deleteKeys' partition-selective semantics);
+    * df/N/avgdl need no bookkeeping because the serve path derives them
+    * from the surviving postings — after deletion the index is
+    * indistinguishable from one built without the victims
+    * (PostingIndexSpec pins bit-equality against a fresh filtered
+    * build). */
+  def postingIndexDeleteDocs(spark: SparkSession, indexDir: String,
+                             docIds: Seq[Long]): Long = {
+    val n = graft.sources.Store.deleteKeys(
+      spark, s"$indexDir/postings", "doc_id", docIds, Seq("tp"))
+    graft.sources.Store.deleteKeys(
+      spark, s"$indexDir/doclen", "doc_id", docIds, Seq("dp"))
+    n
+  }
+
   /** BM25 served FROM the persisted index: the query's term buckets are
     * a handful of literals, so the postings scan prunes to those `tp=`
     * directories before any footer is opened; df aggregates inside the

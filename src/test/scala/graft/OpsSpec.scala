@@ -27,11 +27,17 @@ class OpsSpec extends SparkTestBase {
     // d_semantic_scaled swaps the oracle-gated k-means cells for
     // corpus-scaled LSH cells (a production scale knob, like
     // d_embedding_scaled) — rows-only; DedupSpec pins its twin census
+    // t_dsir_weights / s_bm25_topk(_indexed): libm-ln scoring over
+    // oracle-gated integer cores (t_dsir_bins / s_bm25_core), the PSI
+    // device; scalar-reference parity in DataSelectionSpec /
+    // RetrievalSpec, indexed ≡ inline in PostingIndexSpec
     val rowsOnly = Set("d_minhash_lsh_fast", "d_lsh_jaccard_fast",
       "d_minhash_capped", "d_lsh_jaccard_capped", "d_simhash_wide",
       "d_embedding_capped", "d_embedding_scaled", "d_semantic_scaled",
       "d_incremental_admit_fast",
-      "a_quantiles_approx", "a_approx_ndv", "a_kmv_overlap", "t_perplexity", "t_freq_tokens")
+      "a_quantiles_approx", "a_approx_ndv", "a_kmv_overlap", "t_perplexity",
+      "t_freq_tokens",
+      "t_dsir_weights", "s_bm25_topk", "s_bm25_topk_indexed")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty)

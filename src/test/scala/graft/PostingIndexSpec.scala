@@ -78,6 +78,35 @@ class PostingIndexSpec extends SparkTestBase {
       "the persisted-index serve path must reproduce the inline ranking")
   }
 
+  test("takedown: deleted docs vanish and the index equals a victim-free build") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val idx = tmp("posting_del")
+    Retrieval.postingIndexBuild(spark, sfDir, idx)
+    // victims outside the query-id range so both sides ask the same queries
+    val victims = Seq(30L, 31L)
+    val n = Retrieval.postingIndexDeleteDocs(spark, idx, victims)
+    assert(n > 0, "victims had postings")
+    val served = Retrieval.bm25TopKIndexed(spark, sfDir, idx)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(victims.forall(v => !served.contains(v)),
+      "a taken-down doc must be unreachable through the serve path")
+    // the post-delete index must be indistinguishable from one built on
+    // the victim-free corpus: df, N, avgdl all self-correct
+    val cleanDir = tmp("posting_delclean")
+    Tables.documents(spark, sfDir).filter(!$"doc_id".isin(victims: _*))
+      .write.parquet(s"$cleanDir/documents.parquet")
+    val cleanIdx = tmp("posting_delidx")
+    Retrieval.postingIndexBuild(spark, cleanDir, cleanIdx)
+    assert(indexRows(idx) == indexRows(cleanIdx),
+      "deleteDocs must leave exactly the victim-free index content")
+    val cleanServe = Retrieval.bm25TopKIndexed(spark, sfDir, cleanIdx)
+      .collect().map(_.toSeq).toSeq
+    val afterServe = Retrieval.bm25TopKIndexed(spark, sfDir, idx)
+      .collect().map(_.toSeq).toSeq
+    assert(afterServe == cleanServe)
+  }
+
   test("streamed posting maintenance equals the batch build; cold replay no-op") {
     import graft.streaming.EventStreams
     import spark.implicits._
