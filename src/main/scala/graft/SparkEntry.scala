@@ -205,6 +205,11 @@ object SparkEntry {
     // to the inline form (PostingIndexSpec), entry times pure serve
     "s_bm25_topk_indexed" -> (graft.similarity.Retrieval.bm25TopKCached _),
     "s_hybrid_rrf" -> (graft.similarity.Retrieval.hybridRrf _),
+    // leave-one-out categorical target encoding, integer-exact
+    "j_target_encode" -> (Features.looTargetEncode _),
+    // trailing 7-day distinct actives via bounded x7 fan-out (no range
+    // self-join, no unbounded window state)
+    "e_sliding_actives" -> (Events.slidingActives _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -343,5 +348,7 @@ object SparkEntry {
     "w_seasonal_decompose" -> Events.seasonalDecomposeSql,
     "s_bm25_core" -> graft.similarity.Retrieval.bm25CoreSql,
     "s_hybrid_rrf" -> graft.similarity.Retrieval.hybridRrfSql,
+    "j_target_encode" -> Features.looTargetEncodeSql,
+    "e_sliding_actives" -> Events.slidingActivesSql,
   )
 }

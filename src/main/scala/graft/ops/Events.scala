@@ -337,4 +337,37 @@ object Events {
       |      // count(*) OVER (PARTITION BY dow) AS BIGINT) AS resid_bp
       |FROM dowed
       |ORDER BY day""".stripMargin
+
+  /** Trailing 7-day distinct actives per day (the DAU→WAU rollup):
+    * every (user, day) pair replicates into the ≤7 window-end days it
+    * belongs to, then one distinct count per window end.
+    *
+    * Scale: the fan-out is a FIXED ×7 map-side explode over the already
+    * per-(user, day)-deduplicated stream — no range self-join (which
+    * would be |days|× the data) and no giant window state; the distinct
+    * aggregate is keyed on (window_day, user), uniform at any corpus
+    * size. Window ends with no events never appear; leading days count
+    * partial windows — both conventions mirrored in the oracle. */
+  def slidingActives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+      .select($"user_id", explode(expr("sequence(d, date_add(d, 6))")).as("wd"))
+      .groupBy($"wd")
+      .agg(countDistinct($"user_id").as("actives_7d"))
+      .select(date_format($"wd", "yyyy-MM-dd").as("window_day"), $"actives_7d")
+      .orderBy($"window_day")
+  }
+
+  val slidingActivesSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |fan AS (
+      |  SELECT user_id, d + CAST(i AS INTEGER) AS wd
+      |  FROM ud, UNNEST(generate_series(0, 6)) AS s(i))
+      |SELECT strftime(wd, '%Y-%m-%d') AS window_day,
+      |  count(DISTINCT user_id) AS actives_7d
+      |FROM fan
+      |GROUP BY 1
+      |ORDER BY window_day""".stripMargin
 }
