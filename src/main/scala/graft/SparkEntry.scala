@@ -205,6 +205,8 @@ object SparkEntry {
     // to the inline form (PostingIndexSpec), entry times pure serve
     "s_bm25_topk_indexed" -> (graft.similarity.Retrieval.bm25TopKCached _),
     "s_hybrid_rrf" -> (graft.similarity.Retrieval.hybridRrf _),
+    // offline ranking eval: hits@k + MRR in floor-micros, all integer
+    "s_retrieval_metrics" -> (graft.similarity.Retrieval.retrievalMetrics _),
     // leave-one-out categorical target encoding, integer-exact
     "j_target_encode" -> (Features.looTargetEncode _),
     // trailing 7-day distinct actives via bounded x7 fan-out (no range
@@ -350,5 +352,6 @@ object SparkEntry {
     "s_hybrid_rrf" -> graft.similarity.Retrieval.hybridRrfSql,
     "j_target_encode" -> Features.looTargetEncodeSql,
     "e_sliding_actives" -> Events.slidingActivesSql,
+    "s_retrieval_metrics" -> graft.similarity.Retrieval.retrievalMetricsSql,
   )
 }

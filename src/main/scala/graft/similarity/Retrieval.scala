@@ -328,6 +328,76 @@ object Retrieval {
     bm25TopKIndexed(spark, dir, idx)
   }
 
+  /** Ranking-quality evaluation (`s_retrieval_metrics`): score the
+    * keyword tower against the vector tower as relevance ground truth —
+    * the offline eval every retrieval stack runs before shipping a
+    * ranker change. Per query: hits@k (|keyword top-k ∩ truth top-k|)
+    * and the reciprocal rank of the first relevant hit, in floor-micros
+    * (`10⁶ div rank`) so MRR is exact integer arithmetic in both
+    * engines — no float divide crosses the oracle.
+    *
+    * Scale: both rank lists are the bounded per-query top-k the serving
+    * path already produces; the metric join is (query, doc)-keyed over
+    * ≤ Q·k rows. Evaluation cost is flat in corpus size. */
+  def retrievalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kw = keywordRanks(spark, dir).filter($"rank_kw" <= TopK)
+    val truth = vectorRanks(spark, dir).filter($"rank_vec" <= TopK)
+    truth
+      .join(kw, Seq("query_id", "doc_id"), "left_outer")
+      .groupBy($"query_id")
+      .agg(count($"rank_kw").as("hits_at_k"),
+           max(when($"rank_kw".isNotNull,
+             expr(s"1000000L DIV rank_kw")).otherwise(0L)).as("rr_micros"))
+      .orderBy($"query_id")
+  }
+
+  val retrievalMetricsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+       |tf AS (
+       |  SELECT doc_id, t[i] AS term, count(*) AS tf
+       |  FROM base, UNNEST(generate_series(1, n)) AS s(i)
+       |  GROUP BY 1, 2),
+       |qt AS (
+       |  SELECT DISTINCT doc_id AS query_id, t[i] AS term
+       |  FROM base, UNNEST(generate_series(1, LEAST(n, $QueryTerms))) AS s(i)
+       |  WHERE doc_id < $HybridQueries),
+       |core AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    count(*) AS n_terms, sum(tf.tf) AS sum_tf
+       |  FROM qt JOIN tf USING (term)
+       |  WHERE tf.doc_id <> qt.query_id
+       |  GROUP BY 1, 2),
+       |kw AS (
+       |  SELECT query_id, doc_id, rank_kw FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY n_terms DESC, sum_tf DESC, doc_id) AS rank_kw
+       |    FROM core) t WHERE rank_kw <= $TopK),
+       |q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000.0)) AS qv
+       |  FROM embeddings),
+       |truth AS (
+       |  SELECT query_id, doc_id, rank_vec FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT) DESC,
+       |                 b.vec_id) AS rank_vec
+       |    FROM q a JOIN q b
+       |      ON a.vec_id < $HybridQueries AND a.vec_id <> b.vec_id) t
+       |  WHERE rank_vec <= $TopK)
+       |SELECT truth.query_id AS query_id,
+       |  count(kw.rank_kw) AS hits_at_k,
+       |  CAST(max(CASE WHEN kw.rank_kw IS NOT NULL
+       |    THEN 1000000 // kw.rank_kw ELSE 0 END) AS BIGINT) AS rr_micros
+       |FROM truth LEFT JOIN kw
+       |  ON truth.query_id = kw.query_id AND truth.doc_id = kw.doc_id
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val hybridRrfSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t

@@ -130,6 +130,45 @@ class RetrievalFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("retrieval metrics on the adversarial corpus match a scalar replay") {
+    import spark.implicits._
+    val dir = writeCorpus()
+    val tokMap = edgeDocs.map { case (id, _, tx) => id -> toks(tx) }.toMap
+    def kwTop(q: Long): Seq[Long] = {
+      val terms = tokMap(q).take(Retrieval.QueryTerms).distinct.toSet
+      edgeDocs.map(_._1).filter(_ != q)
+        .map { d => (d, tokMap(d).toSet.intersect(terms).size,
+                     tokMap(d).count(terms.contains)) }
+        .filter(_._2 > 0)
+        .sortBy { case (d, nT, sTf) => (-nT, -sTf, d) }
+        .map(_._1).take(Retrieval.TopK)
+    }
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    def quant(v: Array[Float]): Array[Double] =
+      v.map(x => BigDecimal(x.toDouble * 1000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    def vecTop(q: Long): Seq[Long] = {
+      val qv = quant(emb(q))
+      edgeDocs.map(_._1).filter(_ != q)
+        .map { d => (d, quant(emb(d)).zip(qv)
+          .foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }.toLong) }
+        .sortBy { case (d, dot) => (-dot, d) }.map(_._1).take(Retrieval.TopK)
+    }
+    val got = Retrieval.retrievalMetrics(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, h, r) => q -> (h, r) }.toMap
+    (0L until Retrieval.HybridQueries.toLong).foreach { q =>
+      val kw = kwTop(q).zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+      val truth = vecTop(q)
+      val hits = truth.count(kw.contains)
+      val rr = truth.flatMap(kw.get).map(r => 1000000L / r)
+        .foldLeft(0L)(math.max)
+      assert(got.get(q).contains((hits.toLong, rr)),
+        s"q=$q metrics ${got.get(q)} != ($hits, $rr)")
+    }
+  }
+
   test("hybrid rrf on the adversarial corpus matches a full scalar replay") {
     import spark.implicits._
     val dir = writeCorpus()
