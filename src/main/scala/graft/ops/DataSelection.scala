@@ -121,10 +121,17 @@ object DataSelection {
          log(($"raw_n" + a) / ($"r_total" + a * b))).as("log_ratio"))
     val perDoc = featureBuckets(spark, dir)
       .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("c"))
+    // sorted fold, not a partition-order sum: float + is not associative,
+    // so `sum` would differ in the last ULP across shuffle postures (the
+    // BM25 lesson); buckets per doc are bounded by distinct grams
     val scored = perDoc
       .join(broadcast(model), "bucket")
       .groupBy($"doc_id")
-      .agg(sum($"c" * $"log_ratio").as("weight"), sum($"c").as("n_grams"))
+      .agg(sort_array(collect_list(struct($"bucket", ($"c" * $"log_ratio").as("w"))))
+             .as("ws"),
+           sum($"c").as("n_grams"))
+      .withColumn("weight",
+        expr("aggregate(ws, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w)"))
     // top-K selection WITHOUT a global window (an unpartitioned
     // row_number would sort the whole corpus in one task): limit-K is a
     // TakeOrderedAndProject — per-partition top-K, K rows to the driver

@@ -28,7 +28,12 @@ class InvarianceSpec extends SparkTestBase {
     // frozen-classifier integer logit, Morton keys, KMV sketches
     "w_scd2_intervals", "t_chunk_docs", "t_doc_keywords",
     "t_quality_classifier", "s_zorder_key", "a_kmv_overlap",
-    "j_train_examples")
+    "j_train_examples",
+    // round-7 retrieval/selection family: both float scorers fold their
+    // term/bucket contributions in sorted order, so even the libm paths
+    // must be bit-identical under any partitioning
+    "s_bm25_topk", "t_dsir_weights", "s_hybrid_rrf", "s_retrieval_metrics",
+    "t_shard_shuffle", "j_target_encode", "e_sliding_actives")
 
   private def runAt(q: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
