@@ -197,6 +197,8 @@ object SparkEntry {
     "t_shard_shuffle" -> (DataSelection.shardShuffle _),
     // day-of-week seasonal mean + integer-exact residuals
     "w_seasonal_decompose" -> (Events.seasonalDecompose _),
+    // 2-sigma residual anomaly flags via integer cross-multiplication
+    "e_anomaly_days" -> (Events.anomalyDays _),
     // hybrid retrieval: BM25 integer core + RRF fusion oracle-gated,
     // log-idf scoring rows-only + spec vs a scalar reference
     "s_bm25_core" -> (graft.similarity.Retrieval.bm25Core _),
@@ -353,5 +355,6 @@ object SparkEntry {
     "j_target_encode" -> Features.looTargetEncodeSql,
     "e_sliding_actives" -> Events.slidingActivesSql,
     "s_retrieval_metrics" -> graft.similarity.Retrieval.retrievalMetricsSql,
+    "e_anomaly_days" -> Events.anomalyDaysSql,
   )
 }

@@ -321,7 +321,8 @@ object Events {
       .orderBy($"day")
   }
 
-  val seasonalDecomposeSql: String =
+  /** Body shared with [[anomalyDaysSql]] (legal as a nested WITH). */
+  private[graft] val seasonalDecomposeSqlBody: String =
     """WITH daily AS (
       |  SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
       |  FROM events GROUP BY 1),
@@ -335,8 +336,10 @@ object Events {
       |  CAST(n_events * 10000 -
       |    (sum(n_events) OVER (PARTITION BY dow) * 10000)
       |      // count(*) OVER (PARTITION BY dow) AS BIGINT) AS resid_bp
-      |FROM dowed
-      |ORDER BY day""".stripMargin
+      |FROM dowed""".stripMargin
+
+  val seasonalDecomposeSql: String =
+    seasonalDecomposeSqlBody + "\nORDER BY day"
 
   /** Trailing 7-day distinct actives per day (the DAU→WAU rollup):
     * every (user, day) pair replicates into the ≤7 window-end days it
@@ -357,6 +360,44 @@ object Events {
       .agg(countDistinct($"user_id").as("actives_7d"))
       .select(date_format($"wd", "yyyy-MM-dd").as("window_day"), $"actives_7d")
       .orderBy($"window_day")
+  }
+
+  /** Anomalous days by seasonal residual: flag days whose residual sits
+    * more than 2σ from the mean residual — the alert rule that runs on
+    * top of [[seasonalDecompose]]. The z-test is stated as an integer
+    * cross-multiplication (the TPC-H Q11/Q17 device):
+    * `(n·r − Σr)² > 4·(n·Σr² − (Σr)²)` ⇔ `|r − r̄| > 2σ`, so the flags
+    * are exact integers in both engines — no sqrt, no float variance.
+    *
+    * Scale: residuals are calendar-sized (one row per day after the
+    * corpus-keyed daily count), so the two-scalar aggregate and the
+    * flagging pass cost nothing at any corpus size. */
+  def anomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = seasonalDecompose(spark, dir)
+      .select($"day", $"n_events", $"resid_bp")
+    val stats = dec.agg(count(lit(1)).as("n"),
+                        sum($"resid_bp").as("sr"),
+                        sum($"resid_bp" * $"resid_bp").as("srr"))
+    dec.crossJoin(broadcast(stats))
+      .select($"day", $"n_events", $"resid_bp",
+        (($"n" * $"resid_bp" - $"sr") * ($"n" * $"resid_bp" - $"sr") >
+          lit(4L) * ($"n" * $"srr" - $"sr" * $"sr")).as("is_anomaly"))
+      .orderBy($"day")
+  }
+
+  val anomalyDaysSql: String = {
+    val inner = seasonalDecomposeSqlBody
+    s"""WITH dec AS ($inner),
+       |stats AS (
+       |  SELECT count(*) AS n, CAST(sum(resid_bp) AS BIGINT) AS sr,
+       |    CAST(sum(resid_bp * resid_bp) AS BIGINT) AS srr
+       |  FROM dec)
+       |SELECT day, n_events, resid_bp,
+       |  (n * resid_bp - sr) * (n * resid_bp - sr)
+       |    > 4 * (n * srr - sr * sr) AS is_anomaly
+       |FROM dec, stats
+       |ORDER BY day""".stripMargin
   }
 
   val slidingActivesSql: String =

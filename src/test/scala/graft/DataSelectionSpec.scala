@@ -122,6 +122,35 @@ class DataSelectionSpec extends SparkTestBase {
     }
   }
 
+  test("anomaly flags equal the float z-test and catch a planted spike") {
+    import spark.implicits._
+    val rows = graft.ops.Events.anomalyDays(spark, sfDir)
+      .select($"day", $"resid_bp", $"is_anomaly")
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val rs = rows.map(_._2.toDouble)
+    val mean = rs.sum / rs.length
+    val variance = rs.map(r => (r - mean) * (r - mean)).sum / rs.length
+    rows.foreach { case (d, r, flag) =>
+      val ref = math.abs(r - mean) > 2.0 * math.sqrt(variance)
+      assert(flag == ref, s"$d: integer flag $flag != float z-test $ref")
+    }
+    // planted spike: one day with 30x the events of every other day
+    val dir = java.nio.file.Files.createTempDirectory("anomaly").toString
+    val base = (1 to 28).flatMap { d =>
+      (1 to 10).map(i => (d.toLong * 100 + i,
+        java.sql.Timestamp.valueOf(f"2024-01-$d%02d 01:00:00"),
+        i.toLong, "view", 1.0, "{}"))
+    }
+    val spike = (1 to 1000).map(i => (90000L + i,
+      java.sql.Timestamp.valueOf("2024-01-15 12:00:00"), i.toLong, "view", 1.0, "{}"))
+    (base ++ spike).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val flagged = graft.ops.Events.anomalyDays(spark, dir)
+      .filter($"is_anomaly").select($"day").as[String].collect().toSeq
+    assert(flagged == Seq("2024-01-15"), s"flagged: $flagged")
+  }
+
   test("seasonal residuals per weekday sum to the floor remainder only") {
     import spark.implicits._
     val rows = graft.ops.Events.seasonalDecompose(spark, sfDir)
