@@ -195,6 +195,9 @@ object SparkEntry {
     "t_dsir_weights" -> (DataSelection.dsirWeights _),
     // deterministic epoch shuffle → shards; per-shard order digest
     "t_shard_shuffle" -> (DataSelection.shardShuffle _),
+    // temperature-scaled source quotas (n^0.5): IEEE sqrt/×/÷ are
+    // correctly rounded, the one order-sensitive sum folds sorted
+    "t_temperature_mix" -> (DataSelection.temperatureMix _),
     // day-of-week seasonal mean + integer-exact residuals
     "w_seasonal_decompose" -> (Events.seasonalDecompose _),
     // 2-sigma residual anomaly flags via integer cross-multiplication
@@ -356,5 +359,6 @@ object SparkEntry {
     "e_sliding_actives" -> Events.slidingActivesSql,
     "s_retrieval_metrics" -> graft.similarity.Retrieval.retrievalMetricsSql,
     "e_anomaly_days" -> Events.anomalyDaysSql,
+    "t_temperature_mix" -> DataSelection.temperatureMixSql,
   )
 }

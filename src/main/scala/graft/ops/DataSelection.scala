@@ -147,6 +147,84 @@ object DataSelection {
       .orderBy($"doc_id")
   }
 
+  /** Sampling budget for the temperature mix. */
+  val MixBudget = 200L
+
+  /** Temperature-scaled source mixing (`t_temperature_mix`): sampling
+    * quotas ∝ n_source^α with α = 0.5 — the Gopher/LLaMA device that
+    * flattens a source distribution so big crawls don't drown curated
+    * sources. quota_s = floor(B · √n_s / Σ√n).
+    *
+    * Cross-engine exactness for a FLOAT formula, without integerizing:
+    * IEEE-754 sqrt, ×, and ÷ are correctly rounded, so identical inputs
+    * give bit-identical doubles in the JVM and DuckDB; the one
+    * order-sensitive step (Σ√n) folds a source-name-sorted list with a
+    * 0.0 seed on both sides — same association, same bits, same floor.
+    *
+    * Scale: per-source counts are one combine-friendly aggregate; the
+    * source table is tiny and broadcasts; per-doc selection is the
+    * salted-hash rank the stratified sampler already uses. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    HashExpressions.register(spark)
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    val denom = counts
+      .agg(sort_array(collect_list(struct($"source", sqrt($"n").as("w"))))
+        .as("ws"))
+      .select(expr("aggregate(ws, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w)")
+        .as("denom"))
+    val quotas = counts.crossJoin(broadcast(denom))
+      .select($"source", $"n",
+        floor(lit(MixBudget.toDouble) * sqrt($"n") / $"denom")
+          .cast("long").as("quota"))
+    val h = HashExpressions.md5Prefix64(
+      concat(lit("tmix:"), $"doc_id".cast("string")), DsirHashHex)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"h", $"doc_id")
+    val picked = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars", h.as("h"))
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(quotas), "source")
+      .filter($"rk" <= $"quota")
+    val sel = picked.groupBy($"source")
+      .agg(count(lit(1)).as("n_selected"), sum($"n_chars").as("sel_chars"))
+    // LEFT join from quotas: a zero-quota source still reports its row
+    // (n_selected 0, null chars), mirrored exactly by the oracle SQL
+    quotas.join(sel, Seq("source"), "left_outer")
+      .select($"source", $"n", $"quota",
+        coalesce($"n_selected", lit(0L)).as("n_selected"), $"sel_chars")
+      .orderBy($"source")
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n FROM documents GROUP BY 1),
+       |denom AS (
+       |  SELECT list_reduce(
+       |    list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(sqrt(n) ORDER BY source)), (acc, x) -> acc + x) AS denom
+       |  FROM counts),
+       |quotas AS (
+       |  SELECT source, n,
+       |    CAST(floor($MixBudget.0 * sqrt(n) / denom) AS BIGINT) AS quota
+       |  FROM counts, denom),
+       |ranked AS (
+       |  SELECT doc_id, source, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY
+       |      CAST(('0x' || substring(md5('tmix:' || CAST(doc_id AS VARCHAR)),
+       |        1, $DsirHashHex)) AS BIGINT), doc_id) AS rk
+       |  FROM documents),
+       |picked AS (
+       |  SELECT ranked.* FROM ranked JOIN quotas USING (source)
+       |  WHERE rk <= quota)
+       |SELECT quotas.source AS source, n, quota,
+       |  count(picked.doc_id) AS n_selected,
+       |  CAST(sum(picked.n_chars) AS BIGINT) AS sel_chars
+       |FROM quotas LEFT JOIN picked USING (source)
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1""".stripMargin
+
   /** Shards for the deterministic epoch shuffle. */
   val ShuffleShards = 8
   /** Seed prefix — vary per epoch for a fresh order. */

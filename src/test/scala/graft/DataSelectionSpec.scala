@@ -122,6 +122,27 @@ class DataSelectionSpec extends SparkTestBase {
     }
   }
 
+  test("temperature mix flattens a 9:1 source skew to sqrt's 3:1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tmix").toString
+    val docs = (1 to 900).map(i => (i.toLong, s"doc $i", "en", "big", 10L)) ++
+               (1 to 100).map(i => (900L + i, s"doc b$i", "en", "small", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.ops.DataSelection.temperatureMix(spark, dir)
+      .select($"source", $"n", $"quota", $"n_selected")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // denom = sqrt(900) + sqrt(100) = 40; quotas = 200*30/40, 200*10/40
+    assert(rows("big")._3 == 150L, rows.toString)
+    assert(rows("small")._3 == 50L)
+    // the raw 9:1 skew flattened to exactly 3:1, every quota honored
+    assert(rows("big")._4 == 150L && rows("small")._4 == 50L)
+    // budget respected up to floor loss
+    val totalQuota = rows.values.map(_._3).sum
+    assert(totalQuota <= graft.ops.DataSelection.MixBudget)
+    assert(totalQuota >= graft.ops.DataSelection.MixBudget - rows.size)
+  }
+
   test("anomaly flags equal the float z-test and catch a planted spike") {
     import spark.implicits._
     val rows = graft.ops.Events.anomalyDays(spark, sfDir)
