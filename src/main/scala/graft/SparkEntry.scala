@@ -175,6 +175,9 @@ object SparkEntry {
     // PageRank iterations as join+agg rounds; integer ppb ranks
     "g_copurchase_rank" -> (graft.ops.Graph.copurchaseRank _),
     "d_ngram_jaccard" -> (graft.dedup.Dedup.ngramJaccard _),
+    // asymmetric-overlap dedup: |A∩B|/min — catches excerpts/quotes
+    // that symmetric Jaccard structurally misses (planted both engines)
+    "d_containment" -> (graft.dedup.Dedup.containment _),
     "j_fuzzy_names" -> (Joins.fuzzyNameMatch _),
     "t_dq_audit" -> (Quality.dqAudit _),
     "a_cube" -> (Aggregates.cubeSummary _),
@@ -336,6 +339,7 @@ object SparkEntry {
     "e_attribution" -> Events.attributionSql,
     "g_copurchase_rank" -> graft.ops.Graph.copurchaseRankSql,
     "d_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccardSql,
+    "d_containment" -> graft.dedup.Dedup.containmentSql,
     "j_fuzzy_names" -> Joins.fuzzyNameMatchSql,
     "t_dq_audit" -> Quality.dqAuditSql,
     "a_cube" -> Aggregates.cubeSummarySql,

@@ -373,6 +373,113 @@ object Dedup {
     * everything); grams in only one document can't generate a pair. */
   val NgramMaxDf = 20
 
+  /** Excerpt length (tokens) and id offset for [[containment]]'s
+    * planted contained docs. */
+  val ContainTokens = 25
+  val ContainIdBase = 1000000L
+  /** Containment alarm bar (basis points of the SMALLER gram set). */
+  val ContainBp = 9000L
+
+  /** CONTAINMENT near-dup (`d_containment`): score candidate pairs by
+    * `|A∩B| / min(|A|,|B|)` instead of Jaccard — the asymmetric-overlap
+    * detector. A short document quoted inside a long one has containment
+    * ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0, so symmetric dedup never fires;
+    * this is the rule that catches quotes, excerpts, and boilerplate
+    * wrappers. Candidates come from the same rare-gram inverted index as
+    * [[ngramJaccard]] (exact recall for pairs sharing a rare gram, pair
+    * count bounded by the df cap), the verify is the same in-row
+    * sorted-intersect — only the normalizer changes.
+    *
+    * The synthetic corpus has no natural excerpt pairs, so the query
+    * PLANTS them deterministically on BOTH engines (the SemDeDup
+    * device): each doc_id < 5 gains a twin at id+[[ContainIdBase]]
+    * holding its first [[ContainTokens]] tokens. The oracle hash then
+    * pins that every planted excerpt is caught at ≥ [[ContainBp]] while
+    * its Jaccard stays low — and that nothing else fires. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ShingleExpressions.register(spark)
+    graft.functions.HashExpressions.register(spark)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val excerpts = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + ContainIdBase).as("doc_id"),
+        concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"),
+          1, ContainTokens)).as("text"))
+    val grams = docs.unionByName(excerpts)
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("gs", expr(
+        s"""CASE WHEN size(toks) >= $NgramN THEN
+           |  array_sort(array_distinct(transform(
+           |    sequence(1, size(toks) - ${NgramN - 1}),
+           |    i -> graft_md5_prefix64(
+           |           concat_ws(' ', slice(toks, i, $NgramN)), 15) % ${P}L)))
+           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+      .select(col("doc_id"), col("gs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = grams.select(col("doc_id"), explode(col("gs")).as("h"))
+    val rare = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= NgramMaxDf).select(col("h"))
+    val rp = posting.join(rare, "h")
+    val pairs = rp.select(col("h"), col("doc_id").as("doc_a"))
+      .join(rp.select(col("h"), col("doc_id").as("doc_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    pairs
+      .join(grams.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.ShingleExpressions
+          .sortedIntersect(col("gs_a"), col("gs_b")).as("n_inter"),
+        size(col("gs_a")).cast("long").as("n_a"),
+        size(col("gs_b")).cast("long").as("n_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("n_inter") * 10000 / least(col("n_a"), col("n_b")))
+          .cast("long").as("contain_bp"),
+        floor(col("n_inter") * 10000 / (col("n_a") + col("n_b") - col("n_inter")))
+          .cast("long").as("jaccard_bp"))
+      .filter(col("contain_bp") >= ContainBp)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val containmentSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $ContainIdBase AS doc_id,
+       |    list_aggregate(
+       |      (string_split_regex(trim(lower(text)), '\\s+'))[1:$ContainTokens],
+       |      'string_agg', ' ') AS text
+       |  FROM documents WHERE doc_id < 5),
+       |toklist AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+       |  FROM corpus),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |    (CAST(('0x' || substring(md5(l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]), 1, 15))
+       |      AS BIGINT) % $P) AS h
+       |  FROM toklist, UNNEST(range(0, greatest(len(l) - ${NgramN - 1}, 0))) t(i)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |rare AS (SELECT h FROM g GROUP BY h
+       |         HAVING count(*) BETWEEN 2 AND $NgramMaxDf),
+       |pr AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM g a JOIN rare USING (h)
+       |  JOIN g b ON b.h = a.h AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+       |  FROM pr p
+       |  JOIN g a ON a.doc_id = p.doc_a
+       |  JOIN g b ON b.doc_id = p.doc_b AND b.h = a.h
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b,
+       |  CAST(floor(n_inter * 10000 / least(sa.n, sb.n)) AS BIGINT) AS contain_bp,
+       |  CAST(floor(n_inter * 10000 / (sa.n + sb.n - n_inter)) AS BIGINT) AS jaccard_bp
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_a
+       |JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE CAST(floor(n_inter * 10000 / least(sa.n, sb.n)) AS BIGINT) >= $ContainBp
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Word-n-gram Jaccard dedup via an inverted index (`d_ngram_jaccard`)
     * — the candidate mechanism the MinHash family does NOT use: instead
     * of probabilistic band collisions, two documents become a candidate

@@ -383,4 +383,34 @@ class DedupSpec extends SparkTestBase {
         l.contains("BroadcastHashJoin")) && l.contains("cell")),
       "expected an equi join keyed on the cell")
   }
+
+  test("containment catches every planted excerpt that Jaccard misses") {
+    import spark.implicits._
+    val rows = graft.dedup.Dedup.containment(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"contain_bp", $"jaccard_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    val base = graft.dedup.Dedup.ContainIdBase
+    val nToks = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(split(trim(lower($"text")), "\\s+")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // all 5 planted (original, excerpt) pairs must fire
+    (0L until 5L).foreach { id =>
+      val hit = rows.find(r => r._1 == id && r._2 == id + base)
+      assert(hit.isDefined, s"planted excerpt of doc $id not caught")
+      val (_, _, c, j) = hit.get
+      assert(c >= graft.dedup.Dedup.ContainBp)
+      if (nToks(id) >= 2L * graft.dedup.Dedup.ContainTokens) {
+        // a real excerpt (original ≥ 2× its length): Jaccard sits far
+        // below any symmetric dup bar — containment is the only rule
+        // that fires, which is the point of the operator
+        assert(j < 6000, s"doc $id: jaccard $j should be under the dup bar")
+        assert(c - j >= 3000, s"doc $id: asymmetric gap missing (c=$c j=$j)")
+      }
+      // an original shorter than the excerpt window degenerates to a
+      // full dup (containment = jaccard = 10000) — still caught
+    }
+    rows.foreach { case (a, b, c, _) =>
+      assert(c >= graft.dedup.Dedup.ContainBp && a < b)
+    }
+  }
 }
