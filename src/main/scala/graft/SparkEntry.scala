@@ -67,6 +67,8 @@ object SparkEntry {
     // same oracle through the custom LogicalPlan/Strategy/SparkPlan path
     "j_asof_native" -> (TemporalJoins.asofLastViewNative _),
     "j_train_examples" -> (TemporalJoins.trainExamples _),
+    // as-of + staleness horizon: the feature-store TTL rule
+    "j_asof_tolerance" -> (TemporalJoins.asofTolerance _),
     "j_range_pairs" -> (TemporalJoins.rangePairs _),
     "t_repetition" -> (TextOps.repetitionStats _),
     "t_hash_sample" -> (TextOps.hashSample _),
@@ -266,6 +268,7 @@ object SparkEntry {
     "j_asof_last_view" -> TemporalJoins.asofLastViewSql,
     "j_asof_native" -> TemporalJoins.asofLastViewSql,
     "j_train_examples" -> TemporalJoins.trainExamplesSql,
+    "j_asof_tolerance" -> TemporalJoins.asofToleranceSql,
     "j_range_pairs" -> TemporalJoins.rangePairsSql,
     "t_repetition" -> TextOps.repetitionStatsSql,
     "t_hash_sample" -> TextOps.hashSampleSql,

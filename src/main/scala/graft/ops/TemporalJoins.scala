@@ -123,6 +123,51 @@ object TemporalJoins {
       |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
       |ORDER BY event_id""".stripMargin
 
+  /** Staleness horizon for [[asofTolerance]]: 3 days in microseconds. */
+  val AsofMaxAgeUs = 259200000000L
+
+  /** As-of join WITH TOLERANCE (`j_asof_tolerance`): the stale-feature
+    * guard — a matched right row older than [[AsofMaxAgeUs]] is treated
+    * as no match (nulled, `is_fresh = false`) rather than silently
+    * serving a weeks-old feature value. Semantics = as-of then age
+    * filter (NOT "nearest within window": the match is still the latest
+    * ≤ t row; it is only accepted or rejected), which is exactly what a
+    * feature store's TTL does. Plan: identical to the as-of (one
+    * exchange per side), plus a row-local age predicate. */
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val joined = asofLastView(spark, dir)
+    val fresh = col("last_view_ts_us").isNotNull &&
+      (col("ts_us") - col("last_view_ts_us") <= AsofMaxAgeUs)
+    joined.select(col("event_id"), col("user_id"), col("ts_us"),
+        col("purchase_value"),
+        when(fresh, col("last_view_ts_us")).as("last_view_ts_us"),
+        when(fresh, col("last_view_value")).as("last_view_value"),
+        fresh.as("is_fresh"))
+      .orderBy("event_id")
+  }
+
+  val asofToleranceSql: String =
+    s"""WITH r AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS view_value
+       |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+       |l AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value AS purchase_value
+       |  FROM events WHERE event_type = 'purchase'),
+       |j AS (
+       |  SELECT l.event_id, l.user_id, l.ts_us, l.purchase_value,
+       |    r.ts_us AS m_ts, r.view_value AS m_val
+       |  FROM l ASOF LEFT JOIN r
+       |    ON l.user_id = r.user_id AND l.ts_us >= r.ts_us)
+       |SELECT event_id, user_id, ts_us, purchase_value,
+       |  CASE WHEN m_ts IS NOT NULL AND ts_us - m_ts <= $AsofMaxAgeUs
+       |       THEN m_ts END AS last_view_ts_us,
+       |  CASE WHEN m_ts IS NOT NULL AND ts_us - m_ts <= $AsofMaxAgeUs
+       |       THEN m_val END AS last_view_value,
+       |  COALESCE(m_ts IS NOT NULL AND ts_us - m_ts <= $AsofMaxAgeUs, FALSE)
+       |    AS is_fresh
+       |FROM j
+       |ORDER BY event_id""".stripMargin
+
   /** Point-in-time training-set assembly (the feature-store pattern):
     * label rows (purchases) pick up per-user features as they stood
     * STRICTLY BEFORE the label instant — the no-leakage discipline that

@@ -114,4 +114,32 @@ class TemporalJoinsSpec extends SparkTestBase {
       strict = true).select("asof_feat").head()
     assert(none.isNullAt(0))
   }
+
+  test("tolerance: stale matches are nulled, fresh ones identical to plain as-of") {
+    import spark.implicits._
+    val plain = TemporalJoins.asofLastView(spark, sfDir)
+      .select($"event_id", $"last_view_ts_us", $"last_view_value", $"ts_us")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2), r.getLong(3)))))
+      .toMap
+    val tol = TemporalJoins.asofTolerance(spark, sfDir).collect()
+    assert(tol.length == plain.size)
+    var nFresh = 0; var nStale = 0
+    tol.foreach { r =>
+      val id = r.getLong(0)
+      val fresh = r.getBoolean(6)
+      plain(id) match {
+        case Some((mts, mval, lts)) if lts - mts <= TemporalJoins.AsofMaxAgeUs =>
+          assert(fresh && r.getLong(4) == mts && r.getDouble(5) == mval)
+          nFresh += 1
+        case other =>
+          // stale match or no match at all: both must surface as nulls
+          assert(!fresh && r.isNullAt(4) && r.isNullAt(5), s"$id $other")
+          nStale += 1
+      }
+    }
+    info(s"fresh=$nFresh stale-or-none=$nStale")
+    assert(nFresh > 0, "no fresh matches — horizon too tight for the corpus")
+    assert(nStale > 0, "no stale/none rows — the guard is not exercised")
+  }
 }
