@@ -176,6 +176,8 @@ object SparkEntry {
     "e_attribution" -> (Events.attribution _),
     // PageRank iterations as join+agg rounds; integer ppb ranks
     "g_copurchase_rank" -> (graft.ops.Graph.copurchaseRank _),
+    // personalized PageRank: restart mass on one seed (recommender form)
+    "g_personalized_rank" -> (graft.ops.Graph.personalizedRank _),
     "d_ngram_jaccard" -> (graft.dedup.Dedup.ngramJaccard _),
     // asymmetric-overlap dedup: |A∩B|/min — catches excerpts/quotes
     // that symmetric Jaccard structurally misses (planted both engines)
@@ -341,6 +343,7 @@ object SparkEntry {
     "a_chi2_cells" -> Aggregates.chi2CellsSql,
     "e_attribution" -> Events.attributionSql,
     "g_copurchase_rank" -> graft.ops.Graph.copurchaseRankSql,
+    "g_personalized_rank" -> graft.ops.Graph.personalizedRankSql,
     "d_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccardSql,
     "d_containment" -> graft.dedup.Dedup.containmentSql,
     "j_fuzzy_names" -> Joins.fuzzyNameMatchSql,

@@ -73,6 +73,87 @@ object Graph {
       .limit(100)
   }
 
+  /** Seed customer for the personalized walk (customer key 1 → node 2). */
+  val PprSeedCust = 1L
+
+  /** PERSONALIZED PageRank (`g_personalized_rank`): the random walk
+    * restarts at ONE seed node instead of uniformly — the
+    * "related items for THIS customer" recommender query, vs
+    * [[copurchaseRank]]'s global importance. Only the jump term
+    * changes: the seed gets the full 15% restart mass, everyone else
+    * gets none, so rank concentrates in the seed's neighborhood.
+    * Same integer-ppb floor arithmetic, same one-join-one-agg
+    * iteration shape, same unrolled-CTE oracle; nodes the walk never
+    * reaches simply drop out (sparse — at corpus scale the frontier
+    * is the seed's k-hop ball, far smaller than the graph). */
+  def personalizedRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey")
+      .join(graft.Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_partkey".as("p")).distinct()
+    val edges = pairs.select(($"c" * 2).as("src"), ($"p" * 2 + 1).as("dst"))
+      .unionAll(pairs.select(($"p" * 2 + 1).as("src"), ($"c" * 2).as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    val edgesDeg = edges.join(deg, "src")
+      .select($"src", $"dst", $"d").localCheckpoint()
+    val seed = PprSeedCust * 2
+    val jumpAtSeed = (15L * 1000000000L) / 100L
+    var ranks = deg.select($"src".as("node"))
+      .filter($"node" === seed).select($"node", lit(1000000000L).as("r"))
+    for (_ <- 1 to PrIters) {
+      ranks = edgesDeg
+        .join(ranks, $"src" === $"node")
+        .select($"dst", expr("(85 * (r div d)) div 100").as("contrib"))
+        .groupBy($"dst")
+        .agg((sum($"contrib") +
+          when($"dst" === seed, lit(jumpAtSeed)).otherwise(0L)).as("r"))
+        .select($"dst".as("node"), $"r")
+        .localCheckpoint()
+    }
+    ranks
+      .select(when($"node" % 2 === 0, lit("customer")).otherwise(lit("part")).as("kind"),
+        expr("node div 2").as("key"), $"r".as("rank_ppb"))
+      .orderBy($"rank_ppb".desc, $"kind", $"key")
+      .limit(100)
+  }
+
+  val personalizedRankSql: String = {
+    val seed = PprSeedCust * 2
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT e.dst AS node,
+         |    CAST(sum((85 * (r.r // d.d)) // 100)
+         |      + CASE WHEN e.dst = $seed
+         |             THEN (15 * 1000000000::BIGINT) // 100 ELSE 0 END
+         |      AS BIGINT) AS r
+         |  FROM edges e
+         |  JOIN $prev r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT c * 2 AS src, p * 2 + 1 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT p * 2 + 1 AS src, c * 2 AS dst FROM pairs),
+       |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+       |r0 AS (
+       |  SELECT src AS node, 1000000000::BIGINT AS r
+       |  FROM deg WHERE src = $seed),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS kind,
+       |  node // 2 AS key, r AS rank_ppb
+       |FROM r3
+       |ORDER BY rank_ppb DESC, kind, key
+       |LIMIT 100""".stripMargin
+  }
+
   val copurchaseRankSql: String = {
     // CAST back to BIGINT: DuckDB widens sum(BIGINT) to HUGEINT, which
     // pandas would surface as float and break the hash compare

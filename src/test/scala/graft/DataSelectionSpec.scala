@@ -122,6 +122,30 @@ class DataSelectionSpec extends SparkTestBase {
     }
   }
 
+  test("personalized rank concentrates on the seed's own neighborhood") {
+    import spark.implicits._
+    val seedParts = Tables.orders(spark, sfDir)
+      .filter($"o_custkey" === graft.ops.Graph.PprSeedCust)
+      .join(Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+      .select($"l_partkey").distinct().as[Long].collect().toSet
+    assert(seedParts.nonEmpty, "seed customer must have purchases in the corpus")
+    val ranks = graft.ops.Graph.personalizedRank(spark, sfDir)
+      .select($"kind", $"key", $"rank_ppb")
+      .as[(String, Long, Long)].collect()
+    assert(ranks.nonEmpty)
+    // the top-ranked part must be one the seed actually bought (1-hop)
+    val topPart = ranks.find(_._1 == "part").get
+    assert(seedParts.contains(topPart._2),
+      s"top part ${topPart._2} is not in the seed's purchase set")
+    // every 1-hop part outranks every part the seed never bought
+    val partRanks = ranks.filter(_._1 == "part")
+    val minOwn = partRanks.filter(r => seedParts.contains(r._2)).map(_._3).min
+    val maxOther = partRanks.filter(r => !seedParts.contains(r._2))
+      .map(_._3).foldLeft(0L)(math.max)
+    assert(minOwn > maxOther,
+      s"a 3-hop part ($maxOther) outranked a 1-hop part ($minOwn)")
+  }
+
   test("temperature mix flattens a 9:1 source skew to sqrt's 3:1") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tmix").toString
