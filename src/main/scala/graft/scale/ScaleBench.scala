@@ -197,7 +197,11 @@ object ScaleBench {
       "t_shard_shuffle" -> (graft.ops.DataSelection.shardShuffle _),
       "s_bm25_topk" -> (graft.similarity.Retrieval.bm25TopK _),
       "s_bm25_topk_indexed" -> (graft.similarity.Retrieval.bm25TopKCached _),
-      "s_hybrid_rrf" -> (graft.similarity.Retrieval.hybridRrf _))
+      "s_hybrid_rrf" -> (graft.similarity.Retrieval.hybridRrf _),
+      // containment rides the same rare-gram posting join as
+      // d_ngram_jaccard (pair count bounded by the df cap) — measured
+      // separately because the planted excerpts change the df profile
+      "d_containment" -> (graft.dedup.Dedup.containment _))
 
     def clearPersisted(): Unit = {
       spark.catalog.clearCache()

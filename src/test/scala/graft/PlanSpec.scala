@@ -390,6 +390,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("ScalaUDF"), "RRF arithmetic must be codegen")
   }
 
+  test("containment: candidate generation stays an equi-join on the gram hash") {
+    val p = plan(SparkEntry.queries("d_containment")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must never go all-pairs:\n$p")
+  }
+
+  test("personalized rank: every iteration is equi-join + aggregation") {
+    val p = plan(SparkEntry.queries("g_personalized_rank")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must not globally sort:\n$p")
+  }
+
   test("seasonal decomposition: corpus-sized shuffle only for the daily agg") {
     val p = plan(SparkEntry.queries("w_seasonal_decompose")(spark, sfDir))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
