@@ -75,6 +75,8 @@ object SparkEntry {
     "t_top_ngrams" -> (TextOps.topNgrams _),
     "a_approx_ndv" -> (Events.approxNdv _), // rows-only: HLL sketch
     "d_dup_clusters" -> (graft.dedup.Dedup.dupClusters _),
+    // quality-aware canonical: longest member survives, not min-id
+    "d_canonical_best" -> (graft.dedup.Dedup.canonicalBest _),
     "d_minhash_lsh" -> (graft.dedup.Dedup.minhashLsh _),
     "d_lsh_jaccard" -> (graft.dedup.Dedup.lshJaccard _),
     "d_lsh_bucketed" -> ((s, dir) => graft.dedup.Dedup.lshJaccardBucketedAttach(s, dir)),
@@ -277,6 +279,7 @@ object SparkEntry {
     "t_top_ngrams" -> TextOps.topNgramsSql,
     "t_freq_tokens_exact" -> TextOps.freqTokensExactSql,
     "d_dup_clusters" -> graft.dedup.Dedup.dupClustersSql,
+    "d_canonical_best" -> graft.dedup.Dedup.canonicalBestSql,
     "d_minhash_lsh" -> graft.dedup.Dedup.minhashLshSql,
     "d_lsh_jaccard" -> graft.dedup.Dedup.lshJaccardSql,
     // bit-identical result over bucketed storage — same oracle gates both

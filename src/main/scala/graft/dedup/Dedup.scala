@@ -743,6 +743,44 @@ object Dedup {
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
     dupClustersOver(spark, dir, lshJaccard(spark, dir), DriverUnionFindMaxEdges)
 
+  /** Quality-aware canonicalization (`d_canonical_best`): within each
+    * duplicate cluster keep the member a curator would actually keep —
+    * the LONGEST document (max n_chars, ties to the smaller id) —
+    * instead of [[dupClusters]]'s arbitrary min-id survivor. This is the
+    * standard near-dedup canonical rule (truncated copies lose to their
+    * fuller original). One window over the cluster id (clusters are
+    * small by construction) after a broadcast-size attach of the length
+    * column; everything upstream is the unchanged cluster machinery. */
+  def canonicalBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dupClusters(spark, dir).select(col("doc_id"), col("cluster_id"))
+    val len = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val best = clusters.join(len, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_id"))
+    clusters.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  def canonicalBestSql: String =
+    s"""WITH clusters AS ($dupClustersSql),
+       |best AS (
+       |  SELECT cluster_id, doc_id AS canonical_id FROM (
+       |    SELECT c.cluster_id, c.doc_id,
+       |      row_number() OVER (PARTITION BY c.cluster_id
+       |        ORDER BY d.n_chars DESC, c.doc_id) AS rn
+       |    FROM clusters c JOIN documents d USING (doc_id)) t
+       |  WHERE rn = 1)
+       |SELECT c.doc_id, c.cluster_id, b.canonical_id,
+       |  CAST(c.doc_id = b.canonical_id AS INT) AS keep
+       |FROM clusters c JOIN best b USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** xxhash64 fast-path twin of [[dupClusters]] — the production 100-TB
     * path (md5 exists only for DuckDB oracle identity). `maxEdges`
     * overrides the driver/distributed crossover so a scale rehearsal can

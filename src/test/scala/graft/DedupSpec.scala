@@ -384,6 +384,30 @@ class DedupSpec extends SparkTestBase {
       "expected an equi join keyed on the cell")
   }
 
+  test("canonicalBest keeps the longest member of every cluster") {
+    import spark.implicits._
+    val rows = graft.dedup.Dedup.canonicalBest(spark, sfDir)
+      .select($"doc_id", $"cluster_id", $"canonical_id", $"keep")
+      .as[(Long, Long, Long, Int)].collect()
+    val len = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    // same partition as dupClusters, every doc present exactly once
+    val plain = graft.dedup.Dedup.dupClusters(spark, sfDir)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert(rows.length == plain.size)
+    rows.foreach { case (d, c, _, _) => assert(plain(d) == c) }
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      val canon = members.head._3
+      assert(members.forall(_._3 == canon), s"cluster $c: split canonical")
+      val byRule = members.map(_._1).minBy(d => (-len(d), d))
+      assert(canon == byRule, s"cluster $c: canonical $canon != longest $byRule")
+      assert(members.count(_._4 == 1) == 1)
+      members.foreach { m => assert((m._4 == 1) == (m._1 == canon)) }
+    }
+    // at least one multi-member cluster exercises the argmax
+    assert(rows.groupBy(_._2).exists(_._2.length > 1))
+  }
+
   test("containment catches every planted excerpt that Jaccard misses") {
     import spark.implicits._
     val rows = graft.dedup.Dedup.containment(spark, sfDir)
