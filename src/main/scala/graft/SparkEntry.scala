@@ -211,6 +211,8 @@ object SparkEntry {
     "w_seasonal_decompose" -> (Events.seasonalDecompose _),
     // 2-sigma residual anomaly flags via integer cross-multiplication
     "e_anomaly_days" -> (Events.anomalyDays _),
+    // exact 7-day rolling OLS slope via unrolled lags (trend detector)
+    "w_rolling_slope" -> (Events.rollingSlope _),
     // hybrid retrieval: BM25 integer core + RRF fusion oracle-gated,
     // log-idf scoring rows-only + spec vs a scalar reference
     "s_bm25_core" -> (graft.similarity.Retrieval.bm25Core _),
@@ -372,6 +374,7 @@ object SparkEntry {
     "e_sliding_actives" -> Events.slidingActivesSql,
     "s_retrieval_metrics" -> graft.similarity.Retrieval.retrievalMetricsSql,
     "e_anomaly_days" -> Events.anomalyDaysSql,
+    "w_rolling_slope" -> Events.rollingSlopeSql,
     "t_temperature_mix" -> DataSelection.temperatureMixSql,
   )
 }

