@@ -223,6 +223,9 @@ object SparkEntry {
     "s_hybrid_rrf" -> (graft.similarity.Retrieval.hybridRrf _),
     // offline ranking eval: hits@k + MRR in floor-micros, all integer
     "s_retrieval_metrics" -> (graft.similarity.Retrieval.retrievalMetrics _),
+    // distributed PCA: one-pass Gram agg + driver Jacobi + codegen
+    // projection; rows-only (eigensolvers have no cross-engine identity)
+    "s_pca_project" -> (graft.ml.Pca.pcaProject _),
     // leave-one-out categorical target encoding, integer-exact
     "j_target_encode" -> (Features.looTargetEncode _),
     // trailing 7-day distinct actives via bounded x7 fan-out (no range

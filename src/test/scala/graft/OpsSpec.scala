@@ -37,7 +37,10 @@ class OpsSpec extends SparkTestBase {
       "d_incremental_admit_fast",
       "a_quantiles_approx", "a_approx_ndv", "a_kmv_overlap", "t_perplexity",
       "t_freq_tokens",
-      "t_dsir_weights", "s_bm25_topk", "s_bm25_topk_indexed")
+      "t_dsir_weights", "s_bm25_topk", "s_bm25_topk_indexed",
+      // eigensolver floats have no cross-engine identity; PcaSpec gates
+      // the math against first principles
+      "s_pca_project")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty)
