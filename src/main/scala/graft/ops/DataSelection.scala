@@ -108,7 +108,16 @@ object DataSelection {
     * instead, same plan minus the window). */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bins = dsirBins(spark, dir)
+    // tokenize/hash ONCE: the model aggregate and the per-doc counts
+    // both read this frame, and without the persist each would rerun
+    // the corpus-dominant explode scan (the Dedup gram-frame pattern;
+    // Bench/ScaleBench clear persisted frames between queries)
+    val fb = featureBuckets(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bins = fb
+      .groupBy($"bucket")
+      .agg(sum(when($"lang" === DsirTargetLang, 1L).otherwise(0L)).as("target_n"),
+           count(lit(1)).as("raw_n"))
     val b = lit(DsirBuckets.toDouble)
     val a = lit(DsirAlpha)
     // Totals are two scalars; fold them in with a window-free cross of
@@ -119,7 +128,7 @@ object DataSelection {
       .select($"bucket",
         (log(($"target_n" + a) / ($"t_total" + a * b)) -
          log(($"raw_n" + a) / ($"r_total" + a * b))).as("log_ratio"))
-    val perDoc = featureBuckets(spark, dir)
+    val perDoc = fb
       .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("c"))
     // sorted fold, not a partition-order sum: float + is not associative,
     // so `sum` would differ in the last ULP across shuffle postures (the

@@ -310,7 +310,6 @@ object Events {
       .groupBy(to_date($"ts").as("d"))
       .agg(count(lit(1)).as("n_events"))
       .withColumn("dow", pmod(datediff($"d", lit("1970-01-01").cast("date")), lit(7)).cast("long"))
-    val byDow = Window.partitionBy($"dow")
     daily
       .withColumn("seasonal_bp",
         expr("(sum(n_events) OVER (PARTITION BY dow) * 10000) DIV count(*) OVER (PARTITION BY dow)"))
@@ -349,8 +348,11 @@ object Events {
     * to constants (Σx = 21, Σx² = 91, denom = 7·91 − 21² = 196):
     * slope = (7·Σ(i·yᵢ) − 21·Σyᵢ) / 196, emitted in floor-micros —
     * exact integers in both engines, no float regression. Rows with an
-    * incomplete frame (first 6 days of a type) emit NULL rather than a
-    * slope fitted on missing data.
+    * incomplete frame — the first 6 days of a type, OR any frame whose
+    * 7 observed rows span more than 6 calendar days (row-offset lags
+    * would otherwise stretch silently across a data gap while x still
+    * assumes consecutive days) — emit NULL rather than a slope fitted
+    * on missing data.
     *
     * Scale: the corpus reduces to one row per (type, day) first; the
     * lag window then runs over calendar-sized data, one exchange. */
@@ -364,13 +366,18 @@ object Events {
     val num = (0 to 6).map(i => s"${i}L * y$i").mkString(" + ")
     val sumY = (0 to 6).map(i => s"y$i").mkString(" + ")
     daily
-      .select(($"event_type" +: date_format($"d", "yyyy-MM-dd").as("day") +: lags): _*)
+      .select(($"event_type" +: $"d" +: lag($"d", 6).over(w).as("d6") +: lags): _*)
       .withColumn("slope_micros",
-        when((0 to 6).map(i => col(s"y$i").isNotNull).reduce(_ && _),
+        // full frame AND contiguous calendar days: row-offset lags
+        // would silently stretch the window across a gap while x still
+        // assumes consecutive days — a "7-day" slope spanning 19 days
+        when((0 to 6).map(i => col(s"y$i").isNotNull).reduce(_ && _) &&
+             datediff($"d", $"d6") === 6,
           // DIV truncates toward zero in BOTH engines (DuckDB `//` is
           // truncation too, verified) — negative slopes stay exact
           expr(s"CAST((7 * ($num) - 21 * ($sumY)) * 1000000 DIV 196 AS BIGINT)")))
-      .select($"event_type", $"day", $"slope_micros")
+      .select($"event_type", date_format($"d", "yyyy-MM-dd").as("day"),
+        $"slope_micros")
       .orderBy($"event_type", $"day")
   }
 
@@ -384,11 +391,13 @@ object Events {
        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
        |  FROM events GROUP BY 1, 2),
        |lagged AS (
-       |  SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       |  SELECT event_type, d, strftime(d, '%Y-%m-%d') AS day,
+       |    lag(d, 6) OVER (PARTITION BY event_type ORDER BY d) AS d6,
        |    $lags
        |  FROM daily)
        |SELECT event_type, day,
        |  CASE WHEN ${(0 to 6).map(i => s"y$i IS NOT NULL").mkString(" AND ")}
+       |    AND date_diff('day', d6, d) = 6
        |    THEN CAST((7 * ($iy) - 21 * ($sy)) * 1000000 // 196 AS BIGINT)
        |  END AS slope_micros
        |FROM lagged
@@ -428,24 +437,35 @@ object Events {
     * flagging pass cost nothing at any corpus size. */
   def anomalyDays(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the squares overflow BIGINT at realistic volumes (resid_bp is
+    // events×10⁴; a year of 10⁶-event days puts (n·r − Σr)² past 2⁶³,
+    // where Spark would wrap silently and DuckDB would error) — so
+    // every product runs in decimal(38,0), the exact-integer twin of
+    // the oracle's HUGEINT; comparisons stay exact, nothing wraps
+    val wide = "decimal(38,0)"
     val dec = seasonalDecompose(spark, dir)
       .select($"day", $"n_events", $"resid_bp")
-    val stats = dec.agg(count(lit(1)).as("n"),
-                        sum($"resid_bp").as("sr"),
-                        sum($"resid_bp" * $"resid_bp").as("srr"))
+    val stats = dec.agg(count(lit(1)).cast(wide).as("n"),
+                        sum($"resid_bp").cast(wide).as("sr"),
+                        sum($"resid_bp".cast(wide) * $"resid_bp".cast(wide))
+                          .cast(wide).as("srr"))
+    val dx = $"n" * $"resid_bp".cast(wide) - $"sr"
     dec.crossJoin(broadcast(stats))
       .select($"day", $"n_events", $"resid_bp",
-        (($"n" * $"resid_bp" - $"sr") * ($"n" * $"resid_bp" - $"sr") >
-          lit(4L) * ($"n" * $"srr" - $"sr" * $"sr")).as("is_anomaly"))
+        (dx * dx > lit(4).cast(wide) * ($"n" * $"srr" - $"sr" * $"sr"))
+          .as("is_anomaly"))
       .orderBy($"day")
   }
 
   val anomalyDaysSql: String = {
     val inner = seasonalDecomposeSqlBody
+    // HUGEINT (128-bit) mirrors the Spark side's decimal(38,0): the
+    // squares would overflow BIGINT on large corpora
     s"""WITH dec AS ($inner),
        |stats AS (
-       |  SELECT count(*) AS n, CAST(sum(resid_bp) AS BIGINT) AS sr,
-       |    CAST(sum(resid_bp * resid_bp) AS BIGINT) AS srr
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(resid_bp) AS HUGEINT) AS sr,
+       |    CAST(sum(CAST(resid_bp AS HUGEINT) * resid_bp) AS HUGEINT) AS srr
        |  FROM dec)
        |SELECT day, n_events, resid_bp,
        |  (n * resid_bp - sr) * (n * resid_bp - sr)

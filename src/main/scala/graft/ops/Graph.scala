@@ -101,16 +101,22 @@ object Graph {
       .select($"src", $"dst", $"d").localCheckpoint()
     val seed = PprSeedCust * 2
     val jumpAtSeed = (15L * 1000000000L) / 100L
+    // the restart row is UNIONED in, not added via a dst-side CASE: on
+    // this strictly bipartite graph the seed (even node) receives no
+    // contribution on odd iterations, so a CASE on contributing dst
+    // nodes would silently evaporate the 15% restart mass every other
+    // step and the seed could never appear in its own ranking
+    val seedJump = spark.range(1)
+      .select(lit(seed).as("node"), lit(jumpAtSeed).as("r"))
     var ranks = deg.select($"src".as("node"))
       .filter($"node" === seed).select($"node", lit(1000000000L).as("r"))
     for (_ <- 1 to PrIters) {
       ranks = edgesDeg
         .join(ranks, $"src" === $"node")
-        .select($"dst", expr("(85 * (r div d)) div 100").as("contrib"))
-        .groupBy($"dst")
-        .agg((sum($"contrib") +
-          when($"dst" === seed, lit(jumpAtSeed)).otherwise(0L)).as("r"))
-        .select($"dst".as("node"), $"r")
+        .select($"dst".as("node"), expr("(85 * (r div d)) div 100").as("r"))
+        .unionByName(seedJump)
+        .groupBy($"node")
+        .agg(sum($"r").as("r"))
         .localCheckpoint()
     }
     ranks
@@ -124,15 +130,14 @@ object Graph {
     val seed = PprSeedCust * 2
     def iter(prev: String, cur: String): String =
       s"""$cur AS (
-         |  SELECT e.dst AS node,
-         |    CAST(sum((85 * (r.r // d.d)) // 100)
-         |      + CASE WHEN e.dst = $seed
-         |             THEN (15 * 1000000000::BIGINT) // 100 ELSE 0 END
-         |      AS BIGINT) AS r
-         |  FROM edges e
-         |  JOIN $prev r ON e.src = r.node
-         |  JOIN deg d ON e.src = d.src
-         |  GROUP BY e.dst)""".stripMargin
+         |  SELECT node, CAST(sum(r) AS BIGINT) AS r FROM (
+         |    SELECT e.dst AS node, (85 * (r.r // d.d)) // 100 AS r
+         |    FROM edges e
+         |    JOIN $prev r ON e.src = r.node
+         |    JOIN deg d ON e.src = d.src
+         |    UNION ALL
+         |    SELECT $seed AS node, (15 * 1000000000::BIGINT) // 100 AS r) u
+         |  GROUP BY node)""".stripMargin
     s"""WITH pairs AS (
        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

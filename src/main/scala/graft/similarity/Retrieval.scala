@@ -51,19 +51,22 @@ object Retrieval {
   val Bm25K1 = 1.2
   val Bm25B = 0.75
 
-  /** (doc_id, term, tf) posting list + per-term df + per-doc dl. */
+  /** (doc_id, term, tf) posting list + per-term df + per-doc dl.
+    * tf/dl come from the SAME [[tokenize]] the persisted index builds
+    * with (tp/dp dropped) — one tokenization definition, so the pinned
+    * inline ≡ indexed bit-equality cannot drift. */
   private def index(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
-    val base = Tables.documents(spark, dir)
-      .select($"doc_id", split(trim(lower($"text")), "\\s+").as("t"))
-    val tf = base.select($"doc_id", explode($"t").as("term"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val (tfP, dlP) = tokenize(Tables.documents(spark, dir).select("doc_id", "text"))
+    val tf = tfP.drop("tp")
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val dl = base.select($"doc_id", size($"t").cast("long").as("dl"))
-    val qt = base.filter($"doc_id" < HybridQueries)
+    val dl = dlP.drop("dp")
+    val qt = Tables.documents(spark, dir)
+      .filter($"doc_id" < HybridQueries)
       .select($"doc_id".as("query_id"),
-        explode(array_distinct(slice($"t", 1, QueryTerms))).as("term"))
+        explode(array_distinct(slice(split(trim(lower($"text")), "\\s+"),
+          1, QueryTerms))).as("term"))
     (tf, df, dl, qt)
   }
 

@@ -133,6 +133,12 @@ class DataSelectionSpec extends SparkTestBase {
       .select($"kind", $"key", $"rank_ppb")
       .as[(String, Long, Long)].collect()
     assert(ranks.nonEmpty)
+    // the restart mass must keep the seed itself in its own ranking
+    // (the bipartite-parity bug: a dst-side CASE evaporated the jump on
+    // odd iterations and no customer could ever appear)
+    assert(ranks.exists(r => r._1 == "customer" &&
+      r._2 == graft.ops.Graph.PprSeedCust),
+      "seed customer absent from its own personalized ranking")
     // the top-ranked part must be one the seed actually bought (1-hop)
     val topPart = ranks.find(_._1 == "part").get
     assert(seedParts.contains(topPart._2),

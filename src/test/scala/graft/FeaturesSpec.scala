@@ -79,31 +79,57 @@ class FeaturesSpec extends SparkTestBase {
       .groupBy($"event_type", to_date($"ts").cast("string").as("d"))
       .agg(count(lit(1)).as("y"))
       .as[(String, String, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+      .groupBy(_._1).view
+      .mapValues(_.map(r => java.time.LocalDate.parse(r._2) -> r._3).toMap)
+      .toMap
     val got = Events.rollingSlope(spark, sfDir)
       .select($"event_type", $"day", $"slope_micros")
       .collect()
-      .groupBy(_.getString(0)).view
-      .mapValues(_.sortBy(_.getString(1))
-        .map(r => if (r.isNullAt(2)) None else Some(r.getLong(2))).toVector)
-      .toMap
-    daily.foreach { case (et, ys) =>
-      val slopes = got(et)
-      assert(slopes.length == ys.length)
-      ys.indices.foreach { t =>
-        if (t < 6) assert(slopes(t).isEmpty, s"$et day $t: frame incomplete")
-        else {
-          val win = ys.slice(t - 6, t + 1)
-          val num = 7L * win.zipWithIndex.map { case (y, i) => i * y }.sum -
-            21L * win.sum
-          val expect = num * 1000000L / 196L // JVM / truncates like DIV
-          assert(slopes(t).contains(expect), s"$et day $t: ${slopes(t)} != $expect")
-        }
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    daily.foreach { case (et, byDay) =>
+      byDay.keys.foreach { d =>
+        // reference: slope defined ONLY when the 6 preceding calendar
+        // days are all observed (the contiguity rule)
+        val win = (0 to 6).map(i => byDay.get(d.minusDays(6 - i)))
+        val expect =
+          if (win.forall(_.isDefined)) {
+            val ys = win.map(_.get)
+            Some((7L * ys.zipWithIndex.map { case (y, i) => i * y }.sum -
+              21L * ys.sum) * 1000000L / 196L)
+          } else None
+        assert(got((et, d.toString)) == expect, s"$et $d")
       }
-      // a real trend signal exists: slope signs vary across the month
-      val vals = slopes.flatten
-      if (vals.exists(_ > 0) && vals.exists(_ < 0)) ()
     }
+  }
+
+  test("rolling slope nulls a frame that spans a calendar gap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("slopegap").toString
+    // 6 contiguous days, a 5-day hole, then 7 more contiguous days
+    val days = (1 to 6) ++ (12 to 18)
+    val rows = days.zipWithIndex.flatMap { case (d, di) =>
+      (1 to (di + 1)).map(i => (d.toLong * 1000 + i,
+        java.sql.Timestamp.valueOf(f"2024-01-$d%02d 01:00:00"),
+        i.toLong, "view", 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Events.rollingSlope(spark, dir)
+      .collect().map(r => r.getString(1) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // the first day with 7 contiguous observed predecessors is Jan 18
+    days.map(d => f"2024-01-$d%02d").foreach { day =>
+      if (day == "2024-01-18")
+        assert(got(day).isDefined, "contiguous frame must emit a slope")
+      else
+        assert(got(day).isEmpty, s"$day: gap-spanning frame must be NULL")
+    }
+    // and the one defined slope is the exact LS fit of counts 8..13... (7..13)
+    val ys = (7 to 13).map(_.toLong) // counts on Jan 12..18 are 7,8,...,13
+    val expect = (7L * ys.zipWithIndex.map { case (y, i) => i * y }.sum -
+      21L * ys.sum) * 1000000L / 196L
+    assert(got("2024-01-18").contains(expect))
   }
 
   test("sliding actives equal a scalar 7-day trailing distinct") {
