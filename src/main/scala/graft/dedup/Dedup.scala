@@ -374,9 +374,14 @@ object Dedup {
   val NgramMaxDf = 20
 
   /** Excerpt length (tokens) and id offset for [[containment]]'s
-    * planted contained docs. */
+    * planted contained docs. The offset is a HIGH BIT (2⁶²), not a round
+    * number: a 10⁶-style base collides with real doc_ids once the corpus
+    * reaches a million documents (the ×50 rehearsal gets close), silently
+    * conflating planted twins with real docs while the oracle stays green
+    * (both engines plant identically). No realistic corpus reaches 2⁶²
+    * ids, and doc_id + 2⁶² cannot overflow an int64 for any such id. */
   val ContainTokens = 25
-  val ContainIdBase = 1000000L
+  val ContainIdBase = 1L << 62
   /** Containment alarm bar (basis points of the SMALLER gram set). */
   val ContainBp = 9000L
 

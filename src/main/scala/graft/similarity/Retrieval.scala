@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * keyword list with the quantized-cosine vector list — the standard
   * two-tower serving shape of a modern search/RAG stack.
   *
-  * Query set: the first [[QueryTerms]] distinct tokens of each document
-  * with `doc_id < HybridQueries` form that document's query (a
+  * Query set: the distinct tokens among the first [[QueryTerms]] tokens
+  * of each document (slice then array_distinct — a repeating prefix
+  * yields fewer than QueryTerms terms) with `doc_id < HybridQueries`
+  * form that document's query (a
   * self-describing benchmark both engines derive identically — the same
   * convention as Ann.AnnQueryIds). The embeddings table shares the
   * documents id space (vec_id = doc_id), so the two modalities rank the
@@ -265,16 +267,22 @@ object Retrieval {
       .partitionBy("dp").parquet(s"$indexDir/doclen")
   }
 
-  /** Incremental upsert: fold a batch of new/changed documents into the
-    * index. Cost ∝ batch postings + touched buckets; the corpus is never
-    * re-read. Replaying a batch rewrites identical content (upsert keys
-    * (doc_id, term) / (doc_id)), so streaming checkpoint recovery is
-    * exactly-once by idempotence. */
+  /** Incremental upsert: fold a batch of new OR CHANGED documents into
+    * the index. A changed document's OLD postings are dropped first,
+    * wherever their term buckets live — a re-tokenized doc that lost a
+    * term must not leave that term's posting behind inflating tf/df —
+    * via [[graft.sources.Store.replaceKeys]] keyed on doc_id (the
+    * key-level replace pays one doc-filtered probe of the postings
+    * table; see its scaladoc for the append-only fast path trade). The
+    * corpus is never re-read. Replaying a batch rewrites identical
+    * content, so streaming checkpoint recovery is exactly-once by
+    * idempotence; the pinned inline ≡ indexed BM25 bit-equality holds
+    * across changed-document batches (PostingIndexSpec). */
   def postingIndexUpsert(batch: DataFrame, indexDir: String): Unit = {
     val (tf, dl) = tokenize(batch.select("doc_id", "text"))
-    graft.sources.Store.upsertPartitions(tf, s"$indexDir/postings",
-      keyCols = Seq("doc_id", "term"), partitionCols = Seq("tp"))
-    graft.sources.Store.upsertPartitions(dl, s"$indexDir/doclen",
+    graft.sources.Store.replaceKeys(tf, s"$indexDir/postings",
+      keyCols = Seq("doc_id"), partitionCols = Seq("tp"))
+    graft.sources.Store.replaceKeys(dl, s"$indexDir/doclen",
       keyCols = Seq("doc_id"), partitionCols = Seq("dp"))
   }
 

@@ -342,6 +342,24 @@ object Store {
     (before.length, dataFiles(hPath).length)
   }
 
+  /** Visible-data probe shared by [[upsertPartitions]] and
+    * [[replaceKeys]]: true iff the path holds at least one file a Spark
+    * read would see (PathFilter semantics on the WHOLE relative path — a
+    * part-file inside a crashed write's `_temporary` tree has a visible
+    * NAME but is invisible to the read, and counting it would turn
+    * first-batch-after-crash into a guaranteed read error). */
+  private def hasVisibleFile(fs: org.apache.hadoop.fs.FileSystem,
+                             hPath: org.apache.hadoop.fs.Path): Boolean = {
+    val rootUri = hPath.toUri.getPath
+    val it = fs.listFiles(hPath, true)
+    while (it.hasNext) {
+      val rel = it.next().getPath.toUri.getPath.stripPrefix(rootUri)
+      if (!rel.split('/').exists(c => c.startsWith("_") || c.startsWith(".")))
+        return true
+    }
+    false
+  }
+
   /** MERGE-style keyed upsert onto a partitioned parquet table, without
     * a table format: rows in `updates` replace base rows with the same
     * key; new keys append. Only partitions that CONTAIN an updated key
@@ -372,21 +390,7 @@ object Store {
     // rows and drop their other keys.
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hasVisibleFile: Boolean = {
-      // visibility must use Spark's PathFilter semantics on the WHOLE
-      // relative path: a part-file inside a crashed write's `_temporary`
-      // tree has a visible NAME but is invisible to the read, and counting
-      // it would turn first-batch-after-crash into a guaranteed read error
-      val rootUri = hPath.toUri.getPath
-      val it = fs.listFiles(hPath, true)
-      while (it.hasNext) {
-        val rel = it.next().getPath.toUri.getPath.stripPrefix(rootUri)
-        if (!rel.split('/').exists(c => c.startsWith("_") || c.startsWith(".")))
-          return true
-      }
-      false
-    }
-    if (!fs.exists(hPath) || !hasVisibleFile) { // the upsert IS the table
+    if (!fs.exists(hPath) || !hasVisibleFile(fs, hPath)) { // the upsert IS the table
       writePartitioned(updates, path, partitionCols)
       return
     }
@@ -403,5 +407,67 @@ object Store {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+  }
+
+  /** Keyed REPLACE onto a partitioned parquet table: every base row whose
+    * key matches a batch key is dropped — WHEREVER it lives — and the
+    * batch rows are inserted. The distinction from [[upsertPartitions]]
+    * matters exactly when a key's rows can move between partitions across
+    * versions: a re-tokenized document that LOST a term still has that
+    * term's posting row sitting in a `tp=` bucket the new batch never
+    * visits, so an upsert keyed on (doc_id, term) leaves it behind,
+    * silently inflating tf/df. Here the touched-partition set is the
+    * union of (partitions holding OLD rows of batch keys) and (the
+    * batch's own partitions); only those rewrite, and a partition left
+    * empty has its directory removed (dynamic overwrite would otherwise
+    * leave the stale copy).
+    *
+    * Cost: one key-filtered scan of the base locates the old rows — the
+    * price of changed-row correctness. The broadcast key semi-join lets
+    * parquet bloom filters / min-max stats skip row groups; batches known
+    * to be append-only (fresh keys) can keep using [[upsertPartitions]]
+    * and skip the probe. Idempotent: replaying a batch rewrites identical
+    * content. */
+  def replaceKeys(updates: DataFrame, path: String, keyCols: Seq[String],
+                  partitionCols: Seq[String]): Unit = {
+    val spark = updates.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath) || !hasVisibleFile(fs, hPath)) {
+      writePartitioned(updates, path, partitionCols)
+      return
+    }
+    val base = spark.read.parquet(path)
+    val keys = updates.select(keyCols.map(col): _*).distinct().localCheckpoint()
+    // touched = where old rows of these keys live ∪ where new rows land;
+    // collected driver-side (partition lists are model-sized — the
+    // deleteKeys precedent) because the empty-partition sweep needs it
+    val touchedRows = base.join(broadcast(keys), keyCols, "left_semi")
+      .select(partitionCols.map(col): _*)
+      .unionByName(updates.select(partitionCols.map(col): _*))
+      .distinct().localCheckpoint()
+    val merged = base
+      .join(broadcast(touchedRows), partitionCols, "left_semi")
+      .join(broadcast(keys), keyCols, "left_anti")
+      .unionByName(updates)
+      .localCheckpoint()
+    merged.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+    // a touched partition whose rows were ALL dropped (old copies deleted,
+    // no new rows landed) writes no replacement under dynamic overwrite —
+    // remove its directory explicitly, Spark-escaped like deleteKeys
+    val still = merged.select(partitionCols.map(col): _*).distinct()
+      .collect().map(_.toSeq).toSet
+    touchedRows.collect().map(_.toSeq).filterNot(still.contains).foreach { r =>
+      val dir = partitionCols.zip(r)
+        .map { case (c, v) =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(c, String.valueOf(v))
+        }.mkString("/")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$dir"), true)
+    }
   }
 }

@@ -68,6 +68,38 @@ class PostingIndexSpec extends SparkTestBase {
     assert(served == Seq((9999L, 3L)))
   }
 
+  test("a changed document that LOST a term leaves no stale posting") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val idx = tmp("posting_chg")
+    Retrieval.postingIndexBuild(spark, sfDir, idx)
+    // rewrite one non-query doc to a single novel term: every one of its
+    // old terms is LOST, and those postings live in tp buckets the new
+    // batch never visits — the upsert must still remove them
+    val victim = 30L
+    Retrieval.postingIndexUpsert(
+      Seq((victim, "qqreplacementterm")).toDF("doc_id", "text"), idx)
+    val rows = spark.read.parquet(s"$idx/postings")
+      .filter($"doc_id" === victim)
+      .select($"term", $"tf").as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("qqreplacementterm", 1L)),
+      s"stale postings survived the changed-doc upsert: $rows")
+    // and the whole index equals a fresh build over the changed corpus —
+    // tf, df, dl all self-correct, so inline ≡ indexed still holds
+    val changedDir = tmp("posting_chgsrc")
+    docs.filter($"doc_id" =!= victim)
+      .unionByName(Seq((victim, "qqreplacementterm")).toDF("doc_id", "text"))
+      .write.parquet(s"$changedDir/documents.parquet")
+    val cleanIdx = tmp("posting_chgidx")
+    Retrieval.postingIndexBuild(spark, changedDir, cleanIdx)
+    assert(indexRows(idx) == indexRows(cleanIdx),
+      "changed-doc upsert must leave exactly the rebuilt-from-scratch content")
+    val inline = Retrieval.bm25TopK(spark, changedDir).collect().map(_.toSeq).toSeq
+    val indexed = Retrieval.bm25TopKIndexed(spark, changedDir, idx)
+      .collect().map(_.toSeq).toSeq
+    assert(indexed == inline)
+  }
+
   test("indexed bm25 serve equals the inline query") {
     val idx = tmp("posting_serve")
     Retrieval.postingIndexBuild(spark, sfDir, idx)

@@ -21,6 +21,35 @@ class StoreSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == total)
   }
 
+  test("replaceKeys drops a key's old rows in partitions the batch never touches") {
+    import spark.implicits._
+    val out = tmp()
+    // key 1's rows live in partitions p=0 and p=1; key 2 lives in p=2
+    Seq((1L, 0, "a"), (1L, 1, "b"), (2L, 2, "c"), (3L, 0, "d"))
+      .toDF("k", "p", "v")
+      .write.mode("overwrite").partitionBy("p").parquet(out)
+    // replace key 1 with a single row landing ONLY in p=0: the stale
+    // (1, p=1) row must vanish even though the batch never visits p=1 —
+    // and p=1, now empty, must lose its directory
+    Store.replaceKeys(Seq((1L, 0, "A")).toDF("k", "p", "v"), out,
+      keyCols = Seq("k"), partitionCols = Seq("p"))
+    val rows = spark.read.parquet(out).select($"k", $"p", $"v")
+      .as[(Long, Int, String)].collect().toSet
+    assert(rows == Set((1L, 0, "A"), (2L, 2, "c"), (3L, 0, "d")),
+      s"unexpected content after replaceKeys: $rows")
+    assert(!new java.io.File(out, "p=1").exists(),
+      "an emptied partition must lose its directory")
+    // idempotent: replaying the batch changes nothing
+    Store.replaceKeys(Seq((1L, 0, "A")).toDF("k", "p", "v"), out,
+      keyCols = Seq("k"), partitionCols = Seq("p"))
+    assert(spark.read.parquet(out).count() == 3)
+    // first-batch path: a fresh root is just a partitioned write
+    val fresh = tmp() + "/sub"
+    Store.replaceKeys(Seq((9L, 4, "z")).toDF("k", "p", "v"), fresh,
+      keyCols = Seq("k"), partitionCols = Seq("p"))
+    assert(spark.read.parquet(fresh).count() == 1)
+  }
+
   test("idempotent rerun heals a lost or corrupted partition, hash-exact") {
     // the job-level resume story at 100 TB: a run dies mid-write (or an
     // object-store partition rots) — the rerun must converge to the same
