@@ -104,6 +104,7 @@ object SparkEntry {
     "s_ivf_upsert" -> (graft.similarity.Ann.ivfUpsertServe _),
     "s_ivf_topk_indexed" -> (graft.similarity.Ann.ivfTopKCached _),
     "s_pq_topk_indexed" -> (graft.similarity.Ann.pqTopKCached _),
+    "s_pq_topk_versioned" -> (graft.similarity.Ann.pqVersionedServe _),
     "d_embedding_dup" -> (graft.similarity.Ann.embeddingDup _),
     // SemDeDup: k-means cells + within-cell cosine pruning (arXiv:2303.09540)
     "d_semantic_dedup" -> (graft.similarity.Ann.semanticDedup _),
@@ -181,6 +182,7 @@ object SparkEntry {
     // personalized PageRank: restart mass on one seed (recommender form)
     "g_personalized_rank" -> (graft.ops.Graph.personalizedRank _),
     "d_ngram_jaccard" -> (graft.dedup.Dedup.ngramJaccard _),
+    "d_ngram_incremental" -> (graft.dedup.NgramIndex.incrementalServe _),
     // asymmetric-overlap dedup: |A∩B|/min — catches excerpts/quotes
     // that symmetric Jaccard structurally misses (planted both engines)
     "d_containment" -> (graft.dedup.Dedup.containment _),
@@ -297,6 +299,7 @@ object SparkEntry {
     "s_ivf_topk_indexed" -> graft.similarity.Ann.ivfTopKSql,
     "s_ivf_upsert" -> graft.similarity.Ann.ivfTopKSql,
     "s_pq_topk_indexed" -> graft.similarity.Ann.pqTopKSql,
+    "s_pq_topk_versioned" -> graft.similarity.Ann.pqTopKSql,
     "d_embedding_dup" -> graft.similarity.Ann.embeddingDupSql,
     "d_semantic_dedup" -> graft.similarity.Ann.semanticDedupSql,
     "f_fingerprint" -> graft.functions.TextFunctions.fingerprintSql,
@@ -353,6 +356,7 @@ object SparkEntry {
     "g_copurchase_rank" -> graft.ops.Graph.copurchaseRankSql,
     "g_personalized_rank" -> graft.ops.Graph.personalizedRankSql,
     "d_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccardSql,
+    "d_ngram_incremental" -> graft.dedup.Dedup.ngramJaccardSql,
     "d_containment" -> graft.dedup.Dedup.containmentSql,
     "j_fuzzy_names" -> Joins.fuzzyNameMatchSql,
     "t_dq_audit" -> Quality.dqAuditSql,

@@ -933,11 +933,16 @@ object Ann {
       .select(col("vec_id"), col("m"), col("cell"), col("dist"))
   }
 
-  private def pqParts(spark: SparkSession, dir: String): PqParts = {
+  private def pqParts(spark: SparkSession, dir: String): PqParts =
+    pqPartsFrom(spark, Tables.embeddings(spark, dir))
+
+  /** [[pqParts]] over an arbitrary raw (vec_id, embedding) corpus — the
+    * unit the version-pinned path shares with the live-dir one. */
+  private def pqPartsFrom(spark: SparkSession, embRaw: DataFrame): PqParts = {
     import spark.implicits._
     graft.functions.VectorExpressions.register(spark)
     graft.functions.HashExpressions.register(spark)
-    val emb = Tables.embeddings(spark, dir)
+    val emb = embRaw
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
     val coords = emb
       .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
@@ -979,8 +984,13 @@ object Ann {
     p.assign(if (afterRounds == 0) p.cents0 else p.cents1)
   }
 
-  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val parts = pqParts(spark, dir)
+  def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    pqTopKFrom(spark, Tables.embeddings(spark, dir))
+
+  /** Inline PQ over an arbitrary raw corpus (the version-pinned oracle
+    * twin: `pqTopKCachedAt` must equal this over `readAt(v)`). */
+  def pqTopKFrom(spark: SparkSession, embRaw: DataFrame): DataFrame = {
+    val parts = pqPartsFrom(spark, embRaw)
     val cents1 = parts.cents1
     val codes = parts.assign(cents1)
       .groupBy(col("vec_id"))
@@ -995,8 +1005,13 @@ object Ann {
     * (codes: one row per corpus vector; codebooks: M·K·SubDim rows), so
     * the index is itself a distributed dataset — no driver bottleneck
     * at any corpus size. */
-  def pqIndexBuild(spark: SparkSession, dir: String, indexPath: String): Unit = {
-    val parts = pqParts(spark, dir)
+  def pqIndexBuild(spark: SparkSession, dir: String, indexPath: String): Unit =
+    pqIndexBuildFrom(spark, Tables.embeddings(spark, dir), indexPath)
+
+  /** [[pqIndexBuild]] over an arbitrary raw corpus. */
+  def pqIndexBuildFrom(spark: SparkSession, embRaw: DataFrame,
+                       indexPath: String): Unit = {
+    val parts = pqPartsFrom(spark, embRaw)
     val cents1 = parts.cents1
     val codes = parts.assign(cents1)
       .groupBy(col("vec_id"))
@@ -1040,9 +1055,15 @@ object Ann {
 
   /** Query a persisted PQ index: identical results to [[pqTopK]], but
     * the only training-time work left is reading two small tables. */
-  def pqTopKIndexed(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
+  def pqTopKIndexed(spark: SparkSession, dir: String, indexPath: String): DataFrame =
+    pqTopKIndexedFrom(spark, Tables.embeddings(spark, dir), indexPath)
+
+  /** [[pqTopKIndexed]] with the query set drawn from an arbitrary raw
+    * corpus (the version-pinned serve path passes `readAt(v)`). */
+  def pqTopKIndexedFrom(spark: SparkSession, embRaw: DataFrame,
+                        indexPath: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
-    val emb = Tables.embeddings(spark, dir)
+    val emb = embRaw
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
     // LUT building only ever needs the QUERY vectors' coordinates; the
     // semi-join inside pqScore can't be pushed below the posexplode by
@@ -1143,9 +1164,38 @@ object Ann {
     * queues on the lock to build), never a torn mix. */
   private[graft] def ensureIndex(spark: SparkSession, dir: String, kind: String,
                                  table: String = "embeddings.parquet")
+                         (build: String => Unit): String =
+    ensureFresh(
+      new java.io.File(cachedIndexDir(dir, kind)),
+      trainingFingerprint + "\n" + dataFingerprint(spark, dir, table),
+      registerBase = Some(s"$dir/$table"))(build)
+
+  /** Version-PINNED index cache over a [[graft.sources.VersionedStore]]
+    * corpus: the cache key carries the store root AND the pinned version,
+    * and freshness is the manifest fingerprint at that version — so a
+    * `readAt(v1)` training run keeps being served by a v1-consistent
+    * index after v2 lands (each version gets its own cache entry; the
+    * live-dir [[ensureIndex]] would rebuild on v2 and serve v2 content to
+    * a v1-pinned reader). The one mutation that can reach a committed
+    * manifest — a `purgeKeys` erasure remap — changes the fingerprint and
+    * forces the rebuild erasure demands. No derived-hook registration:
+    * the fingerprint is the whole freshness story here, and versioned
+    * tables are mutated through VersionedStore commits, not
+    * `Store.deleteKeys`. */
+  private[graft] def ensureIndexAt(spark: SparkSession, vroot: String,
+                                   version: Long, kind: String)
+                         (build: String => Unit): String =
+    ensureFresh(
+      new java.io.File(cachedIndexDir(s"$vroot@v$version", kind)),
+      trainingFingerprint + s"\nvstore:v$version:" +
+        graft.sources.VersionedStore.manifestFingerprint(spark, vroot, version),
+      registerBase = None)(build)
+
+  /** Shared build-if-stale core: marker check, JVM + cross-process build
+    * locks, temp-dir build with marker-last, atomic-rename install. */
+  private def ensureFresh(idx: java.io.File, want: String,
+                          registerBase: Option[String])
                          (build: String => Unit): String = {
-    val idx = new java.io.File(cachedIndexDir(dir, kind))
-    val want = trainingFingerprint + "\n" + dataFingerprint(spark, dir, table)
     def fresh: Boolean = {
       val marker = new java.io.File(idx, "_built")
       marker.exists() &&
@@ -1172,8 +1222,8 @@ object Ann {
                 want.getBytes("UTF-8"))
               deleteLocal(idx)
               require(tmp.renameTo(idx), s"could not install ANN index at $idx")
-              graft.sources.Store.registerDerived(
-                s"$dir/$table", idx.getPath)(() => deleteLocal(idx))
+              registerBase.foreach(base => graft.sources.Store.registerDerived(
+                base, idx.getPath)(() => deleteLocal(idx)))
             } finally deleteLocal(tmp) // no-op after a successful rename
           }
         } finally lock.release()
@@ -1196,6 +1246,44 @@ object Ann {
   def ivfTopKCached(spark: SparkSession, dir: String): DataFrame = {
     val idx = ensureIndex(spark, dir, "ivf")(ivfIndexBuild(spark, dir, _))
     ivfTopKIndexed(spark, dir, idx)
+  }
+
+  /** SNAPSHOT-CONSISTENT PQ serving over a versioned corpus: queries
+    * pinned to `readAt(version)` are answered by an index built on
+    * exactly that version's content — bit-identical to the inline
+    * [[pqTopKFrom]] over the same snapshot (VersionedIndexSpec pins it,
+    * including across a later commit and across a purge). Each version
+    * keys its own cache entry, so a training run that recorded v1 keeps
+    * its reproducible serve path while live traffic moves to v2. */
+  def pqTopKCachedAt(spark: SparkSession, vroot: String, version: Long): DataFrame = {
+    val emb = graft.sources.VersionedStore.readAt(spark, vroot, version)
+    val idx = ensureIndexAt(spark, vroot, version, "pq")(
+      pqIndexBuildFrom(spark, emb, _))
+    pqTopKIndexedFrom(spark, emb, idx)
+  }
+
+  /** `s_pq_topk_versioned`: commit the embeddings corpus as a
+    * VersionedStore version, then serve through the version-PINNED cached
+    * index — the oracle is the UNMODIFIED full-corpus PQ SQL, so the
+    * hash gate proves snapshot-pinned serving ≡ inline end-to-end (the
+    * `s_ivf_upsert` device applied to snapshot consistency). The
+    * versioned root lives in the cache dir keyed by the corpus data
+    * fingerprint, so repeat runs re-serve the same committed version
+    * instead of stacking identical commits and rebuilding. */
+  def pqVersionedServe(spark: SparkSession, dir: String): DataFrame = {
+    val root = cachedIndexDir(dir, "vcorpus")
+    val want = dataFingerprint(spark, dir)
+    val marker = new java.io.File(root, "_source")
+    val reuse = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == want &&
+      graft.sources.VersionedStore.latestVersion(spark, root).nonEmpty
+    if (!reuse) {
+      deleteLocal(new java.io.File(root))
+      graft.sources.VersionedStore.commitAppend(Tables.embeddings(spark, dir), root)
+      java.nio.file.Files.write(marker.toPath, want.getBytes("UTF-8"))
+    }
+    val v = graft.sources.VersionedStore.latestVersion(spark, root).get
+    pqTopKCachedAt(spark, root, v)
   }
 
   /** ADC scoring + exact re-rank over a trained index (codebooks +

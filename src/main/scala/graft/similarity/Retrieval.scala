@@ -58,13 +58,17 @@ object Retrieval {
     * with (tp/dp dropped) — one tokenization definition, so the pinned
     * inline ≡ indexed bit-equality cannot drift. */
   private def index(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    indexFrom(spark, Tables.documents(spark, dir).select("doc_id", "text"))
+
+  private def indexFrom(spark: SparkSession, docs: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
-    val (tfP, dlP) = tokenize(Tables.documents(spark, dir).select("doc_id", "text"))
+    val (tfP, dlP) = tokenize(docs.select("doc_id", "text"))
     val tf = tfP.drop("tp")
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val dl = dlP.drop("dp")
-    val qt = Tables.documents(spark, dir)
+    val qt = docs
       .filter($"doc_id" < HybridQueries)
       .select($"doc_id".as("query_id"),
         explode(array_distinct(slice(split(trim(lower($"text")), "\\s+"),
@@ -164,6 +168,25 @@ object Retrieval {
     bm25Score(qt, tf, df, dl)
   }
 
+  /** Inline BM25 over an arbitrary (doc_id, text) corpus — the
+    * version-pinned oracle twin of [[bm25TopKCachedAt]]. */
+  def bm25TopKFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val (tf, df, dl, qt) = indexFrom(spark, docs)
+    bm25Score(qt, tf, df, dl)
+  }
+
+  /** SNAPSHOT-CONSISTENT BM25 serving over a versioned corpus: the
+    * keyword twin of `Ann.pqTopKCachedAt` — a query pinned to
+    * `readAt(version)` is answered by a posting index built on exactly
+    * that version's content, bit-identical to [[bm25TopKFrom]] over the
+    * same snapshot (VersionedIndexSpec). */
+  def bm25TopKCachedAt(spark: SparkSession, vroot: String, version: Long): DataFrame = {
+    val docs = graft.sources.VersionedStore.readAt(spark, vroot, version)
+    val idx = Ann.ensureIndexAt(spark, vroot, version, "posting")(
+      postingIndexBuildFrom(docs, _))
+    bm25TopKIndexedFrom(spark, docs, idx)
+  }
+
   /** Keyword candidate ranks from the integer core: exact ordering by
     * (matched terms, total tf, id) — no floats anywhere. */
   private def keywordRanks(spark: SparkSession, dir: String): DataFrame = {
@@ -257,8 +280,14 @@ object Retrieval {
   }
 
   /** Full build: tokenises the corpus at `dir` into `indexDir`. */
-  def postingIndexBuild(spark: SparkSession, dir: String, indexDir: String): Unit = {
-    val (tf, dl) = tokenize(Tables.documents(spark, dir).select("doc_id", "text"))
+  def postingIndexBuild(spark: SparkSession, dir: String, indexDir: String): Unit =
+    postingIndexBuildFrom(
+      Tables.documents(spark, dir).select("doc_id", "text"), indexDir)
+
+  /** [[postingIndexBuild]] over an arbitrary (doc_id, text) corpus — the
+    * unit the version-pinned path shares with the live-dir one. */
+  def postingIndexBuildFrom(docs: DataFrame, indexDir: String): Unit = {
+    val (tf, dl) = tokenize(docs.select("doc_id", "text"))
     // repartition ON the partition column: one file per bucket per build,
     // not tasks × buckets (the admission store's small-files lesson)
     tf.repartition(col("tp")).write.mode("overwrite")
@@ -310,9 +339,17 @@ object Retrieval {
     * avgdl scan the narrow doclen table. Results are pinned identical to
     * the inline [[bm25TopK]] (RetrievalSpec), which stays the oracle
     * story — this entry carries the serve latency. */
-  def bm25TopKIndexed(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
+  def bm25TopKIndexed(spark: SparkSession, dir: String, indexDir: String): DataFrame =
+    bm25TopKIndexedFrom(spark,
+      Tables.documents(spark, dir).select("doc_id", "text"), indexDir)
+
+  /** [[bm25TopKIndexed]] with the query set drawn from an arbitrary
+    * (doc_id, text) corpus (the version-pinned serve path passes
+    * `readAt(v)`). */
+  def bm25TopKIndexedFrom(spark: SparkSession, docs: DataFrame,
+                          indexDir: String): DataFrame = {
     import spark.implicits._
-    val base = Tables.documents(spark, dir)
+    val base = docs
       .filter($"doc_id" < HybridQueries)
       .select($"doc_id", split(trim(lower($"text")), "\\s+").as("t"))
     val qt = withTp(base.select($"doc_id".as("query_id"),

@@ -223,6 +223,26 @@ object VersionedStore {
     else spark.read.parquet(files.map(f => s"$root/data/$f"): _*)
   }
 
+  /** Digest of the manifest CONTENT at `version` — the freshness key for
+    * version-pinned derived stores (`Ann.ensureIndexAt`): a manifest is
+    * immutable except under [[purgeKeys]], whose in-place remap is exactly
+    * the one event that must invalidate a v-pinned index (erasure reaches
+    * derived serve paths), so digest-changed ⇔ rebuild-required. O(manifest
+    * bytes), no data files touched. */
+  def manifestFingerprint(spark: SparkSession, root: String, version: Long): String = {
+    val fs = fsOf(spark, root)
+    val in = fs.open(new Path(s"$root/_versions/${versionName(version)}"))
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toByteArray
+    } finally in.close()
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+  }
+
   def readLatest(spark: SparkSession, root: String): DataFrame =
     readAt(spark, root,
       latestVersion(spark, root).getOrElse(

@@ -1,0 +1,89 @@
+package graft
+
+import graft.similarity.{Ann, Retrieval}
+import graft.sources.VersionedStore
+import org.apache.spark.sql.functions._
+
+/** Snapshot-consistent index serving (round-7 verdict item 1): a query
+  * pinned to `readAt(v)` must be answered by an index built on exactly
+  * that version's content — not the latest fingerprint of a live dir —
+  * across later commits, without rebuilds on cache hits, and with a
+  * purge (the one legal manifest mutation) forcing the rebuild erasure
+  * demands. */
+class VersionedIndexSpec extends SparkTestBase {
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  private def builtMarkerMtime(vroot: String, version: Long, kind: String): Long =
+    new java.io.File(
+      Ann.cachedIndexDir(s"$vroot@v$version", kind), "_built").lastModified()
+
+  test("pq: v1-pinned serve survives a v2 commit, equals inline over readAt(v1)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vroot = tmp("vidx_pq")
+    val v1 = VersionedStore.commitAppend(emb.filter(col("vec_id") % 3 =!= 0), vroot)
+
+    val r1 = Ann.pqTopKCachedAt(spark, vroot, v1).collect().map(_.toSeq).toSeq
+    val inline1 = Ann.pqTopKFrom(spark, VersionedStore.readAt(spark, vroot, v1))
+      .collect().map(_.toSeq).toSeq
+    assert(r1 == inline1, "pinned serve must equal the inline query over the snapshot")
+    val mt1 = builtMarkerMtime(vroot, v1, "pq")
+
+    // v2 lands; the v1-pinned query must neither see it nor rebuild
+    val v2 = VersionedStore.commitAppend(emb.filter(col("vec_id") % 3 === 0), vroot)
+    val r1b = Ann.pqTopKCachedAt(spark, vroot, v1).collect().map(_.toSeq).toSeq
+    assert(r1b == r1, "a later commit leaked into a v1-pinned read")
+    assert(builtMarkerMtime(vroot, v1, "pq") == mt1,
+      "v1 cache hit must not rebuild after v2 lands")
+
+    // the v2-pinned query sees the full corpus, from its OWN cache entry
+    val r2 = Ann.pqTopKCachedAt(spark, vroot, v2).collect().map(_.toSeq).toSeq
+    val inline2 = Ann.pqTopKFrom(spark, VersionedStore.readAt(spark, vroot, v2))
+      .collect().map(_.toSeq).toSeq
+    assert(r2 == inline2)
+    assert(r2 != r1, "v2 must rank over the full corpus, not v1's subset")
+  }
+
+  test("pq: a purge invalidates the pinned cache and the rebuilt serve drops the victim") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vroot = tmp("vidx_purge")
+    val v1 = VersionedStore.commitAppend(emb, vroot)
+    val before = Ann.pqTopKCachedAt(spark, vroot, v1).collect().map(_.toSeq).toSeq
+    // victim: a non-query vector that actually appears in some top list
+    // (output schema: query_id, rank, neighbor_id, dot)
+    val victim = before.map(_(2).asInstanceOf[Long])
+      .filter(_ >= Ann.AnnQueryIds).head
+    val n = VersionedStore.purgeKeys(spark, vroot, "vec_id", Seq(victim))
+    assert(n == 1L)
+    val after = Ann.pqTopKCachedAt(spark, vroot, v1).collect().map(_.toSeq).toSeq
+    assert(!after.exists(_(2) == victim),
+      "a purged vector must be unreachable through the v-pinned serve path")
+    val inline = Ann.pqTopKFrom(spark, VersionedStore.readAt(spark, vroot, v1))
+      .collect().map(_.toSeq).toSeq
+    assert(after == inline,
+      "post-purge pinned serve must equal inline over the purged snapshot")
+  }
+
+  test("bm25: v1-pinned serve survives a v2 commit, equals inline over readAt(v1)") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val vroot = tmp("vidx_bm25")
+    val v1 = VersionedStore.commitAppend(docs.filter(col("doc_id") % 2 === 0), vroot)
+    val r1 = Retrieval.bm25TopKCachedAt(spark, vroot, v1).collect().map(_.toSeq).toSeq
+    val inline1 = Retrieval.bm25TopKFrom(spark,
+      VersionedStore.readAt(spark, vroot, v1)).collect().map(_.toSeq).toSeq
+    assert(r1 == inline1)
+    val mt1 = builtMarkerMtime(vroot, v1, "posting")
+
+    VersionedStore.commitAppend(docs.filter(col("doc_id") % 2 =!= 0), vroot)
+    val r1b = Retrieval.bm25TopKCachedAt(spark, vroot, v1).collect().map(_.toSeq).toSeq
+    assert(r1b == r1, "a later commit leaked into a v1-pinned bm25 read")
+    assert(builtMarkerMtime(vroot, v1, "posting") == mt1,
+      "v1 cache hit must not rebuild after v2 lands")
+
+    val v2 = VersionedStore.latestVersion(spark, vroot).get
+    val r2 = Retrieval.bm25TopKCachedAt(spark, vroot, v2).collect().map(_.toSeq).toSeq
+    val inline2 = Retrieval.bm25TopKFrom(spark,
+      VersionedStore.readAt(spark, vroot, v2)).collect().map(_.toSeq).toSeq
+    assert(r2 == inline2)
+  }
+}
