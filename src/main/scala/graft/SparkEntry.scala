@@ -49,6 +49,7 @@ object SparkEntry {
       val docs = graft.Tables.documents(s, d)
       TextOps.perplexityScores(docs, docs)
     }),
+    "t_perplexity_core" -> (TextOps.perplexityCore _),
     "a_correlation" -> (Aggregates.correlation _),
     "a_gamma_moments" -> (Aggregates.gammaMoments _),
     "a_collect_types" -> (Aggregates.collectTypes _),
@@ -373,6 +374,7 @@ object SparkEntry {
     "q19_disjunctive" -> TpchShapes.q19Sql,
     "q20_excess_suppliers" -> TpchShapes.q20Sql,
     "t_dsir_bins" -> DataSelection.dsirBinsSql,
+    "t_perplexity_core" -> TextOps.perplexityCoreSql,
     "t_shard_shuffle" -> DataSelection.shardShuffleSql,
     "w_seasonal_decompose" -> Events.seasonalDecomposeSql,
     "s_bm25_core" -> graft.similarity.Retrieval.bm25CoreSql,

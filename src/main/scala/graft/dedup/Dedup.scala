@@ -401,15 +401,14 @@ object Dedup {
     * holding its first [[ContainTokens]] tokens. The oracle hash then
     * pins that every planted excerpt is caught at ≥ [[ContainBp]] while
     * its Jaccard stays low — and that nothing else fires. */
-  def containment(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.ShingleExpressions.register(spark)
-    graft.functions.HashExpressions.register(spark)
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val excerpts = docs.filter(col("doc_id") < 5)
-      .select((col("doc_id") + ContainIdBase).as("doc_id"),
-        concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"),
-          1, ContainTokens)).as("text"))
-    val grams = docs.unionByName(excerpts)
+  /** Per-doc sorted-distinct word-n-gram hash SET — one in-row codegen
+    * pass (tokenize → slice → hash → distinct-sort), shared by the
+    * inline [[ngramJaccard]]/[[containment]] paths and the persisted
+    * rare-gram index ([[NgramIndex]]) so serve and build cannot drift. */
+  private[graft] def gramSets(docs: DataFrame): DataFrame = {
+    graft.functions.ShingleExpressions.register(docs.sparkSession)
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    docs
       .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
       .withColumn("gs", expr(
         s"""CASE WHEN size(toks) >= $NgramN THEN
@@ -419,6 +418,17 @@ object Dedup {
            |           concat_ws(' ', slice(toks, i, $NgramN)), 15) % ${P}L)))
            |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
       .select(col("doc_id"), col("gs"))
+  }
+
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ShingleExpressions.register(spark)
+    graft.functions.HashExpressions.register(spark)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val excerpts = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + ContainIdBase).as("doc_id"),
+        concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"),
+          1, ContainTokens)).as("text"))
+    val grams = gramSets(docs.unionByName(excerpts))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posting = grams.select(col("doc_id"), explode(col("gs")).as("h"))
     val rare = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -508,20 +518,19 @@ object Dedup {
     * clears after its pool drains. MEMORY_AND_DISK bounds the worst case
     * at spill, not OOM. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.ShingleExpressions.register(spark)
-    graft.functions.HashExpressions.register(spark)
-    val grams = Tables.documents(spark, dir)
-      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
-      .withColumn("gs", expr(
-        s"""CASE WHEN size(toks) >= $NgramN THEN
-           |  array_sort(array_distinct(transform(
-           |    sequence(1, size(toks) - ${NgramN - 1}),
-           |    i -> graft_md5_prefix64(
-           |           concat_ws(' ', slice(toks, i, $NgramN)), 15) % ${P}L)))
-           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
-      .select(col("doc_id"), col("gs"))
+    val grams = gramSets(Tables.documents(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val posting = grams.select(col("doc_id"), explode(col("gs")).as("h"))
+    ngramJaccardOver(grams, grams.select(col("doc_id"), explode(col("gs")).as("h")))
+  }
+
+  /** The candidate + verify tail over whichever (gram-set, posting)
+    * sources the caller supplies — in-memory inline tables or the
+    * persisted [[NgramIndex]]: rare-gram equi-join candidates (df ∈
+    * [2, NgramMaxDf]), sorted-intersect verification. One definition, so
+    * inline ≡ indexed cannot drift. */
+  private[graft] def ngramJaccardOver(grams: DataFrame,
+                                      posting: DataFrame): DataFrame = {
+    graft.functions.ShingleExpressions.register(grams.sparkSession)
     val rareGrams = posting.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= NgramMaxDf)
@@ -841,9 +850,30 @@ object Dedup {
     rows.toDF("doc_id", "lab")
   }
 
+  /** Convergence-check stride for [[propagateLabels]]: labels propagate
+    * this many hops between driver actions. Min-label propagation is
+    * monotone (labels only decrease), so "no label changed across a
+    * k-block" ⇔ "fixed point" — checking every k rounds is exact, it
+    * just risks up to k−1 no-op propagation rounds after convergence in
+    * exchange for 1/k of the driver round-trips and checkpoint jobs. On
+    * a high-diameter component (a chain of D near-dup docs: D rounds)
+    * the old per-round count() made the driver loop the bottleneck;
+    * DedupSpec plants exactly that chain and pins the action count. */
+  val PropagateCheckEvery = 4
+
   /** Scale path: iterative distributed min-label propagation (see the
     * method scaladoc above for the round structure). */
-  private[graft] def propagateLabels(edges: DataFrame): DataFrame = {
+  private[graft] def propagateLabels(edges: DataFrame): DataFrame =
+    propagateLabelsCounted(edges)._1
+
+  /** [[propagateLabels]] exposing the number of driver convergence
+    * actions taken (for the spec's round-count pin). Each k-block is ONE
+    * lineage of k join+agg rounds ended by ONE localCheckpoint and ONE
+    * changed-count action — lineage depth k is bounded and the
+    * checkpoint still cuts it before the next block. */
+  private[graft] def propagateLabelsCounted(edges: DataFrame,
+      checkEvery: Int = PropagateCheckEvery): (DataFrame, Int) = {
+    require(checkEvery >= 1)
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -854,21 +884,26 @@ object Dedup {
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lab")).localCheckpoint()
     var changed = 1L
+    var actions = 0
     while (changed > 0) {
-      val prop = sym.join(labels, sym("src") === labels("doc_id"))
-        .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
-      // carry the previous label through the round so the convergence
-      // check is a filter on the already-materialized checkpoint, not a
-      // second join job per round
-      val joined = labels.join(prop, labels("doc_id") === prop("dst"), "left")
-        .select(labels("doc_id"), labels("lab").as("old_lab"),
-          least(labels("lab"), coalesce(col("nlab"), labels("lab"))).as("lab"))
-        .localCheckpoint()
-      changed = joined.filter(col("lab") =!= col("old_lab")).count()
-      labels = joined.select(col("doc_id"), col("lab"))
+      // k propagation hops in ONE plan, the block-start label riding
+      // along as a column so the convergence check is a filter on the
+      // block's single checkpoint — no extra join or job
+      var cur = labels.select(col("doc_id"), col("lab").as("old_lab"), col("lab"))
+      for (_ <- 1 to checkEvery) {
+        val prop = sym.join(cur, sym("src") === cur("doc_id"))
+          .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
+        cur = cur.join(prop, cur("doc_id") === prop("dst"), "left")
+          .select(cur("doc_id"), cur("old_lab"),
+            least(cur("lab"), coalesce(col("nlab"), cur("lab"))).as("lab"))
+      }
+      val block = cur.localCheckpoint()
+      changed = block.filter(col("lab") =!= col("old_lab")).count()
+      actions += 1
+      labels = block.select(col("doc_id"), col("lab"))
     }
     sym.unpersist()
-    labels
+    (labels, actions)
   }
 
   val dupClustersSql: String =

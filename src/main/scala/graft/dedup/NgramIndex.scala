@@ -1,0 +1,110 @@
+package graft.dedup
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted rare-gram inverted index for the n-gram dedup family — the
+  * R-B2 lifecycle (build once → incremental upsert → partition-selective
+  * takedown → serve) applied to [[Dedup.ngramJaccard]]'s candidate
+  * mechanism, which until round 8 re-tokenized the corpus from scratch
+  * every run while every other index family (IVF, PQ, BM25 postings,
+  * admission buckets) already had a persisted maintenance story.
+  *
+  * Layout, mirroring the BM25 posting index:
+  * {{{
+  *   indexDir/gramsets/dp=N/   (doc_id, gs)  — per-doc sorted gram set,
+  *                                             doc-hash partitioned
+  *   indexDir/postings/gb=N/   (doc_id, h)   — exploded gram postings,
+  *                                             gram-hash partitioned
+  * }}}
+  * ALL postings of a gram live in exactly one `gb=` partition, so df
+  * computed over any partition subset that is closed under gb is the
+  * GLOBAL df for those grams; the doc-keyed gramsets table feeds the
+  * verify joins without re-tokenizing. Upserts are keyed REPLACES on
+  * doc_id ([[graft.sources.Store.replaceKeys]]): a changed document's
+  * old grams are dropped from whatever gb buckets they live in, so df
+  * self-corrects — the same changed-doc guarantee the BM25 index gained
+  * this round. Replays rewrite identical content (exactly-once by
+  * idempotence); takedown reuses `Store.deleteKeys`' partition-selective
+  * rewrite on both tables.
+  *
+  * Serve ([[ngramJaccardIndexed]]) feeds the UNCHANGED
+  * [[Dedup.ngramJaccardOver]] candidate+verify tail, so indexed ≡ inline
+  * bit-for-bit — `d_ngram_incremental` gates the whole
+  * build→upsert→serve chain with the UNMODIFIED inline oracle SQL
+  * (the `s_ivf_upsert` device), and NgramIndexSpec pins replay, changed
+  * docs, and takedown against fresh rebuilds.
+  */
+object NgramIndex {
+
+  /** Gram-hash partition count for postings. */
+  val GramBuckets = 32
+  /** Doc-hash partition count for the gram-set table. */
+  val DocBuckets = 16
+
+  private def withParts(grams: DataFrame): (DataFrame, DataFrame) = {
+    val gs = grams.withColumn("dp",
+      pmod(col("doc_id"), lit(DocBuckets.toLong)).cast("int"))
+    val posting = grams.select(col("doc_id"), explode(col("gs")).as("h"))
+      .withColumn("gb", pmod(col("h"), lit(GramBuckets.toLong)).cast("int"))
+    (gs, posting)
+  }
+
+  /** Full build: gram-hash the corpus at `dir` into `indexDir`. */
+  def build(spark: SparkSession, dir: String, indexDir: String): Unit =
+    buildFrom(Tables.documents(spark, dir).select("doc_id", "text"), indexDir)
+
+  def buildFrom(docs: DataFrame, indexDir: String): Unit = {
+    val (gs, posting) = withParts(Dedup.gramSets(docs))
+    // repartition ON the partition column: one file per bucket per build
+    gs.repartition(col("dp")).write.mode("overwrite")
+      .partitionBy("dp").parquet(s"$indexDir/gramsets")
+    posting.repartition(col("gb")).write.mode("overwrite")
+      .partitionBy("gb").parquet(s"$indexDir/postings")
+  }
+
+  /** Fold a batch of new OR CHANGED documents into the index: keyed
+    * replace on doc_id, so lost grams leave no stale postings. Cost ∝
+    * batch grams + touched buckets + one doc-filtered probe per table;
+    * the corpus is never re-read. */
+  def upsert(batch: DataFrame, indexDir: String): Unit = {
+    val (gs, posting) = withParts(Dedup.gramSets(batch.select("doc_id", "text")))
+    graft.sources.Store.replaceKeys(gs, s"$indexDir/gramsets",
+      keyCols = Seq("doc_id"), partitionCols = Seq("dp"))
+    graft.sources.Store.replaceKeys(posting, s"$indexDir/postings",
+      keyCols = Seq("doc_id"), partitionCols = Seq("gb"))
+  }
+
+  /** Takedown reach: remove every gram row of the given documents. Only
+    * buckets containing a victim rewrite; df needs no bookkeeping —
+    * the serve path derives it from surviving postings, so after
+    * deletion the index equals one built without the victims. */
+  def deleteDocs(spark: SparkSession, indexDir: String, docIds: Seq[Long]): Long = {
+    val n = graft.sources.Store.deleteKeys(
+      spark, s"$indexDir/gramsets", "doc_id", docIds, Seq("dp"))
+    graft.sources.Store.deleteKeys(
+      spark, s"$indexDir/postings", "doc_id", docIds, Seq("gb"))
+    n
+  }
+
+  /** Serve FROM the persisted index: the unchanged candidate+verify tail
+    * over the stored tables — no tokenization anywhere on the path. */
+  def ngramJaccardIndexed(spark: SparkSession, indexDir: String): DataFrame =
+    Dedup.ngramJaccardOver(
+      spark.read.parquet(s"$indexDir/gramsets").select("doc_id", "gs"),
+      spark.read.parquet(s"$indexDir/postings").select("doc_id", "h"))
+
+  /** `d_ngram_incremental`: build the index on two thirds of the corpus,
+    * fold the remaining third in via [[upsert]], then serve — gated by
+    * the UNMODIFIED inline [[Dedup.ngramJaccardSql]], so the hash proves
+    * incremental maintenance ≡ full rebuild ≡ inline end-to-end. */
+  def incrementalServe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("ngram_inc_index").toString
+    buildFrom(docs.filter(col("doc_id") % 3 =!= 0), idx)
+    upsert(docs.filter(col("doc_id") % 3 === 0), idx)
+    ngramJaccardIndexed(spark, idx)
+  }
+}

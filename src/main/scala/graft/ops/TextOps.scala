@@ -811,11 +811,17 @@ object TextOps {
     * shuffle join that scales with the corpus; broadcast when the vocab
     * is small) — then one per-doc aggregation. Floats (ln/exp) keep it
     * spec-gated rather than oracle-hashed. */
+  /** The (doc_id, tok) exploded token stream both perplexity paths
+    * share — one definition, so the oracle-gated core and the float
+    * scorer cannot tokenize differently. */
+  private def lmToks(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("doc_id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
   def perplexityScores(ref: DataFrame, docs: DataFrame,
                        textCol: String = "text"): DataFrame = {
-    def toks(df: DataFrame) = df.select(col("doc_id"),
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
+    def toks(df: DataFrame) = lmToks(df, textCol)
     val counts = toks(ref).groupBy("tok").agg(count(lit(1)).as("c"))
     val Row(nTotal: Long, vocab: Long) =
       counts.agg(sum(col("c")), count(lit(1))).head()
@@ -830,6 +836,51 @@ object TextOps {
            exp(avg(col("nll"))).as("perplexity"))
       .orderBy("doc_id")
   }
+
+  /** `t_perplexity_core`: the oracle-gated INTEGER core of
+    * [[perplexityScores]] — the DSIR device applied to T16. The
+    * reference LM is the even-doc_id half of the corpus (a self-scoring
+    * ref would make every token in-vocabulary and the OOV column
+    * vacuous); per candidate doc the core emits the token count, the
+    * OOV count against the reference vocabulary, and the summed
+    * reference counts of matched tokens — everything the model consumes
+    * before the ln/exp step, as pure 64-bit integers both engines hash
+    * identically. The float perplexity itself stays rows-only
+    * (`t_perplexity`), spec-gated against a scalar reference.
+    *
+    * Shape: identical to the scorer — one reference aggregation, one
+    * broadcast-or-shuffle token join, one per-doc aggregation; the token
+    * stream is the SAME [[lmToks]] the scorer explodes. */
+  def perplexityCore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val counts = lmToks(docs.filter(col("doc_id") % 2 === 0), "text")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    lmToks(docs, "text")
+      .join(counts, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(col("c").isNull.cast("long")).as("n_oov"),
+           sum(coalesce(col("c"), lit(0L))).as("sum_c"))
+      .orderBy("doc_id")
+  }
+
+  val perplexityCoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |    FROM documents) t
+      |  WHERE len(tok) > 0),
+      |c AS (
+      |  SELECT tok, count(*) AS c FROM toks
+      |  WHERE doc_id % 2 = 0 GROUP BY 1)
+      |SELECT toks.doc_id,
+      |  count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN c.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(sum(COALESCE(c.c, 0)) AS BIGINT) AS sum_c
+      |FROM toks LEFT JOIN c USING (tok)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
     // order matters: specific before general (a bare 16-digit card run

@@ -256,6 +256,31 @@ class DedupSpec extends SparkTestBase {
       12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("k-stride convergence: high-diameter chain converges with 1/k the actions") {
+    import spark.implicits._
+    // a 41-node chain: diameter 40, the propagation worst case — the
+    // min label needs 40 hops, so per-round checking pays 41 driver
+    // actions while the k-stride loop pays ceil(40/k)+1
+    val d = 40
+    val edges = (0 until d).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    val (lab4, actions4) = graft.dedup.Dedup.propagateLabelsCounted(edges)
+    val got = lab4.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0 to d).map(i => i.toLong -> 0L).toMap,
+      "every chain node must take the minimum label")
+    val k = graft.dedup.Dedup.PropagateCheckEvery
+    val bound = d / k + 2 // ceil(d/k) hops + the final no-change block
+    assert(actions4 <= bound,
+      s"k-stride loop took $actions4 driver actions, bound $bound")
+    // per-round checking on the same graph: diameter-many actions — the
+    // cost the stride removes (and both fixed points agree)
+    val (lab1, actions1) = graft.dedup.Dedup.propagateLabelsCounted(edges, 1)
+    assert(lab1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == got)
+    assert(actions1 >= d, s"per-round loop should pay ~diameter actions, took $actions1")
+    assert(actions4 * (k - 1) < actions1,
+      s"stride must cut driver actions by ~k: $actions4 vs $actions1")
+  }
+
   test("semantic dedup: total coverage, no surviving similar pair, every cell keeps one") {
     val out = Ann.semanticDedup(spark, sfDir).cache()
     assert(out.count() ==

@@ -1,0 +1,99 @@
+package graft
+
+import graft.dedup.{Dedup, NgramIndex}
+import org.apache.spark.sql.functions._
+
+/** Persisted rare-gram index: full build ≡ incremental upserts; replay
+  * is a no-op; changed docs leave no stale postings; takedown equals a
+  * victim-free build; indexed serve equals the inline query. */
+class NgramIndexSpec extends SparkTestBase {
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  private def tableRows(path: String): Seq[Seq[Any]] =
+    spark.read.parquet(path).collect()
+      .map { r =>
+        r.schema.fieldNames.sorted.toSeq.map { n =>
+          r.get(r.fieldIndex(n)) match {
+            case s: Seq[_] => s.mkString(",")
+            case v => v
+          }
+        }
+      }
+      .sortBy(_.mkString("|")).toSeq
+
+  private def indexRows(idx: String): (Seq[Seq[Any]], Seq[Seq[Any]]) =
+    (tableRows(s"$idx/gramsets"), tableRows(s"$idx/postings"))
+
+  test("full build equals two incremental upserts; replay is a no-op") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val full = tmp("ngram_full")
+    NgramIndex.build(spark, sfDir, full)
+
+    val inc = tmp("ngram_inc")
+    NgramIndex.upsert(docs.filter($"doc_id" % 3 =!= 0), inc)
+    NgramIndex.upsert(docs.filter($"doc_id" % 3 === 0), inc)
+    assert(indexRows(inc) == indexRows(full),
+      "incremental index must equal the one-shot build row-for-row")
+
+    NgramIndex.upsert(docs.filter($"doc_id" % 3 === 0), inc)
+    assert(indexRows(inc) == indexRows(full), "replay must be a no-op")
+  }
+
+  test("indexed serve equals the inline query") {
+    val idx = tmp("ngram_serve")
+    NgramIndex.build(spark, sfDir, idx)
+    val inline = Dedup.ngramJaccard(spark, sfDir).collect().map(_.toSeq).toSeq
+    val indexed = NgramIndex.ngramJaccardIndexed(spark, idx)
+      .collect().map(_.toSeq).toSeq
+    assert(indexed == inline,
+      "the persisted-index serve path must reproduce the inline pairs")
+  }
+
+  test("a changed document leaves no stale grams; index equals a fresh build") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val idx = tmp("ngram_chg")
+    NgramIndex.build(spark, sfDir, idx)
+    val victim = 7L
+    val newText = "aa bb cc dd"
+    NgramIndex.upsert(Seq((victim, newText)).toDF("doc_id", "text"), idx)
+    // old grams of the victim live in gb buckets the new batch never
+    // visits — they must be gone
+    val left = spark.read.parquet(s"$idx/postings")
+      .filter($"doc_id" === victim).count()
+    assert(left == 2L, // "aa bb cc" and "bb cc dd"
+      s"victim should hold exactly its 2 new grams, found $left")
+    val changedDir = tmp("ngram_chgsrc")
+    docs.filter($"doc_id" =!= victim)
+      .unionByName(Seq((victim, newText)).toDF("doc_id", "text"))
+      .write.parquet(s"$changedDir/documents.parquet")
+    val cleanIdx = tmp("ngram_chgidx")
+    NgramIndex.build(spark, changedDir, cleanIdx)
+    assert(indexRows(idx) == indexRows(cleanIdx),
+      "changed-doc upsert must leave exactly the rebuilt-from-scratch content")
+  }
+
+  test("takedown: the index equals a victim-free build and serves without victims") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val idx = tmp("ngram_del")
+    NgramIndex.build(spark, sfDir, idx)
+    val victims = Seq(3L, 11L)
+    val n = NgramIndex.deleteDocs(spark, idx, victims)
+    assert(n > 0, "victims had gram sets")
+    val cleanDir = tmp("ngram_delsrc")
+    docs.filter(!$"doc_id".isin(victims: _*))
+      .write.parquet(s"$cleanDir/documents.parquet")
+    val cleanIdx = tmp("ngram_delidx")
+    NgramIndex.build(spark, cleanDir, cleanIdx)
+    assert(indexRows(idx) == indexRows(cleanIdx),
+      "deleteDocs must leave exactly the victim-free index content")
+    val served = NgramIndex.ngramJaccardIndexed(spark, idx)
+      .select($"doc_a").union(
+        NgramIndex.ngramJaccardIndexed(spark, idx).select($"doc_b"))
+      .as[Long].collect().toSet
+    assert(victims.forall(v => !served.contains(v)))
+  }
+}
