@@ -61,13 +61,31 @@ object VersionedStore {
 
   /** Manifest content: (op, entries). An entry is the relative file name,
     * optionally followed by tab-separated zone-map bounds `min max` of the
-    * table's stats column ([[commitAppend]]'s `statsCol`). */
+    * table's stats column ([[commitAppend]]'s `statsCol`). Lines starting
+    * with `#` are header/meta (`#op`, `#addcol`), never file entries. */
   private def readManifest(fs: FileSystem, root: String, v: Long): (String, Seq[String]) = {
+    val lines = manifestLines(fs, root, v)
+    (lines.head.stripPrefix("#op "),
+      lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")))
+  }
+
+  private def manifestLines(fs: FileSystem, root: String, v: Long): Seq[String] = {
     val in = fs.open(new Path(s"$root/_versions/${versionName(v)}"))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val lines = txt.linesIterator.toSeq
-    (lines.head.stripPrefix("#op "), lines.tail.filter(_.nonEmpty))
+    txt.linesIterator.toSeq
   }
+
+  /** Schema-evolution records in force at `version`: `(column, typeDdl,
+    * defaultSql)` per `#addcol` meta line, in commit order. */
+  private def readAddCols(fs: FileSystem, root: String, v: Long): Seq[(String, String, String)] =
+    manifestLines(fs, root, v)
+      .filter(_.startsWith("#addcol "))
+      .map { l =>
+        l.stripPrefix("#addcol ").split('\t') match {
+          case Array(c, t, d) => (c, t, d)
+          case other => sys.error(s"malformed #addcol line: ${other.mkString("\t")}")
+        }
+      }
 
   private def entryFile(entry: String): String = entry.takeWhile(_ != '\t')
 
@@ -78,10 +96,12 @@ object VersionedStore {
     }
 
   private def writeManifestFile(fs: FileSystem, root: String, v: Long,
-                                op: String, files: Seq[String]): Boolean = {
+                                op: String, files: Seq[String],
+                                meta: Seq[String] = Seq.empty): Boolean = {
     val tmp = new Path(s"$root/_versions/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write((s"#op $op\n" + files.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(((s"#op $op" +: meta).mkString("\n") + "\n" +
+      files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val dst = new Path(s"$root/_versions/${versionName(v)}")
     // rename-no-overwrite is the atomic commit point; false = lost the race
@@ -131,18 +151,25 @@ object VersionedStore {
   }
 
   /** Commit `base(headFiles) ++ staged` as the next version; retries the
-    * version number under concurrent committers. */
+    * version number under concurrent committers. `#addcol` schema meta is
+    * carried forward from the head on appends/evolves (old files still
+    * need their defaults) and DROPPED on full rewrites (`keepMeta =
+    * false`: overwrite/compact files all carry the current schema, the
+    * compaction having materialized the defaults through [[readAt]]). */
   private def commit(spark: SparkSession, root: String, op: String,
-                     staged: Seq[String])
+                     staged: Seq[String], newMeta: Seq[String] = Seq.empty,
+                     keepMeta: Boolean = true)
                     (base: Seq[String] => Seq[String]): Long = {
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(s"$root/_versions"))
     var v = latestVersion(spark, root).getOrElse(0L) + 1
     while (true) {
-      val head =
-        if (v == 1) Seq.empty
-        else readManifest(fs, root, v - 1)._2
-      if (writeManifestFile(fs, root, v, op, base(head) ++ staged)) return v
+      val (head, headMeta) =
+        if (v == 1) (Seq.empty[String], Seq.empty[String])
+        else (readManifest(fs, root, v - 1)._2,
+          manifestLines(fs, root, v - 1).filter(_.startsWith("#addcol ")))
+      val meta = (if (keepMeta) headMeta else Seq.empty) ++ newMeta
+      if (writeManifestFile(fs, root, v, op, base(head) ++ staged, meta)) return v
       v = latestVersion(spark, root).getOrElse(0L) + 1
     }
     v // unreachable
@@ -161,7 +188,38 @@ object VersionedStore {
   def commitOverwrite(df: DataFrame, root: String,
                       statsCol: Option[String] = None): Long =
     commit(df.sparkSession, root, "overwrite",
-      stageFiles(df, root, statsCol))(_ => Seq.empty)
+      stageFiles(df, root, statsCol), keepMeta = false)(_ => Seq.empty)
+
+  /** ADDITIVE SCHEMA EVOLUTION — the add-column table operation (the one
+    * Delta/Iceberg core capability the store lacked before round 8):
+    * commits a new version with the SAME file set plus an `#addcol`
+    * schema record. No data file is read or written. From this version
+    * on, [[readAt]] surfaces `colName` on every row: files written
+    * before the evolve (which lack the column physically) get
+    * `defaultSql` backfilled AT READ — the lazy backfill that makes
+    * add-column O(1) at 100 TB — while files written after carry their
+    * own values. Earlier versions are untouched: `readAt(v)` for v
+    * before the evolve still returns the old schema. Readers pay one
+    * footer-merge pass at planning time on evolved tables (mergeSchema);
+    * a [[compactHead]] materializes the defaults and drops the record.
+    *
+    * `defaultSql` is a constant SQL expression (e.g. `"CAST(0 AS
+    * BIGINT)"`, `"'unknown'"`); [[readChanges]] across an evolve
+    * boundary refuses loudly (op is `evolve`, not `append` — a file-set
+    * diff cannot express a schema change). Contract note: the backfill
+    * is value-level (`coalesce`), so an explicit NULL written after the
+    * evolve also reads as the default — pick defaults accordingly (the
+    * add-column-with-default semantic, not add-nullable-column). */
+  def evolveAddColumn(spark: SparkSession, root: String, colName: String,
+                      typeDdl: String, defaultSql: String): Long = {
+    require(!colName.contains("\t") && !typeDdl.contains("\t") &&
+      !defaultSql.contains("\t") && !defaultSql.contains("\n"),
+      "addcol fields must be tab/newline-free")
+    // validate eagerly: a bad default must fail the evolve, not every read
+    spark.sql(s"SELECT CAST($defaultSql AS $typeDdl)")
+    commit(spark, root, "evolve", Seq.empty,
+      newMeta = Seq(s"#addcol $colName\t$typeDdl\t$defaultSql"))(head => head)
+  }
 
   /** Read the table exactly as of `version`. With `mergeSchema`, the
     * read unions the schemas of every referenced file (additive column
@@ -172,10 +230,22 @@ object VersionedStore {
              mergeSchema: Boolean = false): DataFrame = {
     val fs = fsOf(spark, root)
     val (_, entries) = readManifest(fs, root, version)
-    if (entries.isEmpty) spark.emptyDataFrame
-    else spark.read
-      .option("mergeSchema", mergeSchema.toString)
+    if (entries.isEmpty) return spark.emptyDataFrame
+    val addCols = readAddCols(fs, root, version)
+    val raw = spark.read
+      // evolved tables NEED the union schema (pre-evolve files lack the
+      // added columns physically); un-evolved tables keep the caller's
+      // choice and skip the footer-merge planning cost
+      .option("mergeSchema", (mergeSchema || addCols.nonEmpty).toString)
       .parquet(entries.map(e => s"$root/data/${entryFile(e)}"): _*)
+    // lazy default backfill: rows from pre-evolve files surface the
+    // column as null under the merged schema → coalesce to the default;
+    // if NO file carries the column yet, synthesize it whole
+    addCols.foldLeft(raw) { case (df, (c, t, d)) =>
+      if (df.columns.contains(c))
+        df.withColumn(c, coalesce(col(c), expr(s"CAST($d AS $t)")))
+      else df.withColumn(c, expr(s"CAST($d AS $t)"))
+    }
   }
 
   /** Rewrite the head version's content into `nFiles` files as a new
@@ -191,8 +261,12 @@ object VersionedStore {
     require(nFiles >= 1)
     val head = latestVersion(spark, root).getOrElse(
       sys.error(s"nothing to compact under $root"))
+    // readAt materializes any #addcol defaults into the compacted files,
+    // so the record is dropped (keepMeta=false) and later reads skip the
+    // footer-merge pass — compaction doubles as schema-evolution cleanup
     val df = readAt(spark, root, head).repartition(nFiles)
-    commit(spark, root, "compact", stageFiles(df, root, statsCol))(_ => Seq.empty)
+    commit(spark, root, "compact", stageFiles(df, root, statsCol),
+      keepMeta = false)(_ => Seq.empty)
   }
 
   /** The manifest entries of `version` whose zone-map bounds overlap
@@ -290,9 +364,12 @@ object VersionedStore {
           renames.get(entryFile(e))
             .map(_.map(n => n + tail)).getOrElse(Seq(e))
         }
+        // carry every `#` meta line (schema records) through the remap
+        val meta = manifestLines(fs, root, v).tail.filter(_.startsWith("#"))
         val tmp = new Path(s"$root/_versions/.tmp-${java.util.UUID.randomUUID()}")
         val out = fs.create(tmp, false)
-        try out.write((s"#op $op\n" + mapped.mkString("\n") + "\n").getBytes("UTF-8"))
+        try out.write(((s"#op $op" +: meta).mkString("\n") + "\n" +
+          mapped.mkString("\n") + "\n").getBytes("UTF-8"))
         finally out.close()
         // overwrite-rename: delete + rename (manifest content is a pure
         // function of (old manifest, renames), so a crash between the two

@@ -31,6 +31,49 @@ class VersionedStoreSpec extends SparkTestBase {
     assert(v3 == 3L)
   }
 
+  test("additive schema evolution: lazy default backfill, old versions untouched") {
+    val root = freshRoot()
+    val v1 = VersionedStore.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), root)
+    val v2 = VersionedStore.evolveAddColumn(spark, root,
+      "score", "BIGINT", "0")
+    // v1 still reads the OLD schema; v2 surfaces the column, defaulted
+    assert(VersionedStore.readAt(spark, root, v1).columns.toSeq == Seq("id", "name"))
+    val r2 = VersionedStore.readAt(spark, root, v2)
+      .select("id", "name", "score").as[(Long, String, Long)].collect().toSet
+    assert(r2 == Set((1L, "a", 0L), (2L, "b", 0L)))
+    // an append AFTER the evolve carries real values; old rows stay defaulted
+    val v3 = VersionedStore.commitAppend(
+      Seq((3L, "c", 7L)).toDF("id", "name", "score"), root)
+    val r3 = VersionedStore.readAt(spark, root, v3)
+      .select("id", "name", "score").as[(Long, String, Long)].collect().toSet
+    assert(r3 == Set((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 7L)))
+    // readChanges refuses loudly across the evolve boundary...
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.readChanges(spark, root, v1, v3)
+    }
+    assert(e.getMessage.contains("evolve"))
+    // ...and works on the pure-append range after it
+    assert(VersionedStore.readChanges(spark, root, v2, v3)
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+    // a purge preserves the schema record it remaps around
+    VersionedStore.purgeKeys(spark, root, "id", Seq(1L))
+    val afterPurge = VersionedStore.readAt(spark, root, v3)
+      .select("id", "name", "score").as[(Long, String, Long)].collect().toSet
+    assert(afterPurge == Set((2L, "b", 0L), (3L, "c", 7L)))
+    // compaction materializes the defaults and drops the merge cost
+    val v5 = VersionedStore.compactHead(spark, root, 1)
+    val compacted = VersionedStore.readAt(spark, root, v5)
+      .select("id", "name", "score").as[(Long, String, Long)].collect().toSet
+    assert(compacted == afterPurge)
+    // stacked evolves compose in order
+    val v6 = VersionedStore.evolveAddColumn(spark, root,
+      "lang", "STRING", "'unknown'")
+    val r6 = VersionedStore.readAt(spark, root, v6)
+      .select("id", "lang").as[(Long, String)].collect().toSet
+    assert(r6 == Set((2L, "unknown"), (3L, "unknown")))
+  }
+
   test("purgeKeys erases a key from every retained version, sparing other files") {
     val root = freshRoot()
     // two files per commit so some files never contain the victim
