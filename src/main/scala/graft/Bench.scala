@@ -46,17 +46,26 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> Seq.fill(3)(runOnce(fn)).min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision in the printed map: with 160+ queries the
+    // full-precision line outgrew the driver's stdout tail capture and
+    // parsed as null (r07) — 3 decimals keeps every query in one ~4 KB
+    // line; the file keeps full precision
+    def fmt(v: Double, digits: Int) = BigDecimal(v)
+      .setScale(digits, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // stdout gets tail-truncated by log capture with 100+ queries; the
-    // file is the durable record of every per-query timing
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+      results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    },"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")),
-      (json + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     spark.stop()
+    // print LAST, after spark.stop(), so no executor-shutdown log lands
+    // between the JSON and the end of this JVM's output
+    println(json)
   }
 }

@@ -48,18 +48,25 @@ object DataSelection {
     * row per gram occurrence. Guarded `when` keeps Spark's descending
     * `sequence(1, 0)` from manufacturing bigrams for 1-token docs
     * (DuckDB's generate_series is empty there). */
-  private def featureBuckets(spark: SparkSession, dir: String): DataFrame = {
-    HashExpressions.register(spark)
-    import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", $"lang", split(trim(lower($"text")), "\\s+").as("t"))
-    val bigrams = when(size($"t") >= 2,
+  private def featureBuckets(spark: SparkSession, dir: String): DataFrame =
+    featureBucketsOf(Tables.documents(spark, dir))
+
+  /** [[featureBuckets]] over an arbitrary (doc_id, lang, text) frame —
+    * pure stateless column expressions, so the SAME definition runs over
+    * a batch table or a streaming microbatch (the streaming scoring
+    * sink's parity rests on this sharing). */
+  private[graft] def featureBucketsOf(docsRaw: DataFrame): DataFrame = {
+    HashExpressions.register(docsRaw.sparkSession)
+    val docs = docsRaw
+      .select(col("doc_id"), col("lang"),
+        split(trim(lower(col("text"))), "\\s+").as("t"))
+    val bigrams = when(size(col("t")) >= 2,
       expr("transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
       .otherwise(expr("CAST(array() AS array<string>)"))
     docs
-      .select($"doc_id", $"lang", explode(concat($"t", bigrams)).as("g"))
-      .select($"doc_id", $"lang",
-        (HashExpressions.md5Prefix64($"g", DsirHashHex) % DsirBuckets).as("bucket"))
+      .select(col("doc_id"), col("lang"), explode(concat(col("t"), bigrams)).as("g"))
+      .select(col("doc_id"), col("lang"),
+        (HashExpressions.md5Prefix64(col("g"), DsirHashHex) % DsirBuckets).as("bucket"))
   }
 
   /** Oracle-gated integer core: per-bucket gram-occurrence counts for
@@ -106,6 +113,43 @@ object DataSelection {
     * global sort of n_docs rows (the selection output — small by
     * definition; at 100 TB you'd threshold on the weight quantile
     * instead, same plan minus the window). */
+  /** The (bucket, log_ratio) model table from the oracle-gated bins —
+    * B rows, broadcast-sized by construction. */
+  private[graft] def dsirModel(bins: DataFrame): DataFrame = {
+    val b = lit(DsirBuckets.toDouble)
+    val a = lit(DsirAlpha)
+    // Totals are two scalars; fold them in with a window-free cross of
+    // the B-row frame (stays tiny, then broadcasts).
+    val totals = bins.agg(sum(col("target_n")).cast("double").as("t_total"),
+                          sum(col("raw_n")).cast("double").as("r_total"))
+    bins.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("target_n") + a) / (col("t_total") + a * b)) -
+         log((col("raw_n") + a) / (col("r_total") + a * b))).as("log_ratio"))
+  }
+
+  /** Stateless per-doc scoring of a feature frame against a FROZEN
+    * model: (doc_id, weight, n_grams). Shared by the batch selection and
+    * the streaming scoring sink, so the two cannot drift. The sorted
+    * fold (not a partition-order `sum`) makes the double bit-identical
+    * across batch/stream/shuffle postures — float + is not associative
+    * (the BM25 lesson); buckets per doc are bounded by distinct grams. */
+  private[graft] def scoreFeatures(fb: DataFrame, model: DataFrame): DataFrame =
+    fb.groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
+      .join(broadcast(model), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("bucket"),
+             (col("c") * col("log_ratio")).as("w")))).as("ws"),
+           sum(col("c")).as("n_grams"))
+      .withColumn("weight",
+        expr("aggregate(ws, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w)"))
+
+  /** [[scoreFeatures]] over raw (doc_id, lang, text) rows — the form a
+    * streaming microbatch scores through. */
+  def dsirScore(docs: DataFrame, model: DataFrame): DataFrame =
+    scoreFeatures(featureBucketsOf(docs), model)
+      .select(col("doc_id"), col("weight"), col("n_grams"))
+
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // tokenize/hash ONCE: the model aggregate and the per-doc counts
@@ -118,29 +162,7 @@ object DataSelection {
       .groupBy($"bucket")
       .agg(sum(when($"lang" === DsirTargetLang, 1L).otherwise(0L)).as("target_n"),
            count(lit(1)).as("raw_n"))
-    val b = lit(DsirBuckets.toDouble)
-    val a = lit(DsirAlpha)
-    // Totals are two scalars; fold them in with a window-free cross of
-    // the B-row frame (stays tiny, then broadcasts).
-    val totals = bins.agg(sum($"target_n").cast("double").as("t_total"),
-                          sum($"raw_n").cast("double").as("r_total"))
-    val model = bins.crossJoin(broadcast(totals))
-      .select($"bucket",
-        (log(($"target_n" + a) / ($"t_total" + a * b)) -
-         log(($"raw_n" + a) / ($"r_total" + a * b))).as("log_ratio"))
-    val perDoc = fb
-      .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("c"))
-    // sorted fold, not a partition-order sum: float + is not associative,
-    // so `sum` would differ in the last ULP across shuffle postures (the
-    // BM25 lesson); buckets per doc are bounded by distinct grams
-    val scored = perDoc
-      .join(broadcast(model), "bucket")
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_list(struct($"bucket", ($"c" * $"log_ratio").as("w"))))
-             .as("ws"),
-           sum($"c").as("n_grams"))
-      .withColumn("weight",
-        expr("aggregate(ws, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w)"))
+    val scored = scoreFeatures(fb, dsirModel(bins))
     // top-K selection WITHOUT a global window (an unpartitioned
     // row_number would sort the whole corpus in one task): limit-K is a
     // TakeOrderedAndProject — per-partition top-K, K rows to the driver

@@ -1,0 +1,87 @@
+package graft.scale
+
+import graft.nfl.{Normalize, SeasonBench, SeasonJob}
+import org.apache.spark.sql.functions._
+
+/** Season-kernel scale rehearsal (round-7 verdict item 7): SCALE_r7
+  * measured the §2.13 families at ×10/×50 but the NFL frame-EPPA kernel
+  * only at one size (SEASON_r7). This main runs the SAME season job at
+  * several play multiplicities — copies of the disjoint toy game set, so
+  * play count is the exact scale knob while every per-play group stays
+  * the SAME size — and records the numbers that decide executor sizing:
+  *
+  *  - wall + frames/s: must grow ~linearly in plays (plays are the
+  *    embarrassingly parallel unit — the kernel never materializes the
+  *    (F,T,T,J) tensor, so per-play work is constant);
+  *  - peak task memory: must stay FLAT as plays multiply — the kernel's
+  *    group-size bound is per-play, so more plays means more tasks, not
+  *    bigger ones;
+  *  - disk spill: must stay zero (same bound).
+  *
+  * One timed run per cell (the season job is minutes-long; the ±20%
+  * box variance noted in SEASON_r7 applies — the claims checked here are
+  * order-of-magnitude shape claims, flat-vs-linear, not ±5% timings).
+  * `SPARK_GRAFT_SEASON_SCALES` sets the copy counts (default 18,182:
+  * plays ×1 → ×10 over the base; append 546 for a ×30 point when the
+  * wall budget allows).
+  */
+object SeasonScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val copiesList = sys.env.getOrElse("SPARK_GRAFT_SEASON_SCALES", "18,182")
+      .split(",").map(_.trim.toInt).toSeq
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "target/SEASON_SCALE.json")
+    val spark = graft.GraftSession.local(cpus, appName = "graft-season-scale")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
+    // warm-up: one-copy season primes codegen + model broadcast
+    val (t1, g1, p1, s1) = SeasonBench.replicate(spark, 1)
+    val warmDir = java.nio.file.Files.createTempDirectory("graft-sscale-warm").toString
+    SeasonJob.run(Normalize(t1, g1, p1), s1, warmDir)
+
+    case class Cell(copies: Int, plays: Long, rawRows: Long, frames: Long,
+                    sec: Double, metrics: Map[String, Long])
+    val cells = copiesList.map { copies =>
+      val (tracking, games, plays, preState) = SeasonBench.replicate(spark, copies)
+      val rawRows = tracking.count()
+      val nPlays = plays.select("gameId", "playId").distinct().count()
+      val outDir = java.nio.file.Files
+        .createTempDirectory(s"graft-sscale-$copies").toString
+      spark.catalog.clearCache()
+      System.gc()
+      listener.reset()
+      val t0 = System.nanoTime()
+      val frames = SeasonJob.run(Normalize(tracking, games, plays), preState, outDir)
+      val sec = (System.nanoTime() - t0) / 1e9
+      try { val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(500) }
+      val cell = Cell(copies, nPlays, rawRows, frames, sec, listener.snapshot)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+      System.err.println(f"[season-scale] copies=$copies%-4d plays=$nPlays%-6d " +
+        f"${sec}%8.1f s  ${frames / sec}%6.2f frames/s  " +
+        f"peakMem=${cell.metrics("peak_task_memory")}%12d  " +
+        f"spill=${cell.metrics("disk_spill_bytes")}%d")
+      cell
+    }
+
+    val base = cells.head
+    def jnum(d: Double) = if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
+    val body = cells.map { c =>
+      val m = c.metrics.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
+      s""""x${c.plays / base.plays}": {"copies": ${c.copies}, "plays": ${c.plays}, "raw_rows": ${c.rawRows}, "frames": ${c.frames}, "sec": ${jnum(c.sec)}, "frames_per_sec": ${jnum(c.frames / c.sec)}, "sec_per_play": ${jnum(c.sec / c.plays)}, $m, "growth": {"plays_ratio": ${jnum(c.plays.toDouble / base.plays)}, "time_ratio": ${jnum(c.sec / base.sec)}, "peak_mem_ratio": ${jnum(c.metrics("peak_task_memory").toDouble / math.max(1L, base.metrics("peak_task_memory")))}}}"""
+    }.mkString(",\n  ")
+    val json = s"""{
+  "meta": {"cpus": $cpus, "heap_gb": ${Runtime.getRuntime.maxMemory / (1024L * 1024 * 1024)}, "note": "disjoint game copies: plays are the exact scale knob, per-play group size constant; claims = linear wall, FLAT peak task memory, zero spill"},
+  $body
+}
+"""
+    val w = new java.io.PrintWriter(outFile)
+    try w.write(json) finally w.close()
+    System.err.println(s"[season-scale] wrote $outFile")
+    spark.stop()
+  }
+}

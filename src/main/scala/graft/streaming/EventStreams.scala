@@ -346,6 +346,38 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming twin of the DSIR scoring stage (the selection family's
+    * missing stream path until round 8): arriving documents are scored
+    * against a FROZEN importance model — built batch-side from the
+    * oracle-gated `dsirBins` via [[graft.ops.DataSelection.dsirModel]]
+    * and broadcast into every microbatch — as a pure stateless stage:
+    * no watermark, no keyed state, model B rows. Scores land keyed by
+    * doc_id in doc-hash-bucketed parquet through
+    * [[graft.sources.Store.replaceKeys]], so a checkpoint replay (or a
+    * re-scored changed document) rewrites identical-or-newer content —
+    * exactly-once by idempotence, and re-ingesting a doc cannot leave
+    * two score rows. The per-doc sorted fold makes the double
+    * bit-identical to the batch path (StreamingMultimodalSpec pins
+    * stream ≡ batch on weight, n_grams, and the integer core).
+    * Selection (top-k / quota) stays a batch step over the scored table
+    * — a global rank is not a per-microbatch decision. */
+  def dsirScoringSink(docsStream: DataFrame, model: DataFrame,
+                      outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val scored = graft.ops.DataSelection
+            .dsirScore(batch.select(col("doc_id"), col("lang"), col("text")), model)
+            .withColumn("sp", pmod(col("doc_id"), lit(16L)).cast("int"))
+          graft.sources.Store.replaceKeys(scored, outDir,
+            keyCols = Seq("doc_id"), partitionCols = Seq("sp"))
+        }
+        ()
+      }
+      .start()
+
   /** The PQ twin of [[indexMaintenanceSink]]: each microbatch encodes its
     * vectors against the index's FROZEN codebooks and upserts only the
     * touched code partitions ([[graft.similarity.Ann.pqIndexAppend]]) —

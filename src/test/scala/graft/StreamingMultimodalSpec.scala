@@ -366,6 +366,50 @@ class StreamingMultimodalSpec extends SparkTestBase {
       s"within-batch same-ts pair must match the batch (ts, state) sort: $u2")
   }
 
+  test("streaming DSIR scoring is bit-identical to the batch path; replay no-op") {
+    import graft.ops.DataSelection
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"text")
+    // frozen model from the batch-side oracle-gated bins
+    val model = DataSelection.dsirModel(DataSelection.dsirBins(spark, sfDir))
+      .localCheckpoint()
+    val expect = DataSelection.dsirScore(docs, model)
+      .select($"doc_id", $"weight", $"n_grams")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+
+    val src = java.nio.file.Files.createTempDirectory("dsir_src").toString
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$src/b0")
+    docs.filter($"doc_id" % 2 =!= 0).write.parquet(s"$src/b1")
+    val out = java.nio.file.Files.createTempDirectory("dsir_out").toString + "/scores"
+    def run(chk: String): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+      val q = EventStreams.dsirScoringSink(stream, model, out,
+        java.nio.file.Files.createTempDirectory("dsir_chk").toString + "/c")
+      q.processAllAvailable(); q.stop()
+    }
+    run("unused")
+    def scored(): Seq[(Long, Double, Long)] =
+      spark.read.parquet(out).select($"doc_id", $"weight", $"n_grams")
+        .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    // bit-identical doubles: the sorted fold + frozen broadcast model make
+    // stream ≡ batch exact, not approximately equal
+    assert(scored() == expect,
+      "streamed DSIR scores must equal the batch scores bit-for-bit")
+    // cold replay (fresh checkpoint, same files): scores unchanged —
+    // replaceKeys rewrites identical content
+    run("again")
+    assert(scored() == expect, "a replay must leave identical scores")
+  }
+
   test("streaming funnel matches the batch funnel operator") {
     import graft.streaming.EventStreams
     val stream = EventStreams.streamingFunnel(spark,
