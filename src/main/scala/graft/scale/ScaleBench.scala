@@ -201,7 +201,12 @@ object ScaleBench {
       // containment rides the same rare-gram posting join as
       // d_ngram_jaccard (pair count bounded by the df cap) — measured
       // separately because the planted excerpts change the df profile
-      "d_containment" -> (graft.dedup.Dedup.containment _))
+      "d_containment" -> (graft.dedup.Dedup.containment _),
+      // r8: the persisted rare-gram index lifecycle (build 2/3 + upsert
+      // 1/3 + serve) must track the one-shot d_ngram_jaccard above —
+      // the upsert leg's probe is key-filtered, and the serve tail is
+      // the identical candidate+verify join
+      "d_ngram_incremental" -> (graft.dedup.NgramIndex.incrementalServe _))
 
     def clearPersisted(): Unit = {
       spark.catalog.clearCache()
