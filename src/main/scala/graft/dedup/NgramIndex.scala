@@ -56,7 +56,9 @@ object NgramIndex {
     buildFrom(Tables.documents(spark, dir).select("doc_id", "text"), indexDir)
 
   def buildFrom(docs: DataFrame, indexDir: String): Unit = {
-    val (gs, posting) = withParts(Dedup.gramSets(docs))
+    // materialize the gram pass once: both table writes read it, and the
+    // tokenize+hash chain is the dominant cost (at 100 TB: checkpoint)
+    val (gs, posting) = withParts(Dedup.gramSets(docs).localCheckpoint())
     // repartition ON the partition column: one file per bucket per build
     gs.repartition(col("dp")).write.mode("overwrite")
       .partitionBy("dp").parquet(s"$indexDir/gramsets")
@@ -69,7 +71,8 @@ object NgramIndex {
     * batch grams + touched buckets + one doc-filtered probe per table;
     * the corpus is never re-read. */
   def upsert(batch: DataFrame, indexDir: String): Unit = {
-    val (gs, posting) = withParts(Dedup.gramSets(batch.select("doc_id", "text")))
+    val (gs, posting) = withParts(
+      Dedup.gramSets(batch.select("doc_id", "text")).localCheckpoint())
     graft.sources.Store.replaceKeys(gs, s"$indexDir/gramsets",
       keyCols = Seq("doc_id"), partitionCols = Seq("dp"))
     graft.sources.Store.replaceKeys(posting, s"$indexDir/postings",
@@ -95,16 +98,20 @@ object NgramIndex {
       spark.read.parquet(s"$indexDir/gramsets").select("doc_id", "gs"),
       spark.read.parquet(s"$indexDir/postings").select("doc_id", "h"))
 
-  /** `d_ngram_incremental`: build the index on two thirds of the corpus,
-    * fold the remaining third in via [[upsert]], then serve — gated by
-    * the UNMODIFIED inline [[Dedup.ngramJaccardSql]], so the hash proves
-    * incremental maintenance ≡ full rebuild ≡ inline end-to-end. */
+  /** `d_ngram_incremental`: build the index on 90% of the corpus, fold
+    * the remaining tenth in via [[upsert]], then serve — gated by the
+    * UNMODIFIED inline [[Dedup.ngramJaccardSql]], so the hash proves
+    * incremental maintenance ≡ full rebuild ≡ inline end-to-end. (A 10%
+    * batch is already far larger than a production ingest batch relative
+    * to its corpus; NgramIndexSpec separately proves split-invariance
+    * with a 1/3-2/3 split, so the bench split is a cost knob, not a
+    * semantics one — any split hashes identically.) */
   def incrementalServe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val idx = java.nio.file.Files
       .createTempDirectory("ngram_inc_index").toString
-    buildFrom(docs.filter(col("doc_id") % 3 =!= 0), idx)
-    upsert(docs.filter(col("doc_id") % 3 === 0), idx)
+    buildFrom(docs.filter(col("doc_id") % 10 =!= 0), idx)
+    upsert(docs.filter(col("doc_id") % 10 === 0), idx)
     ngramJaccardIndexed(spark, idx)
   }
 }

@@ -319,6 +319,36 @@ object ScaleBench {
       n -> (nKept, nFull)
     }.toMap
 
+    // k-stride convergence evidence (r8): a planted high-diameter chain
+    // is the propagation worst case — per-round checking pays ~diameter
+    // driver actions, the k-stride loop ~diameter/k; both must reach the
+    // identical fixed point. Measured directly (not via a corpus: near-dup
+    // corpora are shallow by construction, which is exactly why the
+    // adversarial chain has to be planted).
+    val chainProp = {
+      clearPersisted()
+      import spark.implicits._
+      val diam = 400
+      val edges = (0 until diam).map(i => (i.toLong, i.toLong + 1))
+        .toDF("doc_a", "doc_b")
+      def run(k: Int): (Long, Int, Double) = {
+        val t0 = System.nanoTime()
+        val (labels, actions) = graft.dedup.Dedup.propagateLabelsCounted(edges, k)
+        val wrong = labels.filter(org.apache.spark.sql.functions.col("lab") =!= 0L).count()
+        (wrong, actions, (System.nanoTime() - t0) / 1e9)
+      }
+      val strided = run(graft.dedup.Dedup.PropagateCheckEvery)
+      val perRound = run(1)
+      Map("diameter" -> diam.toDouble,
+        "stride" -> graft.dedup.Dedup.PropagateCheckEvery.toDouble,
+        "strided_actions" -> strided._2.toDouble,
+        "strided_sec" -> strided._3,
+        "strided_wrong_labels" -> strided._1.toDouble,
+        "per_round_actions" -> perRound._2.toDouble,
+        "per_round_sec" -> perRound._3,
+        "per_round_wrong_labels" -> perRound._1.toDouble)
+    }
+
     // ---- JSON out ---------------------------------------------------
     val sb = new StringBuilder
     sb.append("{\n  \"meta\": {\"base\": \"").append(baseDir)
@@ -344,6 +374,10 @@ object ScaleBench {
       }.mkString(", ")
       s""""x$n": {$inner}"""
     }.mkString(", ")).append("},\n")
+    sb.append("  \"label_propagation_chain\": {")
+    sb.append(chainProp.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""$k": ${jnum(v)}""" }.mkString(", "))
+    sb.append("},\n")
     sb.append("  \"queries\": {\n")
     sb.append(results.map { case (name, cells) =>
       val base = cells(scales.head)

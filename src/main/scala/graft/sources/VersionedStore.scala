@@ -238,15 +238,19 @@ object VersionedStore {
       // choice and skip the footer-merge planning cost
       .option("mergeSchema", (mergeSchema || addCols.nonEmpty).toString)
       .parquet(entries.map(e => s"$root/data/${entryFile(e)}"): _*)
-    // lazy default backfill: rows from pre-evolve files surface the
-    // column as null under the merged schema → coalesce to the default;
-    // if NO file carries the column yet, synthesize it whole
+    applyAddCols(raw, addCols)
+  }
+
+  /** Lazy default backfill: rows from pre-evolve files surface the
+    * column as null under the merged schema → coalesce to the default;
+    * if NO file carries the column yet, synthesize it whole. */
+  private def applyAddCols(raw: DataFrame,
+                           addCols: Seq[(String, String, String)]): DataFrame =
     addCols.foldLeft(raw) { case (df, (c, t, d)) =>
       if (df.columns.contains(c))
         df.withColumn(c, coalesce(col(c), expr(s"CAST($d AS $t)")))
       else df.withColumn(c, expr(s"CAST($d AS $t)"))
     }
-  }
 
   /** Rewrite the head version's content into `nFiles` files as a new
     * `compact` version — the maintenance op that keeps a long-running
@@ -293,8 +297,13 @@ object VersionedStore {
   def readAtPruned(spark: SparkSession, root: String, version: Long,
                    lo: Long, hi: Long): DataFrame = {
     val files = overlappingFiles(spark, root, version, lo, hi)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(f => s"$root/data/$f"): _*)
+    if (files.isEmpty) return spark.emptyDataFrame
+    // same schema surface as readAt: an evolved table's pruned read must
+    // carry the added columns and their defaults too
+    val addCols = readAddCols(fsOf(spark, root), root, version)
+    applyAddCols(spark.read
+      .option("mergeSchema", addCols.nonEmpty.toString)
+      .parquet(files.map(f => s"$root/data/$f"): _*), addCols)
   }
 
   /** Digest of the manifest CONTENT at `version` — the freshness key for

@@ -72,6 +72,18 @@ class VersionedStoreSpec extends SparkTestBase {
     val r6 = VersionedStore.readAt(spark, root, v6)
       .select("id", "lang").as[(Long, String)].collect().toSet
     assert(r6 == Set((2L, "unknown"), (3L, "unknown")))
+    // the pruned read surfaces the same evolved schema
+    val zr = freshRoot()
+    val zv1 = VersionedStore.commitAppend(
+      Seq((1L, "a")).toDF("id", "name"), zr, statsCol = Some("id"))
+    VersionedStore.evolveAddColumn(spark, zr, "score", "BIGINT", "5")
+    val zv3 = VersionedStore.commitAppend(
+      Seq((9L, "z", 7L)).toDF("id", "name", "score"), zr, statsCol = Some("id"))
+    val pruned = VersionedStore.readAtPruned(spark, zr, zv3, 0L, 100L)
+      .select("id", "score").as[(Long, Long)].collect().toSet
+    assert(pruned == Set((1L, 5L), (9L, 7L)),
+      "readAtPruned must backfill evolved defaults like readAt")
+    assert(zv1 == 1L)
   }
 
   test("purgeKeys erases a key from every retained version, sparing other files") {
