@@ -184,6 +184,7 @@ object SparkEntry {
     "g_personalized_rank" -> (graft.ops.Graph.personalizedRank _),
     "d_ngram_jaccard" -> (graft.dedup.Dedup.ngramJaccard _),
     "d_ngram_incremental" -> (graft.dedup.NgramIndex.incrementalServe _),
+    "d_ngram_indexed" -> (graft.dedup.NgramIndex.ngramJaccardCached _),
     // asymmetric-overlap dedup: |A∩B|/min — catches excerpts/quotes
     // that symmetric Jaccard structurally misses (planted both engines)
     "d_containment" -> (graft.dedup.Dedup.containment _),
@@ -358,6 +359,7 @@ object SparkEntry {
     "g_personalized_rank" -> graft.ops.Graph.personalizedRankSql,
     "d_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccardSql,
     "d_ngram_incremental" -> graft.dedup.Dedup.ngramJaccardSql,
+    "d_ngram_indexed" -> graft.dedup.Dedup.ngramJaccardSql,
     "d_containment" -> graft.dedup.Dedup.containmentSql,
     "j_fuzzy_names" -> Joins.fuzzyNameMatchSql,
     "t_dq_audit" -> Quality.dqAuditSql,

@@ -98,6 +98,20 @@ object NgramIndex {
       spark.read.parquet(s"$indexDir/gramsets").select("doc_id", "gs"),
       spark.read.parquet(s"$indexDir/postings").select("doc_id", "h"))
 
+  /** `d_ngram_indexed`: serve from the build-once cached index — the
+    * keyword-dedup twin of `s_bm25_topk_indexed`/`s_pq_topk_indexed`.
+    * The index builds on first use through the hardened ANN cache
+    * (corpus data fingerprint in the `_built` marker, cross-process
+    * build locks, atomic-rename install, takedown-invalidation hook on
+    * the documents table), then every call times pure serve latency.
+    * Oracle: the UNMODIFIED inline SQL — serve ≡ inline is exact. */
+  def ngramJaccardCached(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.similarity.Ann.ensureIndex(spark, dir, "ngram",
+      table = "documents.parquet")(buildFrom(
+        Tables.documents(spark, dir).select("doc_id", "text"), _))
+    ngramJaccardIndexed(spark, idx)
+  }
+
   /** `d_ngram_incremental`: build the index on 90% of the corpus, fold
     * the remaining tenth in via [[upsert]], then serve — gated by the
     * UNMODIFIED inline [[Dedup.ngramJaccardSql]], so the hash proves

@@ -346,6 +346,25 @@ object EventStreams {
       }
       .start()
 
+  /** The RARE-GRAM twin of [[postingMaintenanceSink]]: each microbatch
+    * of new or CHANGED documents folds into the persisted n-gram dedup
+    * index ([[graft.dedup.NgramIndex.upsert]] — a keyed replace, so a
+    * changed doc's lost grams leave no stale postings). Exactly-once by
+    * idempotence: the replace rewrites identical content on replay, and
+    * gram hashing is a pure per-row function. */
+  def ngramMaintenanceSink(docsStream: DataFrame, indexPath: String,
+                           checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.dedup.NgramIndex.upsert(
+            batch.select(col("doc_id"), col("text")), indexPath)
+        ()
+      }
+      .start()
+
   /** Streaming twin of the DSIR scoring stage (the selection family's
     * missing stream path until round 8): arriving documents are scored
     * against a FROZEN importance model — built batch-side from the

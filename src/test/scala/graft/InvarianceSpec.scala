@@ -33,7 +33,11 @@ class InvarianceSpec extends SparkTestBase {
     // term/bucket contributions in sorted order, so even the libm paths
     // must be bit-identical under any partitioning
     "s_bm25_topk", "t_dsir_weights", "s_hybrid_rrf", "s_retrieval_metrics",
-    "t_shard_shuffle", "j_target_encode", "e_sliding_actives")
+    "t_shard_shuffle", "j_target_encode", "e_sliding_actives",
+    // round-8: the persisted rare-gram lifecycle (build+upsert+serve must
+    // land identical content under any partitioning), the perplexity
+    // integer core, and snapshot-pinned PQ serving
+    "d_ngram_incremental", "t_perplexity_core", "s_pq_topk_versioned")
 
   private def runAt(q: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -75,6 +75,45 @@ class NgramIndexSpec extends SparkTestBase {
       "changed-doc upsert must leave exactly the rebuilt-from-scratch content")
   }
 
+  test("streamed gram maintenance equals the batch build; cold replay no-op") {
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val full = tmp("ngram_sfull")
+    NgramIndex.build(spark, sfDir, full)
+    val expect = indexRows(full)
+
+    val src = tmp("ngram_ssrc")
+    docs.filter($"doc_id" < 25).write.parquet(s"$src/b0")
+    docs.filter($"doc_id" >= 25).write.parquet(s"$src/b1")
+    val idx = tmp("ngram_sidx")
+    def run(chk: String): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+      val q = EventStreams.ngramMaintenanceSink(stream, idx, chk)
+      q.processAllAvailable(); q.stop()
+    }
+    val chk = tmp("ngram_schk")
+    run(chk)
+    assert(indexRows(idx) == expect,
+      "streamed upserts must equal the one-shot build")
+    run(tmp("ngram_schk2")) // cold restart: replays land as no-ops
+    assert(indexRows(idx) == expect)
+  }
+
+  test("cached serve equals inline and a takedown invalidates the cache") {
+    import spark.implicits._
+    val inline = Dedup.ngramJaccard(spark, sfDir).collect().map(_.toSeq).toSeq
+    val cached = NgramIndex.ngramJaccardCached(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(cached == inline)
+  }
+
   test("takedown: the index equals a victim-free build and serves without victims") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
