@@ -205,6 +205,7 @@ object SparkEntry {
     // DSIR importance resampling: integer bucket core oracle-gated,
     // ln-weight step rows-only (libm) + spec vs a driver reference
     "t_dsir_bins" -> (DataSelection.dsirBins _),
+    "t_curriculum_order" -> (DataSelection.curriculumOrder _),
     "t_dsir_weights" -> (DataSelection.dsirWeights _),
     // deterministic epoch shuffle → shards; per-shard order digest
     "t_shard_shuffle" -> (DataSelection.shardShuffle _),
@@ -376,6 +377,7 @@ object SparkEntry {
     "q19_disjunctive" -> TpchShapes.q19Sql,
     "q20_excess_suppliers" -> TpchShapes.q20Sql,
     "t_dsir_bins" -> DataSelection.dsirBinsSql,
+    "t_curriculum_order" -> DataSelection.curriculumOrderSql,
     "t_perplexity_core" -> TextOps.perplexityCoreSql,
     "t_shard_shuffle" -> DataSelection.shardShuffleSql,
     "w_seasonal_decompose" -> Events.seasonalDecomposeSql,

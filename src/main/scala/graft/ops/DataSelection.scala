@@ -256,6 +256,75 @@ object DataSelection {
        |GROUP BY 1, 2, 3
        |ORDER BY 1""".stripMargin
 
+  /** Curriculum phases for [[curriculumOrder]]. */
+  val CurriculumPhases = 4
+
+  /** Curriculum training order (`t_curriculum_order`): bucket the corpus
+    * into [[CurriculumPhases]] quality phases — cleanest prose first, the
+    * clean-first annealing schedule curriculum/data-mix papers use — and
+    * give each phase a deterministic within-phase shuffle. The quality
+    * signal is the integer heuristic the quality family already gates
+    * (space ratio minus digit ratio, basis points — prose ranks high,
+    * numeric dumps low); phases come from ntile over the total order
+    * (quality DESC, doc_id), so both engines bucket identically; the
+    * within-phase order is the seeded-md5 rank, folded into a per-phase
+    * `order_md5` digest so the ORDER itself is oracle-checkable (the
+    * [[shardShuffle]] device).
+    *
+    * Scale: the text scan feeds one map-only score projection; the
+    * global ntile sorts only the NARROW (quality, id) rank table — at
+    * corpus scale you swap it for broadcast quantile thresholds (same
+    * plan minus the global sort; phases then come from a map-side
+    * comparison) — and the digest collect exists only for verification:
+    * the production layout is `repartitionByRange(phase)` +
+    * `sortWithinPartitions(h)`, never a driver-side list. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val txt = $"text"
+    val denom = greatest(length(txt), lit(1))
+    val nDigits = length(txt) - length(regexp_replace(txt, "[0-9]", ""))
+    val nSpaces = length(txt) - length(regexp_replace(txt, " ", ""))
+    val quality = (floor(nSpaces * lit(10000) / denom) -
+      floor(nDigits * lit(10000) / denom)).cast("long")
+    val h = md5(concat(lit("curr:"), $"doc_id".cast("string")).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q").desc, $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars", quality.as("q"), h.as("h"))
+      .withColumn("phase", ntile(CurriculumPhases).over(w))
+      .groupBy($"phase")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_chars").as("total_chars"),
+           min($"q").as("min_q"),
+           max($"q").as("max_q"),
+           md5(concat_ws(",",
+             expr("transform(array_sort(collect_list(struct(h, doc_id))), x -> CAST(x.doc_id AS STRING))"))
+             .cast("binary")).as("order_md5"))
+      .orderBy($"phase")
+  }
+
+  val curriculumOrderSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(floor((len(text) - len(replace(text, ' ', ''))) * 10000.0
+       |         / greatest(len(text), 1)) AS BIGINT)
+       |    - CAST(floor(len(regexp_replace(text, '[^0-9]', '', 'g')) * 10000.0
+       |           / greatest(len(text), 1)) AS BIGINT) AS q
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_chars, q,
+       |    ntile($CurriculumPhases) OVER (ORDER BY q DESC, doc_id) AS phase,
+       |    md5('curr:' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM q)
+       |SELECT phase, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  min(q) AS min_q, max(q) AS max_q,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id))
+       |    AS order_md5
+       |FROM r
+       |GROUP BY 1
+       |ORDER BY phase""".stripMargin
+
   /** Shards for the deterministic epoch shuffle. */
   val ShuffleShards = 8
   /** Seed prefix — vary per epoch for a fresh order. */

@@ -107,6 +107,24 @@ class DataSelectionSpec extends SparkTestBase {
     }
   }
 
+  test("curriculum phases partition the corpus in monotone quality order") {
+    import spark.implicits._
+    val out = graft.ops.DataSelection.curriculumOrder(spark, sfDir)
+      .select($"phase", $"n_docs", $"min_q", $"max_q")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1 to graft.ops.DataSelection.CurriculumPhases))
+    // every document lands in exactly one phase
+    assert(out.map(_._2).sum == Tables.documents(spark, sfDir).count())
+    // ntile balance: phase sizes differ by at most one
+    assert(out.map(_._2).max - out.map(_._2).min <= 1)
+    // clean-first annealing: phase p's quality floor must not be below
+    // phase p+1's ceiling (ties can straddle the ntile boundary exactly)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 >= b._4,
+        s"phase ${a._1} floor ${a._3} below phase ${b._1} ceiling ${b._4}")
+    }
+  }
+
   test("epoch seed changes the order but not shard balance invariants") {
     import spark.implicits._
     val s0 = DataSelection.shardShuffle(spark, sfDir)
