@@ -37,7 +37,8 @@ class InvarianceSpec extends SparkTestBase {
     // round-8: the persisted rare-gram lifecycle (build+upsert+serve must
     // land identical content under any partitioning), the perplexity
     // integer core, and snapshot-pinned PQ serving
-    "d_ngram_incremental", "t_perplexity_core", "s_pq_topk_versioned")
+    "d_ngram_incremental", "t_perplexity_core", "s_pq_topk_versioned",
+    "t_curriculum_order")
 
   private def runAt(q: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
