@@ -46,23 +46,25 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> Seq.fill(3)(runOnce(fn)).min
     }.toMap
-    // millisecond precision in the printed map: with 160+ queries the
-    // full-precision line outgrew the driver's stdout tail capture and
-    // parsed as null (r07) — 3 decimals keeps every query in one ~4 KB
-    // line; the file keeps full precision
+    // The driver captures only the LAST ~2 KB of stdout; a name-keyed map
+    // over 160+ queries can NEVER fit (names alone ≈ 3.3 KB — r07 and r08
+    // both recorded "parsed": null). So the printed line is SHORT — total
+    // + query count + a pointer to the committed file, with the file's md5
+    // tying the two together — and the full-precision per-query map lives
+    // only in BENCH.json.
     def fmt(v: Double, digits: Int) = BigDecimal(v)
       .setScale(digits, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 3) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     },"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")),
-      (full + "\n").getBytes("UTF-8"))
+    val bytes = (full + "\n").getBytes("UTF-8")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile), bytes)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    val json = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"file":"$outFile","md5":"$md5","sf":"$sfDir"}"""
     spark.stop()
     // print LAST, after spark.stop(), so no executor-shutdown log lands
     // between the JSON and the end of this JVM's output

@@ -206,6 +206,10 @@ object SparkEntry {
     // ln-weight step rows-only (libm) + spec vs a driver reference
     "t_dsir_bins" -> (DataSelection.dsirBins _),
     "t_curriculum_order" -> (DataSelection.curriculumOrder _),
+    // corpus-scale curriculum: broadcast cut-points from the bounded
+    // quality histogram replace the global ntile sort — EXACTLY
+    // ntile-equal, gated by the UNMODIFIED inline oracle SQL
+    "t_curriculum_scaled" -> (DataSelection.curriculumOrderScaled _),
     "t_dsir_weights" -> (DataSelection.dsirWeights _),
     // deterministic epoch shuffle → shards; per-shard order digest
     "t_shard_shuffle" -> (DataSelection.shardShuffle _),
@@ -231,6 +235,10 @@ object SparkEntry {
     // distributed PCA: one-pass Gram agg + driver Jacobi + codegen
     // projection; rows-only (eigensolvers have no cross-engine identity)
     "s_pca_project" -> (graft.ml.Pca.pcaProject _),
+    // the PCA accumulator's integer core: (n, Σq, Σq·qᵀ) over quantized
+    // vectors, every BIGINT sum replayed in DuckDB — only the driver
+    // Jacobi eigen step stays rows-only
+    "s_pca_gram_core" -> (graft.ml.Pca.pcaGramCore _),
     // leave-one-out categorical target encoding, integer-exact
     "j_target_encode" -> (Features.looTargetEncode _),
     // trailing 7-day distinct actives via bounded x7 fan-out (no range
@@ -378,6 +386,9 @@ object SparkEntry {
     "q20_excess_suppliers" -> TpchShapes.q20Sql,
     "t_dsir_bins" -> DataSelection.dsirBinsSql,
     "t_curriculum_order" -> DataSelection.curriculumOrderSql,
+    // the scaled path must reproduce the inline ntile result exactly —
+    // same SQL, so the hash gate proves plan-equivalence
+    "t_curriculum_scaled" -> DataSelection.curriculumOrderSql,
     "t_perplexity_core" -> TextOps.perplexityCoreSql,
     "t_shard_shuffle" -> DataSelection.shardShuffleSql,
     "w_seasonal_decompose" -> Events.seasonalDecomposeSql,
@@ -389,5 +400,6 @@ object SparkEntry {
     "e_anomaly_days" -> Events.anomalyDaysSql,
     "w_rolling_slope" -> Events.rollingSlopeSql,
     "t_temperature_mix" -> DataSelection.temperatureMixSql,
+    "s_pca_gram_core" -> graft.ml.Pca.pcaGramCoreSql,
   )
 }

@@ -850,22 +850,24 @@ object Dedup {
     rows.toDF("doc_id", "lab")
   }
 
-  /** Convergence-check stride for [[propagateLabels]]: labels propagate
-    * this many hops between driver actions. Min-label propagation is
-    * monotone (labels only decrease), so "no label changed across a
-    * k-block" ⇔ "fixed point" — checking every k rounds is exact, it
-    * just risks up to k−1 no-op propagation rounds after convergence in
-    * exchange for 1/k of the driver round-trips AND 1/k of the label
+  /** Stride CAP for [[propagateLabels]]'s convergence checks: the stride
+    * RAMPS 1, 2, 4, … up to this cap, doubling each block. Min-label
+    * propagation is monotone (labels only decrease), so "no label
+    * changed across a k-block" ⇔ "fixed point" — block-checking is exact
+    * at any stride schedule; the schedule only trades no-op propagation
+    * rounds after convergence against driver round-trips and label
     * materializations (one localCheckpoint per block, not per round).
-    * Measured on a planted 400-hop chain (SCALE_r8
-    * label_propagation_chain): 401 → 101 driver actions, identical
-    * fixed point; LOCAL wall is flat (±20% — at toy scale per-block
-    * Catalyst planning of the k-deep join chain eats what the saved
-    * actions give back), so the win is a CLUSTER win: k× fewer
-    * driver⇄executor scheduling round-trips and k× fewer full
-    * label-table persists, while total shuffle work is unchanged.
-    * DedupSpec plants the chain and pins the action count. */
-  val PropagateCheckEvery = 4
+    * The r8 FIXED stride of 4 charged shallow graphs up to 3 no-op
+    * rounds per convergence; the ramp starts at 1 so a graph that
+    * converges immediately sees it in the very first check, while a
+    * deep chain still collapses driver actions: the planted 400-hop
+    * chain needs 401 actions at stride 1, 101 at fixed-4, and ~54 with
+    * the ramp capped at 8 (DedupSpec pins both the chain and the
+    * shallow case). The cap bounds per-block lineage depth — each block
+    * is ONE Catalyst plan of `stride` chained join+aggs, and past ~8
+    * deep the per-block planning cost eats the saved round-trips
+    * (measured r8: fixed-4 was already planning-bound locally). */
+  val PropagateStrideCap = 8
 
   /** Scale path: iterative distributed min-label propagation (see the
     * method scaladoc above for the round structure). */
@@ -873,13 +875,14 @@ object Dedup {
     propagateLabelsCounted(edges)._1
 
   /** [[propagateLabels]] exposing the number of driver convergence
-    * actions taken (for the spec's round-count pin). Each k-block is ONE
-    * lineage of k join+agg rounds ended by ONE localCheckpoint and ONE
-    * changed-count action — lineage depth k is bounded and the
-    * checkpoint still cuts it before the next block. */
+    * actions taken (for the spec's round-count pin). Each block is ONE
+    * lineage of `stride` join+agg rounds ended by ONE localCheckpoint
+    * and ONE changed-count action — lineage depth is bounded by
+    * `strideCap` and the checkpoint still cuts it before the next
+    * block. */
   private[graft] def propagateLabelsCounted(edges: DataFrame,
-      checkEvery: Int = PropagateCheckEvery): (DataFrame, Int) = {
-    require(checkEvery >= 1)
+      strideCap: Int = PropagateStrideCap): (DataFrame, Int) = {
+    require(strideCap >= 1)
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -891,12 +894,16 @@ object Dedup {
       .select(col("doc_id"), col("doc_id").as("lab")).localCheckpoint()
     var changed = 1L
     var actions = 0
+    var stride = 1
     while (changed > 0) {
-      // k propagation hops in ONE plan, the block-start label riding
-      // along as a column so the convergence check is a filter on the
-      // block's single checkpoint — no extra join or job
+      // `stride` propagation hops in ONE plan, the block-start label
+      // riding along as a column so the convergence check is a filter on
+      // the block's single checkpoint — no extra join or job. The stride
+      // ramps 1, 2, 4, … up to the cap: the first check fires after a
+      // single hop (shallow graphs converge with zero wasted rounds),
+      // later blocks amortize driver round-trips on deep chains.
       var cur = labels.select(col("doc_id"), col("lab").as("old_lab"), col("lab"))
-      for (_ <- 1 to checkEvery) {
+      for (_ <- 1 to stride) {
         val prop = sym.join(cur, sym("src") === cur("doc_id"))
           .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
         cur = cur.join(prop, cur("doc_id") === prop("dst"), "left")
@@ -907,6 +914,7 @@ object Dedup {
       changed = block.filter(col("lab") =!= col("old_lab")).count()
       actions += 1
       labels = block.select(col("doc_id"), col("lab"))
+      stride = math.min(stride * 2, strideCap)
     }
     sym.unpersist()
     (labels, actions)

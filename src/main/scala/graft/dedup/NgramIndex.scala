@@ -69,14 +69,23 @@ object NgramIndex {
   /** Fold a batch of new OR CHANGED documents into the index: keyed
     * replace on doc_id, so lost grams leave no stale postings. Cost ∝
     * batch grams + touched buckets + one doc-filtered probe per table;
-    * the corpus is never re-read. */
+    * the corpus is never re-read.
+    *
+    * The replace is keyed on the BATCH's doc_ids, not the derived rows: a
+    * changed document whose new text falls below [[Dedup.NgramN]] tokens
+    * has an EMPTY gram set and therefore no posting rows at all, so a
+    * replace keyed off the exploded frame would never drop its old
+    * postings — stale rare grams inflating df and yielding candidate
+    * pairs a fresh rebuild would not (NgramIndexSpec plants exactly this
+    * shrink-below-n case). */
   def upsert(batch: DataFrame, indexDir: String): Unit = {
-    val (gs, posting) = withParts(
-      Dedup.gramSets(batch.select("doc_id", "text")).localCheckpoint())
+    val b = batch.select("doc_id", "text").localCheckpoint()
+    val keys = b.select("doc_id")
+    val (gs, posting) = withParts(Dedup.gramSets(b).localCheckpoint())
     graft.sources.Store.replaceKeys(gs, s"$indexDir/gramsets",
-      keyCols = Seq("doc_id"), partitionCols = Seq("dp"))
+      keyCols = Seq("doc_id"), partitionCols = Seq("dp"), keysOf = Some(keys))
     graft.sources.Store.replaceKeys(posting, s"$indexDir/postings",
-      keyCols = Seq("doc_id"), partitionCols = Seq("gb"))
+      keyCols = Seq("doc_id"), partitionCols = Seq("gb"), keysOf = Some(keys))
   }
 
   /** Takedown reach: remove every gram row of the given documents. Only
@@ -122,8 +131,12 @@ object NgramIndex {
     * semantics one — any split hashes identically.) */
   def incrementalServe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val idx = java.nio.file.Files
-      .createTempDirectory("ngram_inc_index").toString
+    // one FIXED scratch dir per source corpus under the managed ANN cache
+    // root, cleared and rebuilt per call: the lifecycle is the thing being
+    // timed, but a fresh createTempDirectory per call leaked a full index
+    // copy into /tmp on every bench/spec invocation (3× per bench run) —
+    // now the footprint is bounded at one copy (NgramIndexSpec asserts it)
+    val idx = graft.similarity.Ann.scratchDir(dir, "ngram-inc")
     buildFrom(docs.filter(col("doc_id") % 10 =!= 0), idx)
     upsert(docs.filter(col("doc_id") % 10 === 0), idx)
     ngramJaccardIndexed(spark, idx)

@@ -54,6 +54,85 @@ object Pca {
     }
   }
 
+  /** Integer twin of [[GramAgg]] over QUANTIZED vectors — identical
+    * reduce/merge loop structure, but the buffer is exact BIGINT, so the
+    * distributed accumulator admits a cross-engine oracle
+    * (`s_pca_gram_core`): integer + is associative-commutative, so any
+    * partitioning/merge order yields the same sums bit-for-bit, and
+    * DuckDB replays them in SQL. This gates the ACCUMULATOR — the one
+    * treeAggregate pass PCA rides — leaving only the driver-side Jacobi
+    * eigen step float-engine-specific (rows-only, PcaSpec carries it). */
+  private class LongGramAgg(d: Int) extends Serializable {
+    private val triLen = d * (d + 1) / 2
+    def zero: Array[Long] = new Array[Long](1 + d + triLen)
+    def reduce(b: Array[Long], v: Array[Long]): Array[Long] = {
+      b(0) += 1L
+      var i = 0
+      while (i < d) { b(1 + i) += v(i); i += 1 }
+      var k = 1 + d
+      i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { b(k) += v(i) * v(j); k += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+  }
+
+  /** `s_pca_gram_core`: the (n, Σq, Σ q·qᵀ) Gram accumulator over the
+    * ANN-standard quantization `round(x·1000)` (the same SQL round the
+    * embedding-dedup oracles replay), emitted as (i, j, s) rows:
+    * (-1, -1) = n, (i, -1) = Σqᵢ, (i, j≥i) = Σqᵢqⱼ upper-triangular —
+    * 1 + d + d(d+1)/2 = 2,145 rows at d=64, a model-sized result from
+    * ONE map-side-combining treeAggregate pass regardless of corpus
+    * size. The DuckDB oracle replays every sum in SQL, so the hash gate
+    * proves the distributed Gram pass is exact — the t_perplexity_core /
+    * t_dsir_bins integer-core device applied to PCA. */
+  def pcaGramCore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Dim
+    val agg = new LongGramAgg(d)
+    val scale = graft.similarity.Ann.QuantScale
+    val acc = Tables.embeddings(spark, dir)
+      .select(expr(
+        s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
+        .as("qv"))
+      .as[Array[Long]].rdd
+      .treeAggregate(agg.zero)(
+        (b, v) => agg.reduce(b, v), (a, b) => agg.merge(a, b))
+    val rows = Seq.newBuilder[(Int, Int, Long)]
+    rows += ((-1, -1, acc(0)))
+    for (i <- 0 until d) rows += ((i, -1, acc(1 + i)))
+    var k = 1 + d
+    for (i <- 0 until d; j <- i until d) { rows += ((i, j, acc(k))); k += 1 }
+    rows.result().toDF("i", "j", "s").orderBy("i", "j")
+  }
+
+  val pcaGramCoreSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * ${graft.similarity.Ann.QuantScale}) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |pos AS (
+       |  SELECT vec_id, qv, i FROM q, UNNEST(generate_series(1, $Dim)) AS s(i)),
+       |pairs AS (
+       |  SELECT qv, i, j FROM pos, UNNEST(generate_series(i, $Dim)) AS s2(j))
+       |SELECT -1 AS i, -1 AS j, count(*) AS s FROM q
+       |UNION ALL
+       |SELECT i - 1 AS i, -1 AS j, CAST(sum(qv[i]) AS BIGINT) AS s
+       |FROM pos GROUP BY 1, 2
+       |UNION ALL
+       |SELECT i - 1 AS i, j - 1 AS j, CAST(sum(qv[i] * qv[j]) AS BIGINT) AS s
+       |FROM pairs GROUP BY 1, 2
+       |ORDER BY i, j""".stripMargin
+
   /** Covariance matrix from one pass over the corpus. */
   private[graft] def covariance(spark: SparkSession, dir: String)
       : (Long, Array[Double], Array[Array[Double]]) = {

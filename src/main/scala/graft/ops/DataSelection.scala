@@ -278,7 +278,11 @@ object DataSelection {
     * comparison) — and the digest collect exists only for verification:
     * the production layout is `repartitionByRange(phase)` +
     * `sortWithinPartitions(h)`, never a driver-side list. */
-  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared (doc_id, n_chars, q, h) scoring frame — ONE definition
+    * feeds [[curriculumOrder]] and [[curriculumOrderScaled]], so the two
+    * phase-assignment strategies cannot drift on the quality signal or
+    * the shuffle hash (the shared-tokenizer device). */
+  private def curriculumScored(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val txt = $"text"
     val denom = greatest(length(txt), lit(1))
@@ -287,20 +291,102 @@ object DataSelection {
     val quality = (floor(nSpaces * lit(10000) / denom) -
       floor(nDigits * lit(10000) / denom)).cast("long")
     val h = md5(concat(lit("curr:"), $"doc_id".cast("string")).cast("binary"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("q").desc, $"doc_id")
     Tables.documents(spark, dir)
       .select($"doc_id", $"n_chars", quality.as("q"), h.as("h"))
-      .withColumn("phase", ntile(CurriculumPhases).over(w))
-      .groupBy($"phase")
+  }
+
+  /** The shared per-phase census + order-digest aggregation. */
+  private def curriculumDigest(withPhase: DataFrame): DataFrame =
+    withPhase
+      .groupBy(col("phase"))
       .agg(count(lit(1)).as("n_docs"),
-           sum($"n_chars").as("total_chars"),
-           min($"q").as("min_q"),
-           max($"q").as("max_q"),
+           sum(col("n_chars")).as("total_chars"),
+           min(col("q")).as("min_q"),
+           max(col("q")).as("max_q"),
            md5(concat_ws(",",
              expr("transform(array_sort(collect_list(struct(h, doc_id))), x -> CAST(x.doc_id AS STRING))"))
              .cast("binary")).as("order_md5"))
-      .orderBy($"phase")
+      .orderBy(col("phase"))
+
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q").desc, $"doc_id")
+    curriculumDigest(curriculumScored(spark, dir)
+      .withColumn("phase", ntile(CurriculumPhases).over(w)))
+  }
+
+  /** `t_curriculum_scaled`: the corpus-scale phase assignment the
+    * [[curriculumOrder]] docstring promised — broadcast cut-points
+    * instead of a global ntile sort, EXACTLY ntile-equal, so the gate is
+    * the UNMODIFIED [[curriculumOrderSql]] (the `s_ivf_upsert` device:
+    * the hash proves plan-equivalence, not just arithmetic).
+    *
+    * The global sort disappears because the quality score is BOUNDED BY
+    * CONSTRUCTION (basis-point space-minus-digit ratio ∈ [−10000,
+    * 10000]), so its exact histogram is ≤ 20,001 rows — model-sized at
+    * any corpus size — and one combine-friendly `groupBy(q).count`
+    * yields the exact rank of every phase boundary driver-side. A
+    * boundary falling INSIDE one q-value's run needs that group's
+    * s-th-smallest doc_id: one window ranks ONLY the ≤ P−1 boundary
+    * groups (partitioned by q — no global sort; cost bounded by the
+    * largest single-q group, the one documented degenerate-distribution
+    * caveat). Phases then come from a map-side comparison against the
+    * ≤ P−1 broadcast (q, doc_id) cut-points, and the digest machinery is
+    * shared verbatim. DataSelectionSpec pins the census (phases
+    * partition the corpus, sizes == ntile's, monotone quality floors);
+    * PlanSpec pins the no-global-ntile plan shape. */
+  def curriculumOrderScaled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = curriculumScored(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact bounded histogram of the quality score, driver-side in
+    // (q DESC) rank order — ≤ 20,001 rows by construction, not O(corpus)
+    val hist = scored.groupBy($"q").agg(count(lit(1)).as("c"))
+      .orderBy($"q".desc).as[(Long, Long)].collect()
+    val n = hist.map(_._2).sum
+    require(n >= CurriculumPhases, s"need at least $CurriculumPhases docs, got $n")
+    // ntile sizing: the first (n mod P) tiles carry one extra row
+    val base = n / CurriculumPhases
+    val rem = n % CurriculumPhases
+    val endRanks = (1 until CurriculumPhases).map(k =>
+      (1L to k).map(i => base + (if (i <= rem) 1L else 0L)).sum)
+    // walk the histogram: each boundary rank lands at a q value, either
+    // exactly on a group end (pure-q cut) or s rows into a group (needs
+    // that group's s-th-smallest doc_id)
+    case class Cut(q: Long, intraRank: Long, wholeGroup: Boolean)
+    val cuts = endRanks.map { r =>
+      var cum = 0L
+      val (q, c) = hist.find { case (_, c) => { cum += c; cum >= r } }.get
+      Cut(q, r - (cum - c), r == cum)
+    }
+    val splits = cuts.filterNot(_.wholeGroup)
+    // rank ONLY the boundary groups, window-partitioned by q: the s-th
+    // smallest doc_id inside each — one tiny job, no global sort. Keyed
+    // (q, intraRank): a heavily skewed quality distribution can land TWO
+    // phase boundaries inside one q group
+    val splitCutDoc: Map[(Long, Long), Long] =
+      if (splits.isEmpty) Map.empty
+      else {
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy($"q").orderBy($"doc_id")
+        val want = splits.map(s => (s.q, s.intraRank)).toDF("q", "rk")
+        scored.filter($"q".isin(splits.map(_.q): _*))
+          .select($"q", $"doc_id")
+          .withColumn("rk", row_number().over(wq).cast("long"))
+          .join(broadcast(want), Seq("q", "rk"))
+          .as[(Long, Long, Long)].collect()
+          .map { case (q, rk, d) => (q, rk) -> d }.toMap
+      }
+    // a doc is AFTER cut k iff it sorts past (q_k, cut_doc_k) in the
+    // (q DESC, doc_id ASC) total order; phase = 1 + #cuts it is after
+    val phase = cuts.map { cut =>
+      val cutDoc = if (cut.wholeGroup) Long.MaxValue
+        else splitCutDoc((cut.q, cut.intraRank))
+      when($"q" < cut.q || ($"q" === cut.q && $"doc_id" > cutDoc), 1)
+        .otherwise(0)
+    }.reduce(_ + _) + lit(1)
+    curriculumDigest(scored.withColumn("phase", phase))
   }
 
   val curriculumOrderSql: String =

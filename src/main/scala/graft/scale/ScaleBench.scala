@@ -337,10 +337,10 @@ object ScaleBench {
         val wrong = labels.filter(org.apache.spark.sql.functions.col("lab") =!= 0L).count()
         (wrong, actions, (System.nanoTime() - t0) / 1e9)
       }
-      val strided = run(graft.dedup.Dedup.PropagateCheckEvery)
+      val strided = run(graft.dedup.Dedup.PropagateStrideCap)
       val perRound = run(1)
       Map("diameter" -> diam.toDouble,
-        "stride" -> graft.dedup.Dedup.PropagateCheckEvery.toDouble,
+        "stride_cap" -> graft.dedup.Dedup.PropagateStrideCap.toDouble,
         "strided_actions" -> strided._2.toDouble,
         "strided_sec" -> strided._3,
         "strided_wrong_labels" -> strided._1.toDouble,

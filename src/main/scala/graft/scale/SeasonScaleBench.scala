@@ -37,7 +37,22 @@ object SeasonScaleBench {
     val copiesList = sys.env.getOrElse("SPARK_GRAFT_SEASON_SCALES", "18,182")
       .split(",").map(_.trim.toInt).toSeq
     val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "target/SEASON_SCALE.json")
-    val spark = graft.GraftSession.local(cpus, appName = "graft-season-scale")
+    // SPARK_GRAFT_SEASON_POSTURE=production runs the same cells under
+    // GraftSession.production (AQE + coalescing, partitions sized to
+    // input instead of the fixed local 32) — the posture a cluster runs;
+    // r8 ATTRIBUTED the ×30 cell's spill to the fixed partitioning, this
+    // knob exists to MEASURE that claim (r9 verdict item 4)
+    val posture = sys.env.getOrElse("SPARK_GRAFT_SEASON_POSTURE", "local")
+    val spark =
+      if (posture == "production") {
+        val s = graft.GraftSession.production(
+          org.apache.spark.sql.SparkSession.builder()
+            .master(s"local[$cpus]")
+            .appName("graft-season-scale-prod")
+            .config("spark.ui.enabled", "false")).getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        s
+      } else graft.GraftSession.local(cpus, appName = "graft-season-scale")
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
 
@@ -80,7 +95,7 @@ object SeasonScaleBench {
       s""""x${c.plays / base.plays}": {"copies": ${c.copies}, "plays": ${c.plays}, "raw_rows": ${c.rawRows}, "frames": ${c.frames}, "sec": ${jnum(c.sec)}, "frames_per_sec": ${jnum(c.frames / c.sec)}, "sec_per_play": ${jnum(c.sec / c.plays)}, $m, "growth": {"plays_ratio": ${jnum(c.plays.toDouble / base.plays)}, "time_ratio": ${jnum(c.sec / base.sec)}, "peak_mem_ratio": ${jnum(c.metrics("peak_task_memory").toDouble / math.max(1L, base.metrics("peak_task_memory")))}}}"""
     }.mkString(",\n  ")
     val json = s"""{
-  "meta": {"cpus": $cpus, "heap_gb": ${Runtime.getRuntime.maxMemory / (1024L * 1024 * 1024)}, "note": "disjoint game copies: plays are the exact scale knob, per-play group size constant; claims = linear wall, FLAT peak task memory, zero spill"},
+  "meta": {"cpus": $cpus, "heap_gb": ${Runtime.getRuntime.maxMemory / (1024L * 1024 * 1024)}, "posture": "$posture", "note": "disjoint game copies: plays are the exact scale knob, per-play group size constant; claims = linear wall, FLAT peak task memory, zero spill"},
   $body
 }
 """

@@ -1154,6 +1154,20 @@ object Ann {
     f.delete()
   }
 
+  /** A managed SCRATCH directory under the cache root for per-call
+    * rebuild-from-scratch lifecycles (`d_ngram_incremental`): one FIXED
+    * path per (source dir, kind), wiped on each call — so repeated bench /
+    * spec invocations reuse one footprint instead of leaking a fresh
+    * temp-dir index copy per run. Unlike [[ensureIndex]] entries there is
+    * no freshness marker: the caller rebuilds unconditionally (rebuilding
+    * IS what it measures). */
+  private[graft] def scratchDir(dir: String, kind: String): String = {
+    val f = new java.io.File(cachedIndexDir(dir, kind))
+    deleteLocal(f)
+    f.mkdirs()
+    f.getPath
+  }
+
   /** Build-if-stale for the persisted index cache. Freshness = the
     * `_built` marker carries BOTH the parameter fingerprint and the
     * corpus [[dataFingerprint]]; either changing forces a rebuild.
@@ -1189,7 +1203,49 @@ object Ann {
       new java.io.File(cachedIndexDir(s"$vroot@v$version", kind)),
       trainingFingerprint + s"\nvstore:v$version:" +
         graft.sources.VersionedStore.manifestFingerprint(spark, vroot, version),
-      registerBase = None)(build)
+      registerBase = None) { tmp =>
+      build(tmp)
+      // `_vpin` records WHICH (store root, version) this entry serves —
+      // the metadata [[vacuumIndexCache]] keys its horizon rule on
+      // (written before the `_built` marker, so a torn entry is never
+      // both vacuum-visible and freshness-valid)
+      java.nio.file.Files.write(new java.io.File(tmp, "_vpin").toPath,
+        s"$vroot\n$version".getBytes("UTF-8"))
+    }
+
+  /** Governance for the version-pinned cache: [[ensureIndexAt]] accretes
+    * one entry per (store root, version, kind) forever — every training
+    * run that pins a snapshot leaves an index copy nobody may ever pin
+    * again. This applies [[graft.sources.VersionedStore.vacuum]]'s
+    * horizon rule to those entries: keep every entry whose pinned
+    * version is among the newest `keepLast` versions seen for `vroot`,
+    * delete the rest (under the build locks, so a concurrent serve
+    * either finishes on the complete old entry or rebuilds). Fire it
+    * alongside the store's own `vacuum(keepLast)` — the versions whose
+    * manifests are dropped are exactly the ones whose pinned indexes
+    * can never be legitimately requested again. Purge-invalidation is
+    * untouched: a purged version's manifest digest changes, so a
+    * SURVIVING entry for it still rebuilds on next use
+    * (VersionedIndexSpec pins both). Returns the deleted entry names. */
+  def vacuumIndexCache(vroot: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, "must retain at least the newest pinned version")
+    val root = new java.io.File(s"$cacheRoot/graft-ann-index")
+    val entries = Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory)
+      .flatMap { d =>
+        val vpin = new java.io.File(d, "_vpin")
+        if (!vpin.exists()) None
+        else new String(java.nio.file.Files.readAllBytes(vpin.toPath),
+          "UTF-8").split("\n", 2) match {
+          case Array(r, v) if r == vroot => v.trim.toLongOption.map(d -> _)
+          case _ => None
+        }
+      }
+    val keepVers = entries.map(_._2).distinct.sorted.takeRight(keepLast).toSet
+    val victims = entries.filterNot { case (_, v) => keepVers(v) }
+    victims.foreach { case (d, _) => withBuildLock(d)(deleteLocal(d)) }
+    victims.map(_._1.getName).sorted
+  }
 
   /** Shared build-if-stale core: marker check, JVM + cross-process build
     * locks, temp-dir build with marker-last, atomic-rename install. */
@@ -1202,34 +1258,43 @@ object Ann {
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == want
     }
     if (fresh) return idx.getPath
-    idx.getParentFile.mkdirs()
-    // two locks: a JVM monitor first (FileChannel.lock THROWS on overlap
-    // from the same JVM instead of blocking), then the cross-process file
-    // lock — together one builder at a time, anywhere on the host
+    withBuildLock(idx) {
+      if (!fresh) { // re-check: the lock holder before us may have built it
+        val tmp = new java.io.File(idx.getParentFile,
+          s"${idx.getName}.build-${java.util.UUID.randomUUID().toString.take(8)}")
+        try {
+          build(tmp.getPath)
+          java.nio.file.Files.write(new java.io.File(tmp, "_built").toPath,
+            want.getBytes("UTF-8"))
+          deleteLocal(idx)
+          require(tmp.renameTo(idx), s"could not install ANN index at $idx")
+          registerBase.foreach(base => graft.sources.Store.registerDerived(
+            base, idx.getPath)(() => deleteLocal(idx)))
+        } finally deleteLocal(tmp) // no-op after a successful rename
+      }
+    }
+    idx.getPath
+  }
+
+  /** Two locks around a cache-entry mutation: a JVM monitor first
+    * (FileChannel.lock THROWS on overlap from the same JVM instead of
+    * blocking), then the cross-process file lock — together one mutator
+    * at a time, anywhere on the host. Shared by [[ensureFresh]] and the
+    * versioned-corpus bootstrap in [[pqVersionedServe]], which without it
+    * could have two processes deleting the root out from under each
+    * other or observing a committed version before its source marker
+    * landed (torn state cached forever by [[ensureIndexAt]]). */
+  private def withBuildLock[T](idx: java.io.File)(body: => T): T = {
     val mon = jvmBuildLocks.computeIfAbsent(idx.getPath, _ => new Object)
     mon.synchronized {
+      idx.getParentFile.mkdirs()
       val raf = new java.io.RandomAccessFile(
         new java.io.File(idx.getParentFile, s".${idx.getName}.lock"), "rw")
       try {
         val lock = raf.getChannel.lock()
-        try {
-          if (!fresh) { // re-check: the lock holder before us may have built it
-            val tmp = new java.io.File(idx.getParentFile,
-              s"${idx.getName}.build-${java.util.UUID.randomUUID().toString.take(8)}")
-            try {
-              build(tmp.getPath)
-              java.nio.file.Files.write(new java.io.File(tmp, "_built").toPath,
-                want.getBytes("UTF-8"))
-              deleteLocal(idx)
-              require(tmp.renameTo(idx), s"could not install ANN index at $idx")
-              registerBase.foreach(base => graft.sources.Store.registerDerived(
-                base, idx.getPath)(() => deleteLocal(idx)))
-            } finally deleteLocal(tmp) // no-op after a successful rename
-          }
-        } finally lock.release()
+        try body finally lock.release()
       } finally raf.close()
     }
-    idx.getPath
   }
 
   private val jvmBuildLocks =
@@ -1274,13 +1339,20 @@ object Ann {
     val root = cachedIndexDir(dir, "vcorpus")
     val want = dataFingerprint(spark, dir)
     val marker = new java.io.File(root, "_source")
-    val reuse = marker.exists() &&
+    def reuse = marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == want &&
       graft.sources.VersionedStore.latestVersion(spark, root).nonEmpty
-    if (!reuse) {
-      deleteLocal(new java.io.File(root))
-      graft.sources.VersionedStore.commitAppend(Tables.embeddings(spark, dir), root)
-      java.nio.file.Files.write(marker.toPath, want.getBytes("UTF-8"))
+    // the bootstrap mutates the root (delete + commit + marker), so it
+    // runs under the same JVM + cross-process locks as ensureFresh — a
+    // concurrent process either sees the complete bootstrapped root (the
+    // marker lands LAST, after the commit) or queues here; never a torn
+    // root cached by ensureIndexAt
+    if (!reuse) withBuildLock(new java.io.File(root)) {
+      if (!reuse) { // re-check: the lock holder before us may have bootstrapped
+        deleteLocal(new java.io.File(root))
+        graft.sources.VersionedStore.commitAppend(Tables.embeddings(spark, dir), root)
+        java.nio.file.Files.write(marker.toPath, want.getBytes("UTF-8"))
+      }
     }
     val v = graft.sources.VersionedStore.latestVersion(spark, root).get
     pqTopKCachedAt(spark, root, v)

@@ -427,9 +427,20 @@ object Store {
     * parquet bloom filters / min-max stats skip row groups; batches known
     * to be append-only (fresh keys) can keep using [[upsertPartitions]]
     * and skip the probe. Idempotent: replaying a batch rewrites identical
-    * content. */
+    * content.
+    *
+    * `keysOf`: the key set whose old rows must drop. Defaults to the keys
+    * PRESENT in `updates` — correct only when every replaced key yields at
+    * least one update row. Callers whose update frame is DERIVED from the
+    * batch (tokenize/explode chains) must pass the batch's own key frame
+    * instead: a changed document whose new content derives to ZERO rows
+    * (text shrunk below the n-gram width, features filtered out upstream)
+    * would otherwise leave its old rows behind — exactly the stale-posting
+    * hole a rebuild would not have. A key in `keysOf` with no update rows
+    * is a pure delete. */
   def replaceKeys(updates: DataFrame, path: String, keyCols: Seq[String],
-                  partitionCols: Seq[String]): Unit = {
+                  partitionCols: Seq[String],
+                  keysOf: Option[DataFrame] = None): Unit = {
     val spark = updates.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -443,7 +454,9 @@ object Store {
     // reference — measured 3× the whole upsert cost on the gram index
     val ups = updates.localCheckpoint()
     val base = spark.read.parquet(path)
-    val keys = ups.select(keyCols.map(col): _*).distinct()
+    val keys = keysOf
+      .map(_.select(keyCols.map(col): _*).distinct().localCheckpoint())
+      .getOrElse(ups.select(keyCols.map(col): _*).distinct())
     // touched = where old rows of these keys live ∪ where new rows land;
     // collected driver-side (partition lists are model-sized — the
     // deleteKeys precedent) because the empty-partition sweep needs it

@@ -75,17 +75,32 @@ object VersionedStore {
     txt.linesIterator.toSeq
   }
 
-  /** Schema-evolution records in force at `version`: `(column, typeDdl,
-    * defaultSql)` per `#addcol` meta line, in commit order. */
-  private def readAddCols(fs: FileSystem, root: String, v: Long): Seq[(String, String, String)] =
-    manifestLines(fs, root, v)
-      .filter(_.startsWith("#addcol "))
-      .map { l =>
+  /** A schema-evolution manifest record. Applied IN COMMIT ORDER at
+    * read — order matters once records stack (an added column can later
+    * be renamed). */
+  private[graft] sealed trait SchemaRec
+  private[graft] final case class AddCol(col: String, typeDdl: String,
+                                         defaultSql: String) extends SchemaRec
+  private[graft] final case class RenameCol(from: String, to: String) extends SchemaRec
+
+  /** Schema-evolution records in force at `version`, in commit order. */
+  private def readSchemaRecs(fs: FileSystem, root: String, v: Long): Seq[SchemaRec] =
+    manifestLines(fs, root, v).flatMap { l =>
+      if (l.startsWith("#addcol "))
         l.stripPrefix("#addcol ").split('\t') match {
-          case Array(c, t, d) => (c, t, d)
+          case Array(c, t, d) => Some(AddCol(c, t, d))
           case other => sys.error(s"malformed #addcol line: ${other.mkString("\t")}")
         }
-      }
+      else if (l.startsWith("#rename "))
+        l.stripPrefix("#rename ").split('\t') match {
+          case Array(f, t) => Some(RenameCol(f, t))
+          case other => sys.error(s"malformed #rename line: ${other.mkString("\t")}")
+        }
+      else None
+    }
+
+  private def isSchemaMeta(l: String): Boolean =
+    l.startsWith("#addcol ") || l.startsWith("#rename ")
 
   private def entryFile(entry: String): String = entry.takeWhile(_ != '\t')
 
@@ -167,7 +182,7 @@ object VersionedStore {
       val (head, headMeta) =
         if (v == 1) (Seq.empty[String], Seq.empty[String])
         else (readManifest(fs, root, v - 1)._2,
-          manifestLines(fs, root, v - 1).filter(_.startsWith("#addcol ")))
+          manifestLines(fs, root, v - 1).filter(isSchemaMeta))
       val meta = (if (keepMeta) headMeta else Seq.empty) ++ newMeta
       if (writeManifestFile(fs, root, v, op, base(head) ++ staged, meta)) return v
       v = latestVersion(spark, root).getOrElse(0L) + 1
@@ -207,9 +222,12 @@ object VersionedStore {
     * BIGINT)"`, `"'unknown'"`); [[readChanges]] across an evolve
     * boundary refuses loudly (op is `evolve`, not `append` — a file-set
     * diff cannot express a schema change). Contract note: the backfill
-    * is value-level (`coalesce`), so an explicit NULL written after the
-    * evolve also reads as the default — pick defaults accordingly (the
-    * add-column-with-default semantic, not add-nullable-column). */
+    * is value-level (`coalesce`), so with a non-null default an explicit
+    * NULL written after the evolve also reads as the default — the
+    * add-column-WITH-DEFAULT semantic. For add-NULLABLE-column
+    * semantics, pass `defaultSql = "NULL"`: the coalesce degenerates to
+    * identity, pre-evolve rows surface NULL, and post-evolve explicit
+    * NULLs survive (VersionedStoreSpec pins both contracts). */
   def evolveAddColumn(spark: SparkSession, root: String, colName: String,
                       typeDdl: String, defaultSql: String): Long = {
     require(!colName.contains("\t") && !typeDdl.contains("\t") &&
@@ -217,8 +235,49 @@ object VersionedStore {
       "addcol fields must be tab/newline-free")
     // validate eagerly: a bad default must fail the evolve, not every read
     spark.sql(s"SELECT CAST($defaultSql AS $typeDdl)")
+    // a name freed by an earlier RENAME must not be re-added: pre-rename
+    // files still physically carry it, and the merged schema would
+    // conflate the old column's values with the new one's
+    latestVersion(spark, root).foreach { head =>
+      require(readSchemaRecs(fsOf(spark, root), root, head)
+        .forall { case RenameCol(f, _) => f != colName; case _ => true },
+        s"'$colName' was freed by a rename; old files still carry it — pick a fresh name")
+    }
     commit(spark, root, "evolve", Seq.empty,
       newMeta = Seq(s"#addcol $colName\t$typeDdl\t$defaultSql"))(head => head)
+  }
+
+  /** RENAME-COLUMN SCHEMA EVOLUTION — the second O(1) table-metadata
+    * operation ([[evolveAddColumn]]'s sibling): commits a new version
+    * with the SAME file set plus a `#rename from\tto` record. No data
+    * file is read or written; from this version on [[readAt]] surfaces
+    * the column under its new name — pre-rename files are mapped at
+    * read, post-rename appends write the new name physically, and the
+    * merged read coalesces the two. Earlier versions are untouched
+    * (`readAt(v)` before the evolve keeps the old name); a
+    * [[compactHead]] materializes the rename and drops the record;
+    * [[readChanges]] across the boundary refuses (op is `evolve`).
+    * Records stack with addcol in commit order, so renaming a
+    * previously added column works; re-USING a freed name is refused
+    * (see [[evolveAddColumn]]'s guard). */
+  def evolveRenameColumn(spark: SparkSession, root: String,
+                         from: String, to: String): Long = {
+    require(from != to, "rename must change the name")
+    require(!from.contains("\t") && !to.contains("\t") &&
+      !from.contains("\n") && !to.contains("\n"),
+      "rename fields must be tab/newline-free")
+    val head = latestVersion(spark, root).getOrElse(
+      sys.error(s"nothing to evolve under $root"))
+    val cols = readAt(spark, root, head).columns.toSet
+    require(cols.contains(from), s"no column '$from' at head of $root")
+    require(!cols.contains(to), s"column '$to' already exists at head of $root")
+    // the target name must also not be a name old files still carry
+    // physically (freed by an earlier rename) — same conflation guard
+    require(readSchemaRecs(fsOf(spark, root), root, head)
+      .forall { case RenameCol(f, _) => f != to; case _ => true },
+      s"'$to' was freed by a rename; old files still carry it — pick a fresh name")
+    commit(spark, root, "evolve", Seq.empty,
+      newMeta = Seq(s"#rename $from\t$to"))(head => head)
   }
 
   /** Read the table exactly as of `version`. With `mergeSchema`, the
@@ -231,25 +290,36 @@ object VersionedStore {
     val fs = fsOf(spark, root)
     val (_, entries) = readManifest(fs, root, version)
     if (entries.isEmpty) return spark.emptyDataFrame
-    val addCols = readAddCols(fs, root, version)
+    val recs = readSchemaRecs(fs, root, version)
     val raw = spark.read
       // evolved tables NEED the union schema (pre-evolve files lack the
-      // added columns physically); un-evolved tables keep the caller's
-      // choice and skip the footer-merge planning cost
-      .option("mergeSchema", (mergeSchema || addCols.nonEmpty).toString)
+      // added/renamed columns physically); un-evolved tables keep the
+      // caller's choice and skip the footer-merge planning cost
+      .option("mergeSchema", (mergeSchema || recs.nonEmpty).toString)
       .parquet(entries.map(e => s"$root/data/${entryFile(e)}"): _*)
-    applyAddCols(raw, addCols)
+    applySchemaRecs(raw, recs)
   }
 
-  /** Lazy default backfill: rows from pre-evolve files surface the
-    * column as null under the merged schema → coalesce to the default;
-    * if NO file carries the column yet, synthesize it whole. */
-  private def applyAddCols(raw: DataFrame,
-                           addCols: Seq[(String, String, String)]): DataFrame =
-    addCols.foldLeft(raw) { case (df, (c, t, d)) =>
-      if (df.columns.contains(c))
-        df.withColumn(c, coalesce(col(c), expr(s"CAST($d AS $t)")))
-      else df.withColumn(c, expr(s"CAST($d AS $t)"))
+  /** Lazy schema-record application, in commit order.
+    *  - [[AddCol]]: rows from pre-evolve files surface the column as
+    *    null under the merged schema → coalesce to the default; if NO
+    *    file carries the column yet, synthesize it whole.
+    *  - [[RenameCol]]: pre-rename files carry `from`, post-rename
+    *    appends carry `to` physically; the merged schema surfaces both →
+    *    coalesce into `to` and drop `from`. Same value-level contract as
+    *    addcol (an explicit NULL in either column reads through). */
+  private def applySchemaRecs(raw: DataFrame,
+                              recs: Seq[SchemaRec]): DataFrame =
+    recs.foldLeft(raw) {
+      case (df, AddCol(c, t, d)) =>
+        if (df.columns.contains(c))
+          df.withColumn(c, coalesce(col(c), expr(s"CAST($d AS $t)")))
+        else df.withColumn(c, expr(s"CAST($d AS $t)"))
+      case (df, RenameCol(f, t)) =>
+        val has = df.columns.toSet
+        if (has(f) && has(t)) df.withColumn(t, coalesce(col(t), col(f))).drop(f)
+        else if (has(f)) df.withColumnRenamed(f, t)
+        else df // only post-rename files referenced: already `to`-named
     }
 
   /** Rewrite the head version's content into `nFiles` files as a new
@@ -299,11 +369,11 @@ object VersionedStore {
     val files = overlappingFiles(spark, root, version, lo, hi)
     if (files.isEmpty) return spark.emptyDataFrame
     // same schema surface as readAt: an evolved table's pruned read must
-    // carry the added columns and their defaults too
-    val addCols = readAddCols(fsOf(spark, root), root, version)
-    applyAddCols(spark.read
-      .option("mergeSchema", addCols.nonEmpty.toString)
-      .parquet(files.map(f => s"$root/data/$f"): _*), addCols)
+    // carry the added/renamed columns and their defaults too
+    val recs = readSchemaRecs(fsOf(spark, root), root, version)
+    applySchemaRecs(spark.read
+      .option("mergeSchema", recs.nonEmpty.toString)
+      .parquet(files.map(f => s"$root/data/$f"): _*), recs)
   }
 
   /** Digest of the manifest CONTENT at `version` — the freshness key for

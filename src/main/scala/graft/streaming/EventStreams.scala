@@ -390,8 +390,14 @@ object EventStreams {
           val scored = graft.ops.DataSelection
             .dsirScore(batch.select(col("doc_id"), col("lang"), col("text")), model)
             .withColumn("sp", pmod(col("doc_id"), lit(16L)).cast("int"))
+          // replace keyed on the MICROBATCH's doc_ids, not the scored
+          // frame: a re-ingested changed doc whose features all filtered
+          // out scores ZERO rows, and keying off the output would leave
+          // its stale score row standing — the same derived-keys hole the
+          // gram index closed (StreamingMultimodalSpec plants the case)
           graft.sources.Store.replaceKeys(scored, outDir,
-            keyCols = Seq("doc_id"), partitionCols = Seq("sp"))
+            keyCols = Seq("doc_id"), partitionCols = Seq("sp"),
+            keysOf = Some(batch.select(col("doc_id"))))
         }
         ()
       }

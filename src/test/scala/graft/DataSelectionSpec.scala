@@ -125,6 +125,47 @@ class DataSelectionSpec extends SparkTestBase {
     }
   }
 
+  test("scaled curriculum: broadcast cut-points reproduce ntile exactly") {
+    import spark.implicits._
+    val inline = graft.ops.DataSelection.curriculumOrder(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val scaled = graft.ops.DataSelection.curriculumOrderScaled(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    // bit-for-bit: census, quality floors/ceilings, AND per-phase order
+    // digests — the cut-point assignment IS ntile, not an approximation
+    assert(scaled == inline,
+      "the scaled path must equal the global-ntile path row-for-row")
+    // census re-stated directly (phases partition the corpus, ±1 balance,
+    // monotone floors) so a future inline change can't mask a drift
+    val out = scaled.map(r => (r(0).asInstanceOf[Int], r(1).asInstanceOf[Long],
+      r(3).asInstanceOf[Long], r(4).asInstanceOf[Long]))
+    assert(out.map(_._1) == (1 to graft.ops.DataSelection.CurriculumPhases))
+    assert(out.map(_._2).sum == Tables.documents(spark, sfDir).count())
+    assert(out.map(_._2).max - out.map(_._2).min <= 1)
+    out.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 >= b._4, s"phase ${a._1} floor below phase ${b._1} ceiling")
+    }
+  }
+
+  test("scaled curriculum: multiple phase boundaries inside ONE q group") {
+    import spark.implicits._
+    // a degenerate quality distribution: every doc shares one q value, so
+    // ALL P−1 boundaries land inside the same group and each needs its
+    // own intra-group cut — the case a q-keyed cut map would collapse
+    val dir = java.nio.file.Files.createTempDirectory("curr_skew").toString
+    (1L to 10L).map(i => (i, "same prose for every doc", "en", "web", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val inline = graft.ops.DataSelection.curriculumOrder(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val scaled = graft.ops.DataSelection.curriculumOrderScaled(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(scaled == inline,
+      "all-boundaries-in-one-group must still reproduce ntile exactly")
+    assert(inline.map(_(1).asInstanceOf[Long]) == Seq(3L, 3L, 2L, 2L),
+      "10 docs over 4 phases must split 3/3/2/2")
+  }
+
   test("epoch seed changes the order but not shard balance invariants") {
     import spark.implicits._
     val s0 = DataSelection.shardShuffle(spark, sfDir)

@@ -256,29 +256,38 @@ class DedupSpec extends SparkTestBase {
       12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("k-stride convergence: high-diameter chain converges with 1/k the actions") {
+  test("ramped-stride convergence: deep chain collapses actions, shallow adds none") {
     import spark.implicits._
-    // a 41-node chain: diameter 40, the propagation worst case — the
-    // min label needs 40 hops, so per-round checking pays 41 driver
-    // actions while the k-stride loop pays ceil(40/k)+1
+    // a 41-node chain: diameter 40, the propagation worst case — the min
+    // label needs 40 hops, so per-round checking pays 41 driver actions.
+    // The ramp (1,2,4,8,8,…) covers C(k) = 1,3,7,15,23,… hops after k
+    // blocks: the first k with C(k) ≥ 40 is 8, plus one no-change block
     val d = 40
     val edges = (0 until d).map(i => (i.toLong, i.toLong + 1))
       .toDF("doc_a", "doc_b")
-    val (lab4, actions4) = graft.dedup.Dedup.propagateLabelsCounted(edges)
-    val got = lab4.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (labR, actionsR) = graft.dedup.Dedup.propagateLabelsCounted(edges)
+    val got = labR.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0 to d).map(i => i.toLong -> 0L).toMap,
       "every chain node must take the minimum label")
-    val k = graft.dedup.Dedup.PropagateCheckEvery
-    val bound = d / k + 2 // ceil(d/k) hops + the final no-change block
-    assert(actions4 <= bound,
-      s"k-stride loop took $actions4 driver actions, bound $bound")
+    assert(actionsR == 9,
+      s"ramped loop should take exactly 9 driver actions on a 40-chain, took $actionsR")
     // per-round checking on the same graph: diameter-many actions — the
     // cost the stride removes (and both fixed points agree)
     val (lab1, actions1) = graft.dedup.Dedup.propagateLabelsCounted(edges, 1)
     assert(lab1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == got)
     assert(actions1 >= d, s"per-round loop should pay ~diameter actions, took $actions1")
-    assert(actions4 * (k - 1) < actions1,
-      s"stride must cut driver actions by ~k: $actions4 vs $actions1")
+    assert(actionsR * 3 < actions1,
+      s"ramp must cut driver actions several-fold: $actionsR vs $actions1")
+    // SHALLOW graph: diameter 1 — the ramp's stride-1 first block sees
+    // convergence immediately, so it pays EXACTLY what per-round pays
+    // (the r8 fixed-4 stride burned 3 no-op hops here)
+    val shallow = Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val (labS, actionsS) = graft.dedup.Dedup.propagateLabelsCounted(shallow)
+    assert(labS.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+    val (_, actionsS1) = graft.dedup.Dedup.propagateLabelsCounted(shallow, 1)
+    assert(actionsS == actionsS1,
+      s"shallow graph must cost the ramp zero extra rounds: $actionsS vs $actionsS1")
   }
 
   test("semantic dedup: total coverage, no surviving similar pair, every cell keeps one") {

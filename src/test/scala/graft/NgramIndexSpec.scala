@@ -75,6 +75,48 @@ class NgramIndexSpec extends SparkTestBase {
       "changed-doc upsert must leave exactly the rebuilt-from-scratch content")
   }
 
+  test("a doc changed to BELOW the gram width drops all its old postings") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val idx = tmp("ngram_shrink")
+    NgramIndex.build(spark, sfDir, idx)
+    val victim = 7L
+    val newText = "aa bb" // 2 tokens < NgramN=3 → EMPTY gram set, so the
+    // upsert derives ZERO posting rows for the victim; the replace must
+    // still be keyed on the batch's doc_ids or the old postings survive
+    NgramIndex.upsert(Seq((victim, newText)).toDF("doc_id", "text"), idx)
+    val left = spark.read.parquet(s"$idx/postings")
+      .filter($"doc_id" === victim).count()
+    assert(left == 0L,
+      s"a shrunk-below-n doc must hold zero postings, found $left stale")
+    val changedDir = tmp("ngram_shrinksrc")
+    docs.filter($"doc_id" =!= victim)
+      .unionByName(Seq((victim, newText)).toDF("doc_id", "text"))
+      .write.parquet(s"$changedDir/documents.parquet")
+    val cleanIdx = tmp("ngram_shrinkidx")
+    NgramIndex.build(spark, changedDir, cleanIdx)
+    assert(indexRows(idx) == indexRows(cleanIdx),
+      "shrunk-doc upsert must leave exactly the rebuilt-from-scratch content")
+  }
+
+  test("incrementalServe reuses one bounded scratch dir and leaves no /tmp debris") {
+    // the old leak: a fresh createTempDirectory("ngram_inc_index") per
+    // call — assert no NEW entries appear (a shared /tmp may hold stale
+    // pre-fix debris from other processes)
+    def tmpDebris: Set[String] = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().map(_.getName).filter(_.startsWith("ngram_inc_index")).toSet
+    val before = tmpDebris
+    val inline = Dedup.ngramJaccard(spark, sfDir).collect().map(_.toSeq).toSeq
+    val served = NgramIndex.incrementalServe(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(served == inline)
+    val scratch = new java.io.File(
+      graft.similarity.Ann.cachedIndexDir(sfDir, "ngram-inc"))
+    NgramIndex.incrementalServe(spark, sfDir).collect() // second call: same dir
+    assert(scratch.isDirectory, "scratch dir should live under the managed cache root")
+    assert((tmpDebris -- before).isEmpty,
+      s"no per-call temp index copies may accumulate, found ${(tmpDebris -- before).size} new")
+  }
+
   test("streamed gram maintenance equals the batch build; cold replay no-op") {
     import graft.streaming.EventStreams
     import spark.implicits._

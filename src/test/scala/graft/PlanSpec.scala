@@ -61,6 +61,23 @@ class PlanSpec extends SparkTestBase {
     assert(hashExchanges <= 1, s"redundant shuffle for same-key windows:\n$p")
   }
 
+  test("scaled curriculum: no global ntile window in the plan") {
+    // the inline path sorts the whole (narrow) rank table through one
+    // global ntile window; the scaled path must not — its only window
+    // ranks the ≤ P−1 boundary q-groups, PARTITIONED by q
+    val inline = plan(SparkEntry.queries("t_curriculum_order")(spark, sfDir))
+    assert(inline.contains("ntile"), "inline path should carry the ntile window")
+    val df = SparkEntry.queries("t_curriculum_scaled")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ntile"),
+      s"scaled path must not plan a global ntile window:\n${p.take(1200)}")
+    // no empty-partition window either: every Window must partition by q
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("q#"),
+        s"scaled-path window must be partitioned (no global sort): $l")
+    }
+  }
+
   test("ann top-k: the quantized dot runs inside codegen (no UDF)") {
     val p = plan(graft.similarity.Ann.bruteForceTopK(spark, sfDir))
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),

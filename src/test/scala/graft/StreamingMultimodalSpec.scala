@@ -408,6 +408,18 @@ class StreamingMultimodalSpec extends SparkTestBase {
     // replaceKeys rewrites identical content
     run("again")
     assert(scored() == expect, "a replay must leave identical scores")
+
+    // A re-ingested CHANGED doc that now yields zero feature rows (null
+    // text → the tokenizer emits nothing) must have its stale score row
+    // DELETED, not left standing: the replace is keyed on the microbatch's
+    // doc_ids, not on the scored frame — same as a batch re-score over the
+    // changed corpus, which would emit no row for it.
+    val victim = expect.head._1
+    Seq((victim, "en", null: String)).toDF("doc_id", "lang", "text")
+      .write.parquet(s"$src/b2")
+    run("emptied")
+    assert(scored() == expect.filterNot(_._1 == victim),
+      "an emptied re-ingested doc must leave NO stale score row")
   }
 
   test("streaming funnel matches the batch funnel operator") {

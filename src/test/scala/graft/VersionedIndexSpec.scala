@@ -64,6 +64,34 @@ class VersionedIndexSpec extends SparkTestBase {
       "post-purge pinned serve must equal inline over the purged snapshot")
   }
 
+  test("vacuumIndexCache keeps the newest k pinned versions; purge still invalidates") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vroot = tmp("vidx_vac")
+    // three committed versions, each serving once → three pinned entries
+    val v1 = VersionedStore.commitAppend(emb.filter(col("vec_id") % 3 === 0), vroot)
+    val v2 = VersionedStore.commitAppend(emb.filter(col("vec_id") % 3 === 1), vroot)
+    val v3 = VersionedStore.commitAppend(emb.filter(col("vec_id") % 3 === 2), vroot)
+    Seq(v1, v2, v3).foreach(v => Ann.pqTopKCachedAt(spark, vroot, v).collect())
+    def entry(v: Long) = new java.io.File(Ann.cachedIndexDir(s"$vroot@v$v", "pq"))
+    assert(Seq(v1, v2, v3).forall(entry(_).isDirectory), "three pinned entries exist")
+    // horizon rule: keep the newest 2 versions' entries, drop v1's
+    val deleted = Ann.vacuumIndexCache(vroot, keepLast = 2)
+    assert(!entry(v1).exists(), "v1's pinned entry must be vacuumed")
+    assert(entry(v2).isDirectory && entry(v3).isDirectory,
+      "the newest k entries must survive")
+    assert(deleted.nonEmpty && deleted.forall(_.startsWith("pq-")))
+    // an UNRELATED root's entries are untouched by this vroot's vacuum
+    val r3 = Ann.pqTopKCachedAt(spark, vroot, v3).collect().map(_.toSeq).toSeq
+    assert(Ann.vacuumIndexCache(vroot + "-other", keepLast = 1).isEmpty)
+    // a surviving entry still rebuilds under a purge (vacuum must not
+    // weaken erasure): the manifest digest changes, forcing the rebuild
+    val victim = r3.map(_(2).asInstanceOf[Long]).filter(_ >= Ann.AnnQueryIds).head
+    assert(VersionedStore.purgeKeys(spark, vroot, "vec_id", Seq(victim)) == 1L)
+    val after = Ann.pqTopKCachedAt(spark, vroot, v3).collect().map(_.toSeq).toSeq
+    assert(!after.exists(_(2) == victim),
+      "a purged vector must stay unreachable through a vacuum-surviving entry")
+  }
+
   test("bm25: v1-pinned serve survives a v2 commit, equals inline over readAt(v1)") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val vroot = tmp("vidx_bm25")

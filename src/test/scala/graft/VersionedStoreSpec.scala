@@ -86,6 +86,64 @@ class VersionedStoreSpec extends SparkTestBase {
     assert(zv1 == 1L)
   }
 
+  test("rename-column evolution: O(1) record, lazy read mapping, stacks with addcol") {
+    val root = freshRoot()
+    val v1 = VersionedStore.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), root)
+    val dataDir = new java.io.File(s"$root/data")
+    val filesBefore = dataDir.listFiles().map(_.getName).toSet
+    val v2 = VersionedStore.evolveRenameColumn(spark, root, "name", "title")
+    // O(1): no data file read or written by the evolve
+    assert(dataDir.listFiles().map(_.getName).toSet == filesBefore)
+    // old version keeps the old name; the evolved version maps it lazily
+    assert(VersionedStore.readAt(spark, root, v1).columns.toSeq == Seq("id", "name"))
+    assert(VersionedStore.readAt(spark, root, v2).columns.toSeq == Seq("id", "title"))
+    assert(VersionedStore.readAt(spark, root, v2)
+      .select("id", "title").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // appends after the rename write the NEW name physically; the merged
+    // read coalesces old-name and new-name files
+    val v3 = VersionedStore.commitAppend(
+      Seq((3L, "c")).toDF("id", "title"), root)
+    assert(VersionedStore.readAt(spark, root, v3)
+      .select("id", "title").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // CDC refuses across the evolve boundary, works after it
+    val e = intercept[IllegalArgumentException](
+      VersionedStore.readChanges(spark, root, v1, v3))
+    assert(e.getMessage.contains("append-only"))
+    assert(VersionedStore.readChanges(spark, root, v2, v3)
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+    // stacked with addcol IN ORDER: add a column, then rename IT
+    val v4 = VersionedStore.evolveAddColumn(spark, root, "score", "BIGINT", "0")
+    val v5 = VersionedStore.evolveRenameColumn(spark, root, "score", "points")
+    val v6 = VersionedStore.commitAppend(
+      Seq((4L, "d", 9L)).toDF("id", "title", "points"), root)
+    assert(VersionedStore.readAt(spark, root, v6)
+      .select("id", "title", "points").as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L), (4L, "d", 9L)))
+    // freed names cannot be re-added or re-targeted (old files still
+    // physically carry them — the merged read would conflate eras)
+    intercept[IllegalArgumentException](
+      VersionedStore.evolveAddColumn(spark, root, "name", "STRING", "'x'"))
+    intercept[IllegalArgumentException] {
+      VersionedStore.evolveRenameColumn(spark, root, "title", "score")
+    }
+    // the pruned read surfaces the renamed schema too
+    assert(VersionedStore.readAtPruned(spark, root, v6, Long.MinValue, Long.MaxValue)
+      .columns.contains("title"))
+    // compaction materializes the renames+defaults and drops the records
+    val v7 = VersionedStore.compactHead(spark, root, 1)
+    assert(VersionedStore.readAt(spark, root, v7)
+      .select("id", "title", "points").as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L), (4L, "d", 9L)))
+    // post-compaction the table is record-free: a fresh add of the once-
+    // freed name is legal again (no old-era files remain)
+    val v8 = VersionedStore.evolveAddColumn(spark, root, "name", "STRING", "'x'")
+    assert(VersionedStore.readAt(spark, root, v8).columns.contains("name"))
+    assert(Seq(v2, v4, v5) == Seq(2L, 4L, 5L) && v7 == 7L)
+  }
+
   test("purgeKeys erases a key from every retained version, sparing other files") {
     val root = freshRoot()
     // two files per commit so some files never contain the victim
@@ -221,6 +279,23 @@ class VersionedStoreSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](
       VersionedStore.readChanges(spark, root2, 1L, 3L))
     assert(e.getMessage.contains("append-only"))
+  }
+
+  test("addcol with defaultSql = NULL gives add-nullable-column semantics") {
+    val root = freshRoot()
+    VersionedStore.commitAppend(Seq((1L, "a")).toDF("id", "name"), root)
+    val v2 = VersionedStore.evolveAddColumn(spark, root, "note", "STRING", "NULL")
+    // pre-evolve rows surface NULL, not a default
+    assert(VersionedStore.readAt(spark, root, v2)
+      .filter(col("note").isNull).count() == 1)
+    // an EXPLICIT null written after the evolve SURVIVES (the coalesce
+    // degenerates to identity — the wart the with-default contract has)
+    val v3 = VersionedStore.commitAppend(
+      Seq((2L, "b", Some("x")), (3L, "c", None))
+        .toDF("id", "name", "note"), root)
+    val got = VersionedStore.readAt(spark, root, v3)
+      .select("id", "note").as[(Long, Option[String])].collect().toSet
+    assert(got == Set((1L, None), (2L, Some("x")), (3L, None)))
   }
 
   test("additive schema evolution surfaces through a merged read") {
