@@ -896,19 +896,31 @@ object Dedup {
     var actions = 0
     var stride = 1
     while (changed > 0) {
-      // `stride` propagation hops in ONE plan, the block-start label
-      // riding along as a column so the convergence check is a filter on
-      // the block's single checkpoint — no extra join or job. The stride
-      // ramps 1, 2, 4, … up to the cap: the first check fires after a
-      // single hop (shallow graphs converge with zero wasted rounds),
-      // later blocks amortize driver round-trips on deep chains.
+      // `stride` propagation hops per driver action, the block-start
+      // label riding along as a column so the convergence check is a
+      // filter on the block's single checkpoint — no extra join or job.
+      // The stride ramps 1, 2, 4, … up to the cap: the first check fires
+      // after a single hop (shallow graphs converge with zero wasted
+      // rounds), later blocks amortize driver round-trips on deep chains.
+      //
+      // Each hop is pinned to an RDD-identity boundary: the recurrence
+      // references `cur` TWICE (inside prop and as the join's left side),
+      // so a purely lazy k-hop chain DOUBLES the logical plan per hop —
+      // 2^k scan leaves by the block end, which Catalyst plans AND
+      // executes (exchange reuse does not fold checkpoint scans; measured
+      // 16× the per-round wall at cap 8 on the planted chain). Routing
+      // each hop through its compiled RDD keeps the DAG linear — the RDD
+      // node is shared BY IDENTITY, every stage runs once — while the
+      // block still executes as ONE job with ONE driver action; nothing
+      // materializes until the block-end checkpoint.
       var cur = labels.select(col("doc_id"), col("lab").as("old_lab"), col("lab"))
       for (_ <- 1 to stride) {
         val prop = sym.join(cur, sym("src") === cur("doc_id"))
           .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
-        cur = cur.join(prop, cur("doc_id") === prop("dst"), "left")
+        val next = cur.join(prop, cur("doc_id") === prop("dst"), "left")
           .select(cur("doc_id"), cur("old_lab"),
             least(cur("lab"), coalesce(col("nlab"), cur("lab"))).as("lab"))
+        cur = next.sparkSession.createDataFrame(next.rdd, next.schema)
       }
       val block = cur.localCheckpoint()
       changed = block.filter(col("lab") =!= col("old_lab")).count()

@@ -206,7 +206,14 @@ object ScaleBench {
       // 1/3 + serve) must track the one-shot d_ngram_jaccard above —
       // the upsert leg's probe is key-filtered, and the serve tail is
       // the identical candidate+verify join
-      "d_ngram_incremental" -> (graft.dedup.NgramIndex.incrementalServe _))
+      "d_ngram_incremental" -> (graft.dedup.NgramIndex.incrementalServe _),
+      // r9: the curriculum pair — the inline form global-sorts the
+      // narrow rank table through one ntile window (single-partition at
+      // any size), the scaled form replaces it with a bounded q-histogram
+      // + map-side cut-point compare; identical output (the unmodified
+      // inline SQL gates it), so the growth gap IS the global sort's cost
+      "t_curriculum_order" -> (graft.ops.DataSelection.curriculumOrder _),
+      "t_curriculum_scaled" -> (graft.ops.DataSelection.curriculumOrderScaled _))
 
     def clearPersisted(): Unit = {
       spark.catalog.clearCache()
