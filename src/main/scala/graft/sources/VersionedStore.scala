@@ -82,6 +82,7 @@ object VersionedStore {
   private[graft] final case class AddCol(col: String, typeDdl: String,
                                          defaultSql: String) extends SchemaRec
   private[graft] final case class RenameCol(from: String, to: String) extends SchemaRec
+  private[graft] final case class WidenCol(col: String, typeDdl: String) extends SchemaRec
 
   /** Schema-evolution records in force at `version`, in commit order. */
   private def readSchemaRecs(fs: FileSystem, root: String, v: Long): Seq[SchemaRec] =
@@ -96,11 +97,63 @@ object VersionedStore {
           case Array(f, t) => Some(RenameCol(f, t))
           case other => sys.error(s"malformed #rename line: ${other.mkString("\t")}")
         }
+      else if (l.startsWith("#widen "))
+        l.stripPrefix("#widen ").split('\t') match {
+          case Array(c, t) => Some(WidenCol(c, t))
+          case other => sys.error(s"malformed #widen line: ${other.mkString("\t")}")
+        }
       else None
     }
 
   private def isSchemaMeta(l: String): Boolean =
-    l.startsWith("#addcol ") || l.startsWith("#rename ")
+    l.startsWith("#addcol ") || l.startsWith("#rename ") || l.startsWith("#widen ")
+
+  /** The widening lattice: a type may only evolve RIGHTWARD along its
+    * chain (the promotions parquet's vectorized reader performs when
+    * handed a wider read schema — verified: int32 files read as BIGINT
+    * upcast losslessly). */
+  private val WidenChains = Seq(
+    Seq("tinyint", "smallint", "int", "bigint"),
+    Seq("float", "double"))
+
+  private def widenRank(ddl: String): Option[(Int, Int)] = {
+    val t = org.apache.spark.sql.types.DataType.fromDDL(ddl).simpleString
+    WidenChains.zipWithIndex.collectFirst {
+      case (chain, ci) if chain.contains(t) => (ci, chain.indexOf(t))
+    }
+  }
+
+  private def isWidening(from: String, to: String): Boolean =
+    (widenRank(from), widenRank(to)) match {
+      case (Some((c1, r1)), Some((c2, r2))) => c1 == c2 && r2 > r1
+      case _ => false
+    }
+
+  /** Union of per-file footer schemas with widening-aware conflict
+    * resolution — the replacement for parquet `mergeSchema` on tables
+    * carrying a `#widen` record (Spark's own merge refuses int32/int64
+    * mixes). Fields union by name; a type conflict resolves to the wider
+    * end of its chain, anything off-chain fails loudly. O(footers) at
+    * planning time, same cost class as mergeSchema; a [[compactHead]]
+    * materializes the wide type and drops the record. */
+  private def widenedUnionSchema(spark: SparkSession, paths: Seq[String])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def wider(a: DataType, b: DataType): DataType =
+      if (a == b) a
+      else if (isWidening(a.simpleString, b.simpleString)) b
+      else if (isWidening(b.simpleString, a.simpleString)) a
+      else sys.error(s"cannot merge ${a.simpleString} and ${b.simpleString}")
+    paths.map(p => spark.read.parquet(p).schema).reduce { (s1, s2) =>
+      val known = s1.map(f => f.name -> f).toMap
+      StructType(s1.map(f => known(f.name)).map { f =>
+        s2.find(_.name == f.name) match {
+          case Some(g) => StructField(f.name, wider(f.dataType, g.dataType), nullable = true)
+          case None => f.copy(nullable = true)
+        }
+      } ++ s2.filterNot(f => known.contains(f.name)).map(_.copy(nullable = true)))
+    }
+  }
 
   private def entryFile(entry: String): String = entry.takeWhile(_ != '\t')
 
@@ -280,6 +333,37 @@ object VersionedStore {
       newMeta = Seq(s"#rename $from\t$to"))(head => head)
   }
 
+  /** WIDEN-TYPE SCHEMA EVOLUTION — the third O(1) table-metadata
+    * operation: commits a new version with the SAME file set plus a
+    * `#widen col\tnewType` record. No data file is read or written; the
+    * promotion must follow the widening lattice (tinyint→smallint→int→
+    * bigint, float→double — exactly the upcasts the parquet reader
+    * performs losslessly when handed a wider read schema). From this
+    * version on, [[readAt]] serves the column at the wide type: files
+    * written before the evolve are upcast AT READ via an explicit
+    * widened union schema (parquet `mergeSchema` refuses mixed-width
+    * footers, so widened tables pay one footer pass to build it — the
+    * same planning cost class), files written after carry the wide type
+    * physically. Earlier versions are untouched; [[compactHead]]
+    * materializes the wide type and drops the record; [[readChanges]]
+    * across the boundary refuses (op is `evolve`). */
+  def evolveWidenColumn(spark: SparkSession, root: String,
+                        colName: String, newTypeDdl: String): Long = {
+    require(!colName.contains("\t") && !newTypeDdl.contains("\t") &&
+      !colName.contains("\n") && !newTypeDdl.contains("\n"),
+      "widen fields must be tab/newline-free")
+    val head = latestVersion(spark, root).getOrElse(
+      sys.error(s"nothing to evolve under $root"))
+    val schema = readAt(spark, root, head).schema
+    val field = schema.find(_.name == colName).getOrElse(
+      sys.error(s"no column '$colName' at head of $root"))
+    require(isWidening(field.dataType.simpleString, newTypeDdl),
+      s"'${field.dataType.simpleString}' -> '$newTypeDdl' is not a widening " +
+        s"promotion (chains: tinyint<smallint<int<bigint, float<double)")
+    commit(spark, root, "evolve", Seq.empty,
+      newMeta = Seq(s"#widen $colName\t$newTypeDdl"))(head => head)
+  }
+
   /** Read the table exactly as of `version`. With `mergeSchema`, the
     * read unions the schemas of every referenced file (additive column
     * evolution: old files surface the new columns as null). Off by
@@ -291,13 +375,41 @@ object VersionedStore {
     val (_, entries) = readManifest(fs, root, version)
     if (entries.isEmpty) return spark.emptyDataFrame
     val recs = readSchemaRecs(fs, root, version)
-    val raw = spark.read
-      // evolved tables NEED the union schema (pre-evolve files lack the
-      // added/renamed columns physically); un-evolved tables keep the
-      // caller's choice and skip the footer-merge planning cost
-      .option("mergeSchema", (mergeSchema || recs.nonEmpty).toString)
-      .parquet(entries.map(e => s"$root/data/${entryFile(e)}"): _*)
+    val raw = readRaw(spark, recs, mergeSchema,
+      entries.map(e => s"$root/data/${entryFile(e)}"))
     applySchemaRecs(raw, recs)
+  }
+
+  /** The physical read under the schema records in force:
+    *  - no records → the caller's mergeSchema choice (skip the
+    *    footer-merge planning cost on un-evolved tables);
+    *  - addcol/rename only → parquet `mergeSchema` (pre-evolve files
+    *    lack the added/renamed columns physically; the union surfaces
+    *    them as null);
+    *  - any `#widen` → an EXPLICIT widened union schema (Spark's own
+    *    merge refuses int32/int64 mixes; the explicit schema makes the
+    *    reader upcast narrow-era files and null-fill missing columns,
+    *    which subsumes what mergeSchema did for addcol/rename). */
+  private def readRaw(spark: SparkSession, recs: Seq[SchemaRec],
+                      mergeSchema: Boolean, paths: Seq[String]): DataFrame = {
+    val widens = recs.collect { case w: WidenCol => w }
+    if (widens.isEmpty)
+      spark.read
+        .option("mergeSchema", (mergeSchema || recs.nonEmpty).toString)
+        .parquet(paths: _*)
+    else {
+      import org.apache.spark.sql.types._
+      val union = widenedUnionSchema(spark, paths)
+      // force each widened column to its DECLARED type even when every
+      // referenced file is still narrow (no post-widen append yet)
+      val target = StructType(union.map { f =>
+        widens.findLast(_.col == f.name) match {
+          case Some(w) => StructField(f.name, DataType.fromDDL(w.typeDdl), nullable = true)
+          case None => f
+        }
+      })
+      spark.read.schema(target).parquet(paths: _*)
+    }
   }
 
   /** Lazy schema-record application, in commit order.
@@ -320,6 +432,11 @@ object VersionedStore {
         if (has(f) && has(t)) df.withColumn(t, coalesce(col(t), col(f))).drop(f)
         else if (has(f)) df.withColumnRenamed(f, t)
         else df // only post-rename files referenced: already `to`-named
+      case (df, WidenCol(c, t)) =>
+        // the physical read already upcasts ([[readRaw]]); this cast is
+        // the declared-type guarantee when the column arrived through a
+        // narrower path (e.g. a later rename onto the widened name)
+        if (df.columns.contains(c)) df.withColumn(c, col(c).cast(t)) else df
     }
 
   /** Rewrite the head version's content into `nFiles` files as a new
@@ -369,11 +486,11 @@ object VersionedStore {
     val files = overlappingFiles(spark, root, version, lo, hi)
     if (files.isEmpty) return spark.emptyDataFrame
     // same schema surface as readAt: an evolved table's pruned read must
-    // carry the added/renamed columns and their defaults too
+    // carry the added/renamed/widened columns and their defaults too
     val recs = readSchemaRecs(fsOf(spark, root), root, version)
-    applySchemaRecs(spark.read
-      .option("mergeSchema", recs.nonEmpty.toString)
-      .parquet(files.map(f => s"$root/data/$f"): _*), recs)
+    applySchemaRecs(
+      readRaw(spark, recs, mergeSchema = false,
+        files.map(f => s"$root/data/$f")), recs)
   }
 
   /** Digest of the manifest CONTENT at `version` — the freshness key for

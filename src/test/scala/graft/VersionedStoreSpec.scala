@@ -281,6 +281,54 @@ class VersionedStoreSpec extends SparkTestBase {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("widen-type evolution: O(1) record, narrow files upcast at read, stacks") {
+    val root = freshRoot()
+    val v1 = VersionedStore.commitAppend(
+      spark.range(0, 3).selectExpr("CAST(id AS INT) AS id", "CAST(id AS STRING) AS name"), root)
+    val dataDir = new java.io.File(s"$root/data")
+    val filesBefore = dataDir.listFiles().map(_.getName).toSet
+    val v2 = VersionedStore.evolveWidenColumn(spark, root, "id", "BIGINT")
+    // O(1): no data file touched; old version keeps the narrow type
+    assert(dataDir.listFiles().map(_.getName).toSet == filesBefore)
+    assert(VersionedStore.readAt(spark, root, v1).schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val r2 = VersionedStore.readAt(spark, root, v2)
+    assert(r2.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(r2.select("id").as[Long].collect().toSet == Set(0L, 1L, 2L))
+    // a post-widen append carries values the NARROW type cannot hold
+    val big = Int.MaxValue.toLong + 7L
+    val v3 = VersionedStore.commitAppend(
+      Seq((big, "w")).toDF("id", "name"), root)
+    assert(VersionedStore.readAt(spark, root, v3)
+      .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L, big))
+    // non-widening promotions refuse loudly
+    intercept[RuntimeException](
+      VersionedStore.evolveWidenColumn(spark, root, "name", "BIGINT"))
+    intercept[RuntimeException](
+      VersionedStore.evolveWidenColumn(spark, root, "id", "INT"))
+    // CDC refuses across the evolve, works after it
+    intercept[IllegalArgumentException](
+      VersionedStore.readChanges(spark, root, v1, v3))
+    assert(VersionedStore.readChanges(spark, root, v2, v3)
+      .select("id").as[Long].collect().toSeq == Seq(big))
+    // stacks with rename and addcol, applied in commit order
+    val v4 = VersionedStore.evolveRenameColumn(spark, root, "id", "key")
+    val v5 = VersionedStore.evolveAddColumn(spark, root, "score", "BIGINT", "0")
+    val got = VersionedStore.readAt(spark, root, v5)
+      .select("key", "name", "score").as[(Long, String, Long)].collect().toSet
+    assert(got == Set((0L, "0", 0L), (1L, "1", 0L), (2L, "2", 0L), (big, "w", 0L)))
+    // compaction materializes the wide type physically and drops records
+    val v6 = VersionedStore.compactHead(spark, root, 1)
+    assert(VersionedStore.readAt(spark, root, v6).schema("key").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(VersionedStore.readAt(spark, root, v6)
+      .select("key").as[Long].collect().toSet == Set(0L, 1L, 2L, big))
+    // the pruned read carries the widened schema too
+    assert(VersionedStore.readAtPruned(spark, root, v3, Long.MinValue, Long.MaxValue)
+      .schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(Seq(v2, v4) == Seq(2L, 4L))
+  }
+
   test("addcol with defaultSql = NULL gives add-nullable-column semantics") {
     val root = freshRoot()
     VersionedStore.commitAppend(Seq((1L, "a")).toDF("id", "name"), root)
