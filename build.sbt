@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures the LAST ~2 KB of `sbt "runMain graft.Bench"` stdout
+// and parses the final line as JSON. Two defaults break that literally:
+// sbt prefixes forked output with `[info] ` and appends its own
+// `[success] Total time: …` epilogue after the program's last line.
+// StdoutOutput passes the forked JVM's stdout through raw (no [info]),
+// and showSuccess kills the epilogue — so Bench's closing JSON line is
+// the process's literal last line of output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not any task graph — the
+// unused-key lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -404,7 +404,21 @@ object Dedup {
   /** Per-doc sorted-distinct word-n-gram hash SET — one in-row codegen
     * pass (tokenize → slice → hash → distinct-sort), shared by the
     * inline [[ngramJaccard]]/[[containment]] paths and the persisted
-    * rare-gram index ([[NgramIndex]]) so serve and build cannot drift. */
+    * rare-gram index ([[NgramIndex]]) so serve and build cannot drift.
+    *
+    * Gram identity is the FULL 60-bit md5 prefix — deliberately NOT
+    * reduced `% P` like the minhash universal-hash family (which needs
+    * mod-P arithmetic for its a·x+b permutations). Rarity (df ∈ [2, 20])
+    * is only meaningful if distinct grams stay distinct: a fixed 31-bit
+    * bucket space holds ~500 unrelated grams per bucket at web scale
+    * (~10¹² grams), inflating every df past the rare band AND
+    * manufacturing C(G,2)/2³¹ spurious candidate pairs — the measured
+    * r9 signature was d_containment's shuffle write bending 11.5× → 583×
+    * between ×10 and ×50. At 60 bits the expected collision count across
+    * 10¹² grams is ~400 total — df stays exact and the pair count is
+    * governed by the df cap alone. [[NgramIndex]]'s `gb=` partitioning
+    * is unaffected: it buckets by `pmod(h, GramBuckets)`, which is
+    * width-agnostic. */
   private[graft] def gramSets(docs: DataFrame): DataFrame = {
     graft.functions.ShingleExpressions.register(docs.sparkSession)
     graft.functions.HashExpressions.register(docs.sparkSession)
@@ -415,7 +429,7 @@ object Dedup {
            |  array_sort(array_distinct(transform(
            |    sequence(1, size(toks) - ${NgramN - 1}),
            |    i -> graft_md5_prefix64(
-           |           concat_ws(' ', slice(toks, i, $NgramN)), 15) % ${P}L)))
+           |           concat_ws(' ', slice(toks, i, $NgramN)), 15))))
            |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
       .select(col("doc_id"), col("gs"))
   }
@@ -470,8 +484,8 @@ object Dedup {
        |  FROM corpus),
        |g AS (
        |  SELECT DISTINCT doc_id,
-       |    (CAST(('0x' || substring(md5(l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]), 1, 15))
-       |      AS BIGINT) % $P) AS h
+       |    CAST(('0x' || substring(md5(l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]), 1, 15))
+       |      AS BIGINT) AS h
        |  FROM toklist, UNNEST(range(0, greatest(len(l) - ${NgramN - 1}, 0))) t(i)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
        |rare AS (SELECT h FROM g GROUP BY h
@@ -561,8 +575,8 @@ object Dedup {
        |  FROM documents),
        |g AS (
        |  SELECT DISTINCT doc_id,
-       |    (CAST(('0x' || substring(md5(l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]), 1, 15))
-       |      AS BIGINT) % $P) AS h
+       |    CAST(('0x' || substring(md5(l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]), 1, 15))
+       |      AS BIGINT) AS h
        |  FROM toklist, UNNEST(range(0, greatest(len(l) - ${NgramN - 1}, 0))) t(i)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
        |rare AS (SELECT h FROM g GROUP BY h

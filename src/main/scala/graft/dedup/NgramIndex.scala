@@ -131,14 +131,22 @@ object NgramIndex {
     * semantics one — any split hashes identically.) */
   def incrementalServe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    // one FIXED scratch dir per source corpus under the managed ANN cache
-    // root, cleared and rebuilt per call: the lifecycle is the thing being
-    // timed, but a fresh createTempDirectory per call leaked a full index
-    // copy into /tmp on every bench/spec invocation (3× per bench run) —
-    // now the footprint is bounded at one copy (NgramIndexSpec asserts it)
+    // one FIXED scratch dir per (source corpus, process) under the managed
+    // ANN cache root, cleared and rebuilt per call: the lifecycle is the
+    // thing being timed, but a fresh createTempDirectory per call leaked a
+    // full index copy into /tmp on every bench/spec invocation (3× per
+    // bench run) — now the footprint is bounded at one copy per process
+    // (NgramIndexSpec asserts it). Cross-JVM the pid suffix isolates
+    // rebuilds outright; within this JVM the build lock serializes the
+    // wipe+rebuild so two threads can't interleave a half-wiped index —
+    // a caller must still drain its returned (lazy) frame before the next
+    // same-process call wipes (bench/verify do).
     val idx = graft.similarity.Ann.scratchDir(dir, "ngram-inc")
-    buildFrom(docs.filter(col("doc_id") % 10 =!= 0), idx)
-    upsert(docs.filter(col("doc_id") % 10 === 0), idx)
+    graft.similarity.Ann.withBuildLock(new java.io.File(idx)) {
+      graft.similarity.Ann.resetScratch(idx)
+      buildFrom(docs.filter(col("doc_id") % 10 =!= 0), idx)
+      upsert(docs.filter(col("doc_id") % 10 === 0), idx)
+    }
     ngramJaccardIndexed(spark, idx)
   }
 }

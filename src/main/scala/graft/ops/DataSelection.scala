@@ -386,6 +386,14 @@ object DataSelection {
       when($"q" < cut.q || ($"q" === cut.q && $"doc_id" > cutDoc), 1)
         .otherwise(0)
     }.reduce(_ + _) + lit(1)
+    // both driver collects (histogram, boundary-group ranks) are done —
+    // release the corpus-cardinality cache NOW rather than leaking it
+    // into the session (r9 finding: bench/verify are saved by the
+    // runner's clearCache, a long-lived production session is not). The
+    // returned digest recomputes the scored frame once, map-side over
+    // the documents scan — strictly cheaper than keeping an O(corpus)
+    // cache entry pinned for the session's lifetime.
+    scored.unpersist(blocking = false)
     curriculumDigest(scored.withColumn("phase", phase))
   }
 

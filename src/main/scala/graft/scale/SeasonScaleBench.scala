@@ -95,7 +95,7 @@ object SeasonScaleBench {
       s""""x${c.plays / base.plays}": {"copies": ${c.copies}, "plays": ${c.plays}, "raw_rows": ${c.rawRows}, "frames": ${c.frames}, "sec": ${jnum(c.sec)}, "frames_per_sec": ${jnum(c.frames / c.sec)}, "sec_per_play": ${jnum(c.sec / c.plays)}, $m, "growth": {"plays_ratio": ${jnum(c.plays.toDouble / base.plays)}, "time_ratio": ${jnum(c.sec / base.sec)}, "peak_mem_ratio": ${jnum(c.metrics("peak_task_memory").toDouble / math.max(1L, base.metrics("peak_task_memory")))}}}"""
     }.mkString(",\n  ")
     val json = s"""{
-  "meta": {"cpus": $cpus, "heap_gb": ${Runtime.getRuntime.maxMemory / (1024L * 1024 * 1024)}, "posture": "$posture", "note": "disjoint game copies: plays are the exact scale knob, per-play group size constant; claims = linear wall, FLAT peak task memory, zero spill"},
+  "meta": {"cpus": $cpus, "heap_gb": ${Runtime.getRuntime.maxMemory / (1024L * 1024 * 1024)}, "posture": "$posture", "note": "disjoint game copies: plays are the exact scale knob, per-play group size constant; claims = linear wall, SUB-LINEAR peak task memory (r9 production posture: 2.6x at x30 — the growth lives in the sort/agg stages around the kernel, whose AQE-coalesced partitions carry more rows as the input grows; the kernel's own per-play state is constant), zero spill"},
   $body
 }
 """

@@ -1156,16 +1156,31 @@ object Ann {
 
   /** A managed SCRATCH directory under the cache root for per-call
     * rebuild-from-scratch lifecycles (`d_ngram_incremental`): one FIXED
-    * path per (source dir, kind), wiped on each call — so repeated bench /
-    * spec invocations reuse one footprint instead of leaking a fresh
-    * temp-dir index copy per run. Unlike [[ensureIndex]] entries there is
-    * no freshness marker: the caller rebuilds unconditionally (rebuilding
-    * IS what it measures). */
+    * path per (source dir, kind, PROCESS), wiped on each call — so
+    * repeated bench / spec invocations reuse one footprint instead of
+    * leaking a fresh temp-dir index copy per run. The pid suffix (r10,
+    * the ADVICE race) keeps two JVMs rebuilding the same source corpus
+    * from clobbering each other's index mid-build — each process owns
+    * its copy outright; same-process callers must additionally
+    * serialize through [[withBuildLock]] (the wipe invalidates any
+    * in-flight lazy serve over the old content). Unlike [[ensureIndex]]
+    * entries there is no freshness marker: the caller rebuilds
+    * unconditionally (rebuilding IS what it measures).
+    *
+    * Returns the PATH only — the caller wipes it inside its own
+    * [[withBuildLock]] (the lock is not reentrant, so the wipe cannot
+    * live here and be covered by the caller's critical section too). */
   private[graft] def scratchDir(dir: String, kind: String): String = {
-    val f = new java.io.File(cachedIndexDir(dir, kind))
+    val pid = ProcessHandle.current().pid()
+    new java.io.File(cachedIndexDir(dir, s"$kind-p$pid")).getPath
+  }
+
+  /** Wipe-and-recreate a [[scratchDir]] path — called by the owner
+    * inside its build lock. */
+  private[graft] def resetScratch(path: String): Unit = {
+    val f = new java.io.File(path)
     deleteLocal(f)
     f.mkdirs()
-    f.getPath
   }
 
   /** Build-if-stale for the persisted index cache. Freshness = the
@@ -1198,9 +1213,16 @@ object Ann {
     * `Store.deleteKeys`. */
   private[graft] def ensureIndexAt(spark: SparkSession, vroot: String,
                                    version: Long, kind: String)
-                         (build: String => Unit): String =
-    ensureFresh(
-      new java.io.File(cachedIndexDir(s"$vroot@v$version", kind)),
+                         (build: String => Unit): String = {
+    // retention rides the store's own vacuum (r10): the first pinned
+    // entry for a root wires `VersionedStore.vacuum(root, keepLast)` to
+    // the cache's horizon rule through the Store registry — one call
+    // governs manifests AND their derived index copies
+    graft.sources.Store.registerVacuumHook(vroot, s"ann-index-cache")(
+      keepLast => vacuumIndexCache(vroot, keepLast))
+    val entry = new java.io.File(cachedIndexDir(s"$vroot@v$version", kind))
+    val path = ensureFresh(
+      entry,
       trainingFingerprint + s"\nvstore:v$version:" +
         graft.sources.VersionedStore.manifestFingerprint(spark, vroot, version),
       registerBase = None) { tmp =>
@@ -1212,6 +1234,11 @@ object Ann {
       java.nio.file.Files.write(new java.io.File(tmp, "_vpin").toPath,
         s"$vroot\n$version".getBytes("UTF-8"))
     }
+    // serve-time touch: [[vacuumIndexCache]]'s idle-grace option keys on
+    // this, so "recently handed out" entries can be spared deletion
+    new java.io.File(entry, "_vpin").setLastModified(System.currentTimeMillis())
+    path
+  }
 
   /** Governance for the version-pinned cache: [[ensureIndexAt]] accretes
     * one entry per (store root, version, kind) forever — every training
@@ -1219,15 +1246,26 @@ object Ann {
     * again. This applies [[graft.sources.VersionedStore.vacuum]]'s
     * horizon rule to those entries: keep every entry whose pinned
     * version is among the newest `keepLast` versions seen for `vroot`,
-    * delete the rest (under the build locks, so a concurrent serve
-    * either finishes on the complete old entry or rebuilds). Fire it
-    * alongside the store's own `vacuum(keepLast)` — the versions whose
-    * manifests are dropped are exactly the ones whose pinned indexes
-    * can never be legitimately requested again. Purge-invalidation is
-    * untouched: a purged version's manifest digest changes, so a
-    * SURVIVING entry for it still rebuilds on next use
-    * (VersionedIndexSpec pins both). Returns the deleted entry names. */
-  def vacuumIndexCache(vroot: String, keepLast: Int): Seq[String] = {
+    * delete the rest. It needs no manual call: `VersionedStore.vacuum`
+    * fires it with its own keepLast through the Store vacuum-hook
+    * registry (wired by the first [[ensureIndexAt]] for the root) — the
+    * versions whose manifests are dropped are exactly the ones whose
+    * pinned indexes can never be legitimately requested again.
+    * Purge-invalidation is untouched: a purged version's manifest digest
+    * changes, so a SURVIVING entry for it still rebuilds on next use
+    * (VersionedIndexSpec pins both). Returns the deleted entry names.
+    *
+    * Concurrency contract, honestly: deletion happens under the BUILD
+    * locks, which a serve only holds while (re)building — a reader that
+    * already took a path from [[ensureIndexAt]] and is mid-scan when its
+    * entry is vacuumed can fail with FileNotFoundException and must
+    * retry through [[ensureIndexAt]] (which rebuilds). When serves may
+    * race retention, pass `minIdleMillis` > the longest query: entries
+    * whose `_vpin` was touched (serve-time) within the window are
+    * spared this round and reaped on a later pass. The default is 0 —
+    * the deterministic exactly-k-newest rule. */
+  def vacuumIndexCache(vroot: String, keepLast: Int,
+                       minIdleMillis: Long = 0L): Seq[String] = {
     require(keepLast >= 1, "must retain at least the newest pinned version")
     val root = new java.io.File(s"$cacheRoot/graft-ann-index")
     val entries = Option(root.listFiles()).getOrElse(Array.empty).toSeq
@@ -1242,7 +1280,10 @@ object Ann {
         }
       }
     val keepVers = entries.map(_._2).distinct.sorted.takeRight(keepLast).toSet
-    val victims = entries.filterNot { case (_, v) => keepVers(v) }
+    val idleFloor = System.currentTimeMillis() - minIdleMillis
+    val victims = entries.filterNot { case (d, v) =>
+      keepVers(v) ||
+        new java.io.File(d, "_vpin").lastModified() > idleFloor }
     victims.foreach { case (d, _) => withBuildLock(d)(deleteLocal(d)) }
     victims.map(_._1.getName).sorted
   }
@@ -1284,7 +1325,7 @@ object Ann {
     * could have two processes deleting the root out from under each
     * other or observing a committed version before its source marker
     * landed (torn state cached forever by [[ensureIndexAt]]). */
-  private def withBuildLock[T](idx: java.io.File)(body: => T): T = {
+  private[graft] def withBuildLock[T](idx: java.io.File)(body: => T): T = {
     val mon = jvmBuildLocks.computeIfAbsent(idx.getPath, _ => new Object)
     mon.synchronized {
       idx.getParentFile.mkdirs()

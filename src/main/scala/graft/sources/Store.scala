@@ -50,6 +50,31 @@ object Store {
     hooks.keys.toSeq.sorted
   }
 
+  /** [[registerDerived]]'s RETENTION sibling (r10): derived stores that
+    * accrete one entry per base-table VERSION (the version-pinned ANN
+    * index cache) register a keepLast-shaped hook here, and
+    * [[graft.sources.VersionedStore.vacuum]] fires it with its own
+    * horizon — so cache governance rides the store's retention decision
+    * instead of being a manual two-call protocol. Same process-local
+    * contract as the invalidation registry. The hook returns the names
+    * it deleted. */
+  private val vacuumHooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Int => Seq[String]]]()
+
+  def registerVacuumHook(basePath: String, hookId: String)
+                        (hook: Int => Seq[String]): Unit =
+    vacuumHooks.compute(normPath(basePath), (_, old) =>
+      (if (old == null) Map.empty[String, Int => Seq[String]] else old) +
+        (hookId -> hook))
+
+  /** Fire every retention hook registered for `basePath` with the
+    * caller's keepLast; returns the deleted derived-entry names. */
+  def fireVacuumHooks(basePath: String, keepLast: Int): Seq[String] = {
+    val hooks = Option(vacuumHooks.get(normPath(basePath)))
+      .getOrElse(Map.empty[String, Int => Seq[String]])
+    hooks.toSeq.sortBy(_._1).flatMap { case (_, f) => f(keepLast) }
+  }
+
   /** S1/S2: schema'd CSV scan — header'd, never inference in production. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)

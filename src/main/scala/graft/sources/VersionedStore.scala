@@ -83,6 +83,7 @@ object VersionedStore {
                                          defaultSql: String) extends SchemaRec
   private[graft] final case class RenameCol(from: String, to: String) extends SchemaRec
   private[graft] final case class WidenCol(col: String, typeDdl: String) extends SchemaRec
+  private[graft] final case class DropCol(col: String) extends SchemaRec
 
   /** Schema-evolution records in force at `version`, in commit order. */
   private def readSchemaRecs(fs: FileSystem, root: String, v: Long): Seq[SchemaRec] =
@@ -102,11 +103,24 @@ object VersionedStore {
           case Array(c, t) => Some(WidenCol(c, t))
           case other => sys.error(s"malformed #widen line: ${other.mkString("\t")}")
         }
+      else if (l.startsWith("#drop "))
+        Some(DropCol(l.stripPrefix("#drop ")))
       else None
     }
 
   private def isSchemaMeta(l: String): Boolean =
-    l.startsWith("#addcol ") || l.startsWith("#rename ") || l.startsWith("#widen ")
+    l.startsWith("#addcol ") || l.startsWith("#rename ") ||
+      l.startsWith("#widen ") || l.startsWith("#drop ")
+
+  /** Names that pre-evolve data files may still carry PHYSICALLY even
+    * though the logical schema no longer surfaces them: rename sources
+    * and dropped columns. Re-introducing such a name (add, or rename-to)
+    * would conflate the old files' values with the new column's — the
+    * guard shared by [[evolveAddColumn]], [[evolveRenameColumn]] and
+    * [[evolveDropColumn]]'s re-add refusal. A full rewrite
+    * (overwrite/[[compactHead]]) clears the records and frees the names. */
+  private def ghostNames(recs: Seq[SchemaRec]): Set[String] =
+    recs.collect { case RenameCol(f, _) => f; case DropCol(c) => c }.toSet
 
   /** The widening lattice: a type may only evolve RIGHTWARD along its
     * chain (the promotions parquet's vectorized reader performs when
@@ -133,9 +147,21 @@ object VersionedStore {
     * resolution — the replacement for parquet `mergeSchema` on tables
     * carrying a `#widen` record (Spark's own merge refuses int32/int64
     * mixes). Fields union by name; a type conflict resolves to the wider
-    * end of its chain, anything off-chain fails loudly. O(footers) at
-    * planning time, same cost class as mergeSchema; a [[compactHead]]
-    * materializes the wide type and drops the record. */
+    * end of its chain, anything off-chain fails loudly.
+    *
+    * Cost (r10, the ADVICE item): footers are fetched CONCURRENTLY (a
+    * bounded driver thread pool — each fetch is one footer read, the
+    * same I/O mergeSchema's distributed job performs per file) and the
+    * resulting union is MEMOIZED per exact file set, so only the first
+    * plan of a given version pays the pass at all — every later
+    * readAt/readAtPruned of that version (data files are immutable, so
+    * the path set IS the content key) hits the cache. [[compactHead]]
+    * still materializes the wide type and drops the record, after which
+    * no footer pass remains. */
+  private val unionSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String],
+      org.apache.spark.sql.types.StructType]()
+
   private def widenedUnionSchema(spark: SparkSession, paths: Seq[String])
       : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -144,7 +170,7 @@ object VersionedStore {
       else if (isWidening(a.simpleString, b.simpleString)) b
       else if (isWidening(b.simpleString, a.simpleString)) a
       else sys.error(s"cannot merge ${a.simpleString} and ${b.simpleString}")
-    paths.map(p => spark.read.parquet(p).schema).reduce { (s1, s2) =>
+    def union(s1: StructType, s2: StructType): StructType = {
       val known = s1.map(f => f.name -> f).toMap
       StructType(s1.map(f => known(f.name)).map { f =>
         s2.find(_.name == f.name) match {
@@ -153,6 +179,24 @@ object VersionedStore {
         }
       } ++ s2.filterNot(f => known.contains(f.name)).map(_.copy(nullable = true)))
     }
+    // crude bound: a long-lived session planning thousands of distinct
+    // widened versions resets rather than grows without limit (entries
+    // are schemas — small — but the KEYS are O(files) path lists)
+    if (unionSchemaCache.size > 256) unionSchemaCache.clear()
+    unionSchemaCache.computeIfAbsent(paths.sorted, { key =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(32, math.max(1, key.length)))
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val futures = key.map(p =>
+          scala.concurrent.Future(spark.read.parquet(p).schema))
+        scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(futures),
+            scala.concurrent.duration.Duration.Inf)
+          .reduce(union)
+      } finally pool.shutdown()
+    })
   }
 
   private def entryFile(entry: String): String = entry.takeWhile(_ != '\t')
@@ -288,13 +332,13 @@ object VersionedStore {
       "addcol fields must be tab/newline-free")
     // validate eagerly: a bad default must fail the evolve, not every read
     spark.sql(s"SELECT CAST($defaultSql AS $typeDdl)")
-    // a name freed by an earlier RENAME must not be re-added: pre-rename
-    // files still physically carry it, and the merged schema would
-    // conflate the old column's values with the new one's
+    // a name freed by an earlier RENAME or DROP must not be re-added:
+    // pre-evolve files still physically carry it, and the merged schema
+    // would conflate the old column's values with the new one's
     latestVersion(spark, root).foreach { head =>
-      require(readSchemaRecs(fsOf(spark, root), root, head)
-        .forall { case RenameCol(f, _) => f != colName; case _ => true },
-        s"'$colName' was freed by a rename; old files still carry it — pick a fresh name")
+      require(!ghostNames(readSchemaRecs(fsOf(spark, root), root, head))
+        .contains(colName),
+        s"'$colName' was freed by a rename/drop; old files still carry it — pick a fresh name")
     }
     commit(spark, root, "evolve", Seq.empty,
       newMeta = Seq(s"#addcol $colName\t$typeDdl\t$defaultSql"))(head => head)
@@ -325,10 +369,9 @@ object VersionedStore {
     require(cols.contains(from), s"no column '$from' at head of $root")
     require(!cols.contains(to), s"column '$to' already exists at head of $root")
     // the target name must also not be a name old files still carry
-    // physically (freed by an earlier rename) — same conflation guard
-    require(readSchemaRecs(fsOf(spark, root), root, head)
-      .forall { case RenameCol(f, _) => f != to; case _ => true },
-      s"'$to' was freed by a rename; old files still carry it — pick a fresh name")
+    // physically (freed by an earlier rename/drop) — same conflation guard
+    require(!ghostNames(readSchemaRecs(fsOf(spark, root), root, head)).contains(to),
+      s"'$to' was freed by a rename/drop; old files still carry it — pick a fresh name")
     commit(spark, root, "evolve", Seq.empty,
       newMeta = Seq(s"#rename $from\t$to"))(head => head)
   }
@@ -362,6 +405,34 @@ object VersionedStore {
         s"promotion (chains: tinyint<smallint<int<bigint, float<double)")
     commit(spark, root, "evolve", Seq.empty,
       newMeta = Seq(s"#widen $colName\t$newTypeDdl"))(head => head)
+  }
+
+  /** DROP-COLUMN SCHEMA EVOLUTION — the fourth O(1) table-metadata
+    * operation, completing the common Delta/Iceberg metadata set
+    * (add/rename/widen/drop): commits a new version with the SAME file
+    * set plus a `#drop col` record. No data file is read or written;
+    * from this version on [[readAt]] no longer surfaces the column —
+    * the bytes stay in the pre-drop files (time travel to earlier
+    * versions still sees them) but every post-drop read projects them
+    * away. The freed name is REFUSED for re-add or rename-to while
+    * pre-drop files still carry it physically (the [[ghostNames]]
+    * conflation guard, both directions — the same rule rename
+    * established); a [[compactHead]] materializes the projection, drops
+    * the record, and frees the name for real. NOTE drop is a METADATA
+    * erasure, not a data erasure: for right-to-be-forgotten use
+    * [[purgeKeys]], which rewrites history. Records stack in commit
+    * order, so addcol→rename→widen→drop all compose. */
+  def evolveDropColumn(spark: SparkSession, root: String,
+                       colName: String): Long = {
+    require(!colName.contains("\t") && !colName.contains("\n"),
+      "drop field must be tab/newline-free")
+    val head = latestVersion(spark, root).getOrElse(
+      sys.error(s"nothing to evolve under $root"))
+    val cols = readAt(spark, root, head).columns
+    require(cols.contains(colName), s"no column '$colName' at head of $root")
+    require(cols.length > 1, s"refusing to drop the last column of $root")
+    commit(spark, root, "evolve", Seq.empty,
+      newMeta = Seq(s"#drop $colName"))(head => head)
   }
 
   /** Read the table exactly as of `version`. With `mergeSchema`, the
@@ -437,6 +508,11 @@ object VersionedStore {
         // the declared-type guarantee when the column arrived through a
         // narrower path (e.g. a later rename onto the widened name)
         if (df.columns.contains(c)) df.withColumn(c, col(c).cast(t)) else df
+      case (df, DropCol(c)) =>
+        // pre-drop files still carry the column physically; project it
+        // away. Catalyst prunes the projection into the scan, so the
+        // dropped column's pages are never even decoded.
+        df.drop(c)
     }
 
   /** Rewrite the head version's content into `nFiles` files as a new
@@ -679,7 +755,13 @@ object VersionedStore {
     * reclaimed too, but only past `debrisAgeHours` — a file younger than
     * the horizon may belong to an IN-FLIGHT commit whose manifest hasn't
     * landed yet, so the horizon must exceed the longest possible commit
-    * (the [[Store.vacuum]] rule). Returns the deleted file names. */
+    * (the [[Store.vacuum]] rule). Returns the deleted file names,
+    * including any derived-store entries reaped by registered retention
+    * hooks: version-pinned serve caches (`Ann.ensureIndexAt`) register
+    * through [[Store.registerVacuumHook]], and this vacuum fires them
+    * with the same `keepLast` — one call governs the manifests AND the
+    * index copies pinned to the dropped versions (r10; previously a
+    * manual two-call protocol). */
   def vacuum(spark: SparkSession, root: String, keepLast: Int,
              debrisAgeHours: Long = 24L): Seq[String] = {
     require(keepLast >= 1, "must retain at least the head version")
@@ -709,6 +791,7 @@ object VersionedStore {
           s.getModificationTime < horizon)
         .map(_.getPath.getName).sorted
     unreferenced.foreach(f => fs.delete(new Path(s"$root/data/$f"), false))
-    (orphaned ++ unreferenced).distinct.sorted
+    val derived = Store.fireVacuumHooks(root, keepLast)
+    ((orphaned ++ unreferenced).distinct ++ derived).sorted
   }
 }

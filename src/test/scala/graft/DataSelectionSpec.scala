@@ -166,6 +166,28 @@ class DataSelectionSpec extends SparkTestBase {
       "10 docs over 4 phases must split 3/3/2/2")
   }
 
+  test("scaled curriculum releases its corpus cache: no storage growth " +
+      "across 3 consecutive calls") {
+    // r10 (r9 finding 3 / ADVICE low): curriculumOrderScaled persisted a
+    // corpus-cardinality frame for the session; only bench/verify were
+    // saved by the runner's clearCache. Now the method unpersists after
+    // its two driver collects. Census: three full call+collect cycles
+    // leave ZERO new persistent RDDs behind.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    var last: Seq[Seq[Any]] = Seq.empty
+    (1 to 3).foreach { _ =>
+      last = graft.ops.DataSelection.curriculumOrderScaled(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      val now = spark.sparkContext.getPersistentRDDs.keySet
+      assert((now -- before).isEmpty,
+        s"curriculum call leaked persistent RDDs: ${now -- before}")
+    }
+    // and the released path still returns the exact ntile result
+    val inline = graft.ops.DataSelection.curriculumOrder(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(last == inline)
+  }
+
   test("epoch seed changes the order but not shard balance invariants") {
     import spark.implicits._
     val s0 = DataSelection.shardShuffle(spark, sfDir)

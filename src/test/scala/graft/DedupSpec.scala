@@ -471,4 +471,32 @@ class DedupSpec extends SparkTestBase {
       assert(c >= graft.dedup.Dedup.ContainBp && a < b)
     }
   }
+
+  test("gram collision census: every candidate pair shares literal grams " +
+      "and n_inter is collision-free") {
+    import spark.implicits._
+    // The 60-bit gram space (r10: the 31-bit `% P` reduction is gone)
+    // must make hash identity ≡ string identity in practice. Census: for
+    // every pair the rare-gram candidate mechanism surfaces, the two
+    // docs' LITERAL 3-gram string sets must intersect, and the hashed
+    // n_inter must EQUAL the literal intersection size — any spurious
+    // bucket collision would inflate n_inter or invent a pair.
+    val n = graft.dedup.Dedup.NgramN
+    def gramsOf(text: String): Set[String] = {
+      val toks = text.trim.toLowerCase.split("\\s+")
+      if (toks.length < n) Set.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val texts = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val pairs = graft.dedup.Dedup.ngramJaccard(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"n_inter").as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, nInter) =>
+      val shared = gramsOf(texts(a)).intersect(gramsOf(texts(b)))
+      assert(shared.nonEmpty, s"pair ($a,$b) shares no literal gram")
+      assert(shared.size.toLong == nInter,
+        s"pair ($a,$b): hashed n_inter=$nInter != literal ${shared.size}")
+    }
+  }
 }

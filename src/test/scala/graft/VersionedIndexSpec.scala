@@ -92,6 +92,36 @@ class VersionedIndexSpec extends SparkTestBase {
       "a purged vector must stay unreachable through a vacuum-surviving entry")
   }
 
+  test("store vacuum reaps pinned index entries through the retention " +
+      "hook: keepLast=k leaves exactly the k newest") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vroot = tmp("vidx_wire")
+    val vs = (0 to 2).map(i =>
+      VersionedStore.commitAppend(emb.filter(col("vec_id") % 3 === i), vroot))
+    vs.foreach(v => Ann.pqTopKCachedAt(spark, vroot, v).collect())
+    def entry(v: Long) = new java.io.File(Ann.cachedIndexDir(s"$vroot@v$v", "pq"))
+    assert(vs.forall(entry(_).isDirectory))
+    // ONE call: the store's own vacuum governs manifests AND the cache —
+    // no manual vacuumIndexCache companion call
+    val deleted = VersionedStore.vacuum(spark, vroot, keepLast = 2)
+    assert(VersionedStore.versions(spark, vroot) == vs.takeRight(2),
+      "store retention must drop the oldest manifest")
+    assert(!entry(vs.head).exists(),
+      "the dropped version's pinned index entry must be reaped by the same call")
+    assert(vs.tail.forall(entry(_).isDirectory),
+      "the k newest pinned entries must survive")
+    assert(deleted.exists(_.startsWith("pq-")),
+      "the vacuum return must name the reaped cache entries")
+    // idle-grace variant: a freshly-served entry within the window is
+    // spared even when outside the horizon (the in-flight-serve guard)
+    Ann.pqTopKCachedAt(spark, vroot, vs(1)).collect()
+    assert(Ann.vacuumIndexCache(vroot, keepLast = 1,
+      minIdleMillis = 3600L * 1000L).isEmpty,
+      "an entry served within the idle window must be spared")
+    assert(Ann.vacuumIndexCache(vroot, keepLast = 1).nonEmpty,
+      "without the grace the horizon rule reaps it")
+  }
+
   test("bm25: v1-pinned serve survives a v2 commit, equals inline over readAt(v1)") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val vroot = tmp("vidx_bm25")

@@ -329,6 +329,106 @@ class VersionedStoreSpec extends SparkTestBase {
     assert(Seq(v2, v4) == Seq(2L, 4L))
   }
 
+  test("drop-column evolution: O(1) record, time travel keeps the bytes, " +
+      "freed name refused until compaction") {
+    val root = freshRoot()
+    val v1 = VersionedStore.commitAppend(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "score"), root)
+    val dataDir = new java.io.File(s"$root/data")
+    val filesBefore = dataDir.listFiles().map(_.getName).toSet
+    val v2 = VersionedStore.evolveDropColumn(spark, root, "score")
+    // O(1): no data file touched; post-drop reads no longer surface it
+    assert(dataDir.listFiles().map(_.getName).toSet == filesBefore)
+    assert(VersionedStore.readAt(spark, root, v2).columns.toSet == Set("id", "name"))
+    // time travel to v1 still sees the column — drop is metadata, not purge
+    assert(VersionedStore.readAt(spark, root, v1)
+      .select("score").as[Long].collect().toSet == Set(10L, 20L))
+    // a post-drop append writes the narrow schema; the merged read stays clean
+    val v3 = VersionedStore.commitAppend(Seq((3L, "c")).toDF("id", "name"), root)
+    assert(VersionedStore.readAt(spark, root, v3)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // the freed name is refused for re-add AND as a rename target while
+    // pre-drop files still carry it (conflation guard, both directions)
+    intercept[IllegalArgumentException](
+      VersionedStore.evolveAddColumn(spark, root, "score", "BIGINT", "0"))
+    intercept[IllegalArgumentException](
+      VersionedStore.evolveRenameColumn(spark, root, "name", "score"))
+    // dropping what isn't there, or the last column, refuses
+    intercept[RuntimeException](
+      VersionedStore.evolveDropColumn(spark, root, "nope"))
+    // compaction materializes the projection, drops the record, and
+    // frees the name for real
+    val v4 = VersionedStore.compactHead(spark, root, 1)
+    assert(VersionedStore.readAt(spark, root, v4).columns.toSet == Set("id", "name"))
+    val v5 = VersionedStore.evolveAddColumn(spark, root, "score", "BIGINT", "7")
+    assert(VersionedStore.readAt(spark, root, v5)
+      .select("score").as[Long].collect().toSet == Set(7L))
+    assert(Seq(v1, v2, v3, v4, v5) == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("schema records stack addcol→rename→widen→drop and compaction " +
+      "materializes the composite") {
+    val root = freshRoot()
+    VersionedStore.commitAppend(
+      Seq((1, "a"), (2, "b")).toDF("id", "tag"), root)
+    VersionedStore.evolveAddColumn(spark, root, "w", "INT", "5")
+    VersionedStore.evolveRenameColumn(spark, root, "w", "weight")
+    VersionedStore.evolveWidenColumn(spark, root, "weight", "BIGINT")
+    val v5 = VersionedStore.evolveDropColumn(spark, root, "tag")
+    val got = VersionedStore.readAt(spark, root, v5)
+    assert(got.columns.toSet == Set("id", "weight"))
+    assert(got.schema("weight").dataType == org.apache.spark.sql.types.LongType)
+    assert(got.select("id", "weight").as[(Int, Long)].collect().toSet ==
+      Set((1, 5L), (2, 5L)))
+    // post-evolve append at the evolved schema, then compact: all four
+    // records materialize and drop
+    VersionedStore.commitAppend(
+      Seq((3, Int.MaxValue.toLong + 1L)).toDF("id", "weight"), root)
+    val v7 = VersionedStore.compactHead(spark, root, 1)
+    val compacted = VersionedStore.readAt(spark, root, v7)
+    assert(compacted.columns.toSet == Set("id", "weight"))
+    assert(compacted.select("id", "weight").as[(Int, Long)].collect().toSet ==
+      Set((1, 5L), (2, 5L), (3, Int.MaxValue.toLong + 1L)))
+    // every ghost name (w, tag) is free again after the rewrite
+    VersionedStore.evolveAddColumn(spark, root, "tag", "STRING", "'x'")
+    VersionedStore.evolveAddColumn(spark, root, "w", "INT", "0")
+  }
+
+  test("zone-map bounds written in the narrow era still prune exactly " +
+      "after the stats column widens") {
+    val root = freshRoot()
+    // narrow era: INT stats column, range-clustered so files have
+    // disjoint bounds — bounds land in the manifest as longs
+    val v1 = VersionedStore.commitAppend(
+      spark.range(0, 1000).selectExpr("CAST(id AS INT) AS k", "id * 2 AS v")
+        .repartitionByRange(4, col("k")),
+      root, statsCol = Some("k"))
+    val v2 = VersionedStore.evolveWidenColumn(spark, root, "k", "BIGINT")
+    // wide era: append values only BIGINT can hold, bounds computed wide
+    val big = Int.MaxValue.toLong + 100L
+    val v3 = VersionedStore.commitAppend(
+      Seq((big, 1L), (big + 1L, 2L)).toDF("k", "v"),
+      root, statsCol = Some("k"))
+    // probe a narrow-era range THROUGH the widened head: pruning must
+    // open only overlapping files and the result must equal the full
+    // filter — bounds written narrow, schema served wide
+    val lo = 100L; val hi = 300L
+    val pruned = VersionedStore.readAtPruned(spark, root, v3, lo, hi)
+    assert(pruned.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    val got = pruned.filter(col("k").between(lo, hi))
+      .select("k").as[Long].collect().toSet
+    assert(got == (lo to hi).toSet)
+    // the zone map actually skipped: narrow-era files are 4 range-disjoint
+    // parts + wide-era files; the [100,300] probe must not open them all
+    val opened = VersionedStore.overlappingFiles(spark, root, v3, lo, hi)
+    val all = VersionedStore.overlappingFiles(spark, root, v3, Long.MinValue, Long.MaxValue)
+    assert(opened.size < all.size, s"no pruning: ${opened.size} of ${all.size}")
+    // and a wide-era probe finds the post-widen rows
+    assert(VersionedStore.readAtPruned(spark, root, v3, big, big + 1L)
+      .filter(col("k") >= big).count() == 2L)
+    assert(Seq(v1, v2) == Seq(1L, 2L))
+  }
+
   test("addcol with defaultSql = NULL gives add-nullable-column semantics") {
     val root = freshRoot()
     VersionedStore.commitAppend(Seq((1L, "a")).toDF("id", "name"), root)
