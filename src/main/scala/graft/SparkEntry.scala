@@ -183,6 +183,7 @@ object SparkEntry {
     // personalized PageRank: restart mass on one seed (recommender form)
     "g_personalized_rank" -> (graft.ops.Graph.personalizedRank _),
     "d_ngram_jaccard" -> (graft.dedup.Dedup.ngramJaccard _),
+    "d_ngram_jaccard_fast" -> (graft.dedup.Dedup.ngramJaccardFast _),
     "d_ngram_incremental" -> (graft.dedup.NgramIndex.incrementalServe _),
     "d_ngram_indexed" -> (graft.dedup.NgramIndex.ngramJaccardCached _),
     // asymmetric-overlap dedup: |A∩B|/min — catches excerpts/quotes

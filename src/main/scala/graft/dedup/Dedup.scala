@@ -419,7 +419,23 @@ object Dedup {
     * governed by the df cap alone. [[NgramIndex]]'s `gb=` partitioning
     * is unaffected: it buckets by `pmod(h, GramBuckets)`, which is
     * width-agnostic. */
-  private[graft] def gramSets(docs: DataFrame): DataFrame = {
+  private[graft] def gramSets(docs: DataFrame): DataFrame =
+    gramSetsWith(docs,
+      s"graft_md5_prefix64(concat_ws(' ', slice(toks, i, $NgramN)), 15)")
+
+  /** Production fast twin of [[gramSets]]: xxhash64 gram identity — the
+    * full signed 64-bit space, no md5 anywhere on the path (the same
+    * order-of-magnitude saving [[shingleHashesFast]] documents for the
+    * char-shingle family, which until r10 the gram family lacked). NOT
+    * oracle-comparable (DuckDB has no xxhash64), so its queries ship
+    * rows-only; DedupSpec proves the stronger fact that at spec scale —
+    * where both spaces are collision-free — the fast pipeline's OUTPUT
+    * rows are bit-identical to the md5 path's (pairs, n_inter, scores:
+    * all are functions of gram IDENTITY, not hash values). */
+  private[graft] def gramSetsFast(docs: DataFrame): DataFrame =
+    gramSetsWith(docs, s"xxhash64(concat_ws(' ', slice(toks, i, $NgramN)))")
+
+  private def gramSetsWith(docs: DataFrame, hashExpr: String): DataFrame = {
     graft.functions.ShingleExpressions.register(docs.sparkSession)
     graft.functions.HashExpressions.register(docs.sparkSession)
     docs
@@ -428,8 +444,7 @@ object Dedup {
         s"""CASE WHEN size(toks) >= $NgramN THEN
            |  array_sort(array_distinct(transform(
            |    sequence(1, size(toks) - ${NgramN - 1}),
-           |    i -> graft_md5_prefix64(
-           |           concat_ws(' ', slice(toks, i, $NgramN)), 15))))
+           |    i -> $hashExpr)))
            |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
       .select(col("doc_id"), col("gs"))
   }
@@ -533,6 +548,14 @@ object Dedup {
     * at spill, not OOM. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val grams = gramSets(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ngramJaccardOver(grams, grams.select(col("doc_id"), explode(col("gs")).as("h")))
+  }
+
+  /** xxhash64 fast-path twin of [[ngramJaccard]] (rows-only check; the
+    * documented 100 TB configuration — see [[gramSetsFast]]). */
+  def ngramJaccardFast(spark: SparkSession, dir: String): DataFrame = {
+    val grams = gramSetsFast(Tables.documents(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ngramJaccardOver(grams, grams.select(col("doc_id"), explode(col("gs")).as("h")))
   }

@@ -472,6 +472,19 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("xxhash64 gram fast path is output-identical to the md5 oracle path") {
+    // pairs, n_inter, jaccard_bp, is_dup are all functions of gram
+    // IDENTITY; at spec scale both hash spaces are collision-free, so the
+    // two pipelines — different 64-bit hash functions end to end — must
+    // emit bit-identical rows. (The fast form ships rows-only in Verify
+    // because DuckDB has no xxhash64; this is its correctness gate.)
+    val md5 = graft.dedup.Dedup.ngramJaccard(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val fast = graft.dedup.Dedup.ngramJaccardFast(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(md5.nonEmpty && fast == md5)
+  }
+
   test("gram collision census: every candidate pair shares literal grams " +
       "and n_inter is collision-free") {
     import spark.implicits._
