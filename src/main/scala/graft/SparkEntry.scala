@@ -184,6 +184,7 @@ object SparkEntry {
     "g_personalized_rank" -> (graft.ops.Graph.personalizedRank _),
     "d_ngram_jaccard" -> (graft.dedup.Dedup.ngramJaccard _),
     "d_ngram_jaccard_fast" -> (graft.dedup.Dedup.ngramJaccardFast _),
+    "d_ngram_bucketed" -> ((s, dir) => graft.dedup.Dedup.ngramJaccardBucketedAttach(s, dir)),
     "d_ngram_incremental" -> (graft.dedup.NgramIndex.incrementalServe _),
     "d_ngram_indexed" -> (graft.dedup.NgramIndex.ngramJaccardCached _),
     // asymmetric-overlap dedup: |A∩B|/min — catches excerpts/quotes
@@ -368,6 +369,9 @@ object SparkEntry {
     "g_copurchase_rank" -> graft.ops.Graph.copurchaseRankSql,
     "g_personalized_rank" -> graft.ops.Graph.personalizedRankSql,
     "d_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccardSql,
+    // the bucketed attach is gated by the UNMODIFIED inline SQL: the hash
+    // proves the exchange-free layout changes the plan, not the answer
+    "d_ngram_bucketed" -> graft.dedup.Dedup.ngramJaccardSql,
     "d_ngram_incremental" -> graft.dedup.Dedup.ngramJaccardSql,
     "d_ngram_indexed" -> graft.dedup.Dedup.ngramJaccardSql,
     "d_containment" -> graft.dedup.Dedup.containmentSql,

@@ -567,19 +567,32 @@ object Dedup {
     * inline ≡ indexed cannot drift. */
   private[graft] def ngramJaccardOver(grams: DataFrame,
                                       posting: DataFrame): DataFrame = {
-    graft.functions.ShingleExpressions.register(grams.sparkSession)
+    val pairs = ngramPairsOver(posting)
+    scoreGramAttachedPairs(pairs
+      .join(grams.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b"))
+  }
+
+  /** Candidate half of [[ngramJaccardOver]]: distinct (doc_a, doc_b)
+    * pairs sharing a rare gram (df ∈ [2, NgramMaxDf]). */
+  private[graft] def ngramPairsOver(posting: DataFrame): DataFrame = {
     val rareGrams = posting.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= NgramMaxDf)
       .select(col("h"))
     val rarePosting = posting.join(rareGrams, "h")
-    val pairs = rarePosting.select(col("h"), col("doc_id").as("doc_a"))
+    rarePosting.select(col("h"), col("doc_id").as("doc_a"))
       .join(rarePosting.select(col("h"), col("doc_id").as("doc_b")), "h")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    pairs
-      .join(grams.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
-      .join(grams.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
+  }
+
+  /** Verify half of [[ngramJaccardOver]]: exact Jaccard from the attached
+    * sorted gram arrays — identical arithmetic for the inline, indexed,
+    * and bucketed-attach paths, so all three hash against one oracle. */
+  private def scoreGramAttachedPairs(attached: DataFrame): DataFrame = {
+    graft.functions.ShingleExpressions.register(attached.sparkSession)
+    attached
       .select(col("doc_a"), col("doc_b"),
         graft.functions.ShingleExpressions
           .sortedIntersect(col("gs_a"), col("gs_b")).as("n_inter"),
@@ -590,6 +603,44 @@ object Dedup {
           .cast("long").as("jaccard_bp"))
       .withColumn("is_dup", (col("jaccard_bp") >= 5000).cast("int"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** [[ngramJaccard]] with its pair-attach joins running over BUCKETED
+    * storage (`d_ngram_bucketed`) — the gram-family twin of
+    * [[lshJaccardBucketedAttach]], and the production answer to the
+    * attach shape the ×50 rehearsal surfaces for the INLINE path: there,
+    * the heavy gram-set table exchanges once per attach AND the gs_a-
+    * attached intermediate re-exchanges on doc_b — three wide shuffles
+    * of array payloads per run. Here the set table is written hash-
+    * bucketed by doc_id and the candidates by doc_a with the same bucket
+    * count, so the doc_a attach is a zero-exchange sort-merge join and
+    * only the pair intermediate redistributes (ONE exchange) onto the
+    * set table's layout for the doc_b attach; the gram arrays themselves
+    * never move after the one-time bucketed write — which at 100 TB is
+    * amortized across every dedup/containment/decontamination pass that
+    * shares the gram table. Results are bit-identical to [[ngramJaccard]]
+    * — the UNMODIFIED inline SQL gates it; PlanSpec pins the exchange
+    * counts. */
+  def ngramJaccardBucketedAttach(spark: SparkSession, dir: String,
+                                 nBuckets: Int = 8): DataFrame = {
+    graft.functions.ShingleExpressions.register(spark)
+    graft.functions.HashExpressions.register(spark)
+    graft.sources.Store.writeBucketed(
+      gramSets(Tables.documents(spark, dir)), "graft_d4b_sets", "doc_id", nBuckets)
+    // derived copies of the documents corpus: a takedown on the base
+    // table must reach them (same contract as the d3 bucketed tables)
+    Seq("graft_d4b_sets", "graft_d4b_cands").foreach { t =>
+      graft.sources.Store.registerDerived(s"$dir/documents.parquet", t) { () =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"); ()
+      }
+    }
+    val setsT = spark.table("graft_d4b_sets")
+    val cands = ngramPairsOver(
+      setsT.select(col("doc_id"), explode(col("gs")).as("h")))
+    graft.sources.Store.writeBucketed(cands, "graft_d4b_cands", "doc_a", nBuckets)
+    scoreGramAttachedPairs(spark.table("graft_d4b_cands")
+      .join(setsT.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
+      .join(setsT.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b"))
   }
 
   val ngramJaccardSql: String =

@@ -299,6 +299,31 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("d4b bucketed: gram attach joins with zero exchange on doc_a, one on doc_b") {
+    // same pin as d3 bucketed, for the gram family: the ×50 rehearsal
+    // showed the INLINE path re-shuffling the heavy gs_a-attached
+    // intermediate on doc_b — the bucketed layout must not
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.dedup.Dedup.ngramJaccardBucketedAttach(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("Bucketed: true"),
+        s"attach must scan the bucketed tables:\n${p.take(1500)}")
+      val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hashEx == 1,
+        s"expected exactly one hash exchange (doc_b redistribution), got $hashEx:\n${p.take(3000)}")
+
+      // control: the inline attach exchanges the gram table itself
+      val un = graft.dedup.Dedup.ngramJaccard(spark, sfDir)
+      un.collect()
+      val pU = un.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val hashExU = pU.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hashExU > 1, s"inline control unexpectedly shuffle-free ($hashExU):\n${pU.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("chunking fans out map-side: no hash exchange before the final sort") {
     val p = plan(SparkEntry.queries("t_chunk_docs")(spark, sfDir))
     assert(p.contains("Generate"), p) // the posexplode fan-out
