@@ -36,6 +36,13 @@ object SparkEntry {
     "t_span_scrub" -> (TextOps.spanScrub _),
     "t_span_scrub_guarded" -> (TextOps.spanScrubGuarded _),
     "t_decontam_scrub" -> (TextOps.decontamScrub _),
+    // ExactSubstr self-dedup (Lee et al. 2022): duplicated windows keep
+    // only their globally FIRST occurrence — redundancy out, content kept
+    "t_selfdedup_scrub" -> (TextOps.selfDedupScrub _),
+    "t_selfdedup_guarded" -> (TextOps.selfDedupScrubGuarded _),
+    // group-cohesive split: dup groups never straddle train/val/test
+    "t_leakage_split" -> (graft.ops.DataSelection.leakageSplit _),
+    "t_leakage_split_near" -> (graft.ops.DataSelection.leakageSplitClustered _),
     "t_doc_keywords" -> (TextOps.docKeywords _),
     "e_props_json" -> (Events.propsExtract _),
     "j_left_outer_orders" -> (Joins.leftOuterOrders _),
@@ -190,6 +197,7 @@ object SparkEntry {
     // asymmetric-overlap dedup: |A∩B|/min — catches excerpts/quotes
     // that symmetric Jaccard structurally misses (planted both engines)
     "d_containment" -> (graft.dedup.Dedup.containment _),
+    "d_containment_bucketed" -> ((s, dir) => graft.dedup.Dedup.containmentBucketedAttach(s, dir)),
     "j_fuzzy_names" -> (Joins.fuzzyNameMatch _),
     "t_dq_audit" -> (Quality.dqAudit _),
     "a_cube" -> (Aggregates.cubeSummary _),
@@ -270,6 +278,12 @@ object SparkEntry {
     "t_span_scrub" -> TextOps.spanScrubSql,
     "t_span_scrub_guarded" -> TextOps.spanScrubSql,
     "t_decontam_scrub" -> TextOps.decontamScrubSql,
+    "t_selfdedup_scrub" -> TextOps.selfDedupScrubSql,
+    // the guard changes the join ROUTE, not the answer: same oracle
+    "t_selfdedup_guarded" -> TextOps.selfDedupScrubSql,
+    // near-dup variant (t_leakage_split_near) is rows-only: connected
+    // components aren't SQL-replayable; cohesion law is spec-gated
+    "t_leakage_split" -> graft.ops.DataSelection.leakageSplitSql,
     "t_doc_keywords" -> TextOps.docKeywordsSql,
     "e_props_json" -> Events.propsExtractSql,
     "j_left_outer_orders" -> Joins.leftOuterOrdersSql,
@@ -375,6 +389,9 @@ object SparkEntry {
     "d_ngram_incremental" -> graft.dedup.Dedup.ngramJaccardSql,
     "d_ngram_indexed" -> graft.dedup.Dedup.ngramJaccardSql,
     "d_containment" -> graft.dedup.Dedup.containmentSql,
+    // bucketed attach changes the LAYOUT, not the answer: gated by the
+    // unmodified inline SQL, like d_ngram_bucketed
+    "d_containment_bucketed" -> graft.dedup.Dedup.containmentSql,
     "j_fuzzy_names" -> Joins.fuzzyNameMatchSql,
     "t_dq_audit" -> Quality.dqAuditSql,
     "a_cube" -> Aggregates.cubeSummarySql,

@@ -449,27 +449,24 @@ object Dedup {
       .select(col("doc_id"), col("gs"))
   }
 
-  def containment(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.ShingleExpressions.register(spark)
-    graft.functions.HashExpressions.register(spark)
+  /** The containment corpus: documents plus the deterministically planted
+    * excerpt twins (shared by the inline and bucketed-attach paths). */
+  private def containCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val excerpts = docs.filter(col("doc_id") < 5)
       .select((col("doc_id") + ContainIdBase).as("doc_id"),
         concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"),
           1, ContainTokens)).as("text"))
-    val grams = gramSets(docs.unionByName(excerpts))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val posting = grams.select(col("doc_id"), explode(col("gs")).as("h"))
-    val rare = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= NgramMaxDf).select(col("h"))
-    val rp = posting.join(rare, "h")
-    val pairs = rp.select(col("h"), col("doc_id").as("doc_a"))
-      .join(rp.select(col("h"), col("doc_id").as("doc_b")), "h")
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    pairs
-      .join(grams.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
-      .join(grams.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
+    docs.unionByName(excerpts)
+  }
+
+  /** Containment scorer over a gs_a/gs_b-attached pair frame — the
+    * asymmetric-overlap twin of [[scoreGramAttachedPairs]]; one
+    * definition shared by the inline and bucketed-attach paths so they
+    * hash against one oracle. */
+  private def scoreContainAttachedPairs(attached: DataFrame): DataFrame = {
+    graft.functions.ShingleExpressions.register(attached.sparkSession)
+    attached
       .select(col("doc_a"), col("doc_b"),
         graft.functions.ShingleExpressions
           .sortedIntersect(col("gs_a"), col("gs_b")).as("n_inter"),
@@ -483,6 +480,50 @@ object Dedup {
           .cast("long").as("jaccard_bp"))
       .filter(col("contain_bp") >= ContainBp)
       .orderBy("doc_a", "doc_b")
+  }
+
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ShingleExpressions.register(spark)
+    graft.functions.HashExpressions.register(spark)
+    val grams = gramSets(containCorpus(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = ngramPairsOver(
+      grams.select(col("doc_id"), explode(col("gs")).as("h")))
+    scoreContainAttachedPairs(pairs
+      .join(grams.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b"))
+  }
+
+  /** [[containment]] with the pair-attach joins over BUCKETED storage
+    * (`d_containment_bucketed`) — the same attach device as
+    * [[ngramJaccardBucketedAttach]], applied to the containment scorer.
+    * This is the production answer to the r9 ×50 finding: containment's
+    * inline attach was the cell whose shuffle-write curve bent
+    * super-linearly (583× at ×50; the wide gram arrays re-exchange per
+    * attach). Bucketing the set table by doc_id and the candidates by
+    * doc_a makes the doc_a attach a zero-exchange sort-merge join and
+    * leaves ONE exchange (the pair intermediate onto doc_b); the arrays
+    * never move after the one-time bucketed write, which the jaccard and
+    * containment passes then SHARE. Gated by the UNMODIFIED inline
+    * [[containmentSql]]; PlanSpec pins the exchange counts. */
+  def containmentBucketedAttach(spark: SparkSession, dir: String,
+                                nBuckets: Int = 8): DataFrame = {
+    graft.functions.ShingleExpressions.register(spark)
+    graft.functions.HashExpressions.register(spark)
+    graft.sources.Store.writeBucketed(
+      gramSets(containCorpus(spark, dir)), "graft_d4d_sets", "doc_id", nBuckets)
+    Seq("graft_d4d_sets", "graft_d4d_cands").foreach { t =>
+      graft.sources.Store.registerDerived(s"$dir/documents.parquet", t) { () =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"); ()
+      }
+    }
+    val setsT = spark.table("graft_d4d_sets")
+    val cands = ngramPairsOver(
+      setsT.select(col("doc_id"), explode(col("gs")).as("h")))
+    graft.sources.Store.writeBucketed(cands, "graft_d4d_cands", "doc_a", nBuckets)
+    scoreContainAttachedPairs(spark.table("graft_d4d_cands")
+      .join(setsT.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
+      .join(setsT.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b"))
   }
 
   val containmentSql: String =

@@ -472,4 +472,85 @@ object DataSelection {
        |FROM k
        |GROUP BY 1
        |ORDER BY shard""".stripMargin
+
+  /** Split-fraction boundaries in percent: [0,90) train, [90,95) val,
+    * [95,100) test. */
+  val SplitTrainPct = 90L
+  val SplitValPct = 95L
+  /** Salt for the split hash — a different salt re-deals the corpus. */
+  val SplitSeed = "split-v1"
+
+  /** Leakage-safe train/val/test split (`t_leakage_split`): the naive
+    * per-document hash split ([[graft.ops.TextOps]] T6 device) leaks —
+    * two byte-identical copies of one document can land in train AND
+    * test, and the eval score then "tests" memorized training text. Here
+    * the split decision hashes the GROUP, not the member: exact-dup
+    * groups (md5 of the text) take their canonical id (min doc_id), the
+    * canonical id hashes to a percent bucket, and every member inherits
+    * the group's split. By construction no exact-dup pair ever crosses a
+    * split boundary; [[leakageSplitClustered]] lifts the same rule to
+    * NEAR-dup clusters (connected components of the LSH dup graph),
+    * which SQL can't replay — that variant ships rows-only with the
+    * cohesion law spec-gated.
+    *
+    * Scale shape: one map-side-combinable aggregate on the text hash
+    * (min — no text ever shuffles, just (hash, id) pairs) and one
+    * equi-join of the same narrow keys back to the corpus; the split
+    * itself is a map-only expression. A pathological single text
+    * duplicated 10⁹ times makes one hot hash key — the agg absorbs it
+    * map-side, the join-back is the standard AQE skew-join case. */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    HashExpressions.register(spark)
+    import spark.implicits._
+    val keyed = Tables.documents(spark, dir)
+      .select($"doc_id", md5($"text".cast("binary")).as("k"))
+    val canon = keyed.groupBy($"k").agg(min($"doc_id").as("canon_id"))
+    val bucket = HashExpressions.md5Prefix64(
+      concat(lit(SplitSeed + ":"), $"canon_id".cast("string")), DsirHashHex) % 100
+    keyed.join(canon, "k")
+      .select($"doc_id", $"canon_id",
+        when(bucket < SplitTrainPct, "train")
+          .when(bucket < SplitValPct, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  val leakageSplitSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, md5(text) AS k FROM documents),
+       |canon AS (SELECT k, min(doc_id) AS canon_id FROM keyed GROUP BY k),
+       |b AS (
+       |  SELECT doc_id, canon_id,
+       |    CAST(('0x' || substring(
+       |      md5('$SplitSeed:' || CAST(canon_id AS VARCHAR)), 1, $DsirHashHex))
+       |      AS BIGINT) % 100 AS pct
+       |  FROM keyed JOIN canon USING (k))
+       |SELECT doc_id, canon_id,
+       |  CASE WHEN pct < $SplitTrainPct THEN 'train'
+       |       WHEN pct < $SplitValPct THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b
+       |ORDER BY doc_id""".stripMargin
+
+  /** [[leakageSplit]] at NEAR-dup granularity (`t_leakage_split_near`,
+    * rows-only): the group key is the LSH dup-graph connected component
+    * ([[graft.dedup.Dedup.dupClustersFast]]'s cluster_id = component min
+    * doc_id), so near-duplicates — truncations, boilerplate rewraps,
+    * whitespace variants — also stay split-cohesive. Connected
+    * components aren't SQL-replayable, so the oracle is the spec: no
+    * cluster spans two splits, and the fractions track 90/5/5. */
+  def leakageSplitClustered(spark: SparkSession, dir: String): DataFrame = {
+    HashExpressions.register(spark)
+    import spark.implicits._
+    val clusters = graft.dedup.Dedup.dupClustersFast(spark, dir)
+      .select($"doc_id", $"cluster_id")
+    val bucket = HashExpressions.md5Prefix64(
+      concat(lit(SplitSeed + ":"), $"cluster_id".cast("string")), DsirHashHex) % 100
+    clusters
+      .select($"doc_id", $"cluster_id",
+        when(bucket < SplitTrainPct, "train")
+          .when(bucket < SplitValPct, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
 }

@@ -673,6 +673,106 @@ object TextOps {
     scrubReconstruct(train, dupWin, "n_eval_windows")
   }
 
+  /** Occurrence-key encoding for [[selfDedupScrub]]: the (doc_id, j)
+    * total order packed into one BIGINT so "globally first occurrence"
+    * is a plain `min` on both engines. Bounds: j < 2²⁰ (docs under ~1M
+    * tokens — far above any tokenizer context or the corpus) and
+    * doc_id < 2⁴³; the product cannot overflow int64. */
+  val SelfDedupEncBase = 1L << 20
+
+  /** Corpus-internal duplicate-span removal (`t_selfdedup_scrub`) — the
+    * ExactSubstr dedup of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (2022), re-expressed window-wise: any
+    * [[ScrubGram]]-token window occurring MORE THAN ONCE in the corpus
+    * (across documents or repeated inside one) keeps only its globally
+    * FIRST occurrence — min over the (doc_id, j) order — and every later
+    * occurrence is scrubbed from its document. This differs from
+    * [[spanScrub]] (which drops ALL occurrences of a cross-doc span —
+    * the boilerplate killer) in exactly the way that matters for
+    * training data: the content survives once, so the corpus loses
+    * redundancy, not information.
+    *
+    * Distributed shape for 100 TB: the paper's suffix array is a
+    * single-machine structure; the window-hash form needs ONE map-side
+    * combinable aggregate over the gram fan-out (min(enc), count — both
+    * combine) and ONE equi-join of the fan-out against the (gram, owner)
+    * table, then the scrub family's shared in-row O(n) gap-merge
+    * reconstruction. No pairwise term anywhere: cost is linear in total
+    * windows regardless of duplication structure. Mega-hot grams skew
+    * the owner join's g-partitions — [[selfDedupScrubGuarded]] routes
+    * them through a broadcast exactly like [[spanScrubGuarded]]. */
+  def selfDedupScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = scrubToks(spark, dir)
+    val grams = gramWindows(toks).persist()
+    val owners = grams.groupBy($"g")
+      .agg(min($"doc_id" * SelfDedupEncBase + $"j").as("own"),
+        count(lit(1)).as("occ"))
+      .filter($"occ" >= 2).select($"g", $"own")
+    val dupWin = grams.join(owners, "g")
+      .filter($"doc_id" * SelfDedupEncBase + $"j" =!= $"own")
+      .select($"doc_id", $"j")
+    scrubReconstruct(toks, dupWin, "n_selfdup_windows")
+  }
+
+  /** [[selfDedupScrub]] with the mega-hot-gram guard: owner rows of
+    * grams at occurrence count ≥ [[ScrubHotDf]] BROADCAST (their count
+    * is bounded at n_windows/[[ScrubHotDf]] by construction), so a
+    * universal boilerplate window no longer funnels its every occurrence
+    * through one shuffle partition. Bit-identical output —
+    * TextOpsSpec pins it on a planted mega-hot corpus. */
+  def selfDedupScrubGuarded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = scrubToks(spark, dir)
+    val grams = gramWindows(toks).persist()
+    val owners = grams.groupBy($"g")
+      .agg(min($"doc_id" * SelfDedupEncBase + $"j").as("own"),
+        count(lit(1)).as("occ"))
+      .filter($"occ" >= 2)
+    val tail = owners.filter($"occ" < ScrubHotDf).select($"g", $"own")
+    val mega = owners.filter($"occ" >= ScrubHotDf).select($"g", $"own")
+    val keyed = grams.withColumn("k", $"doc_id" * SelfDedupEncBase + $"j")
+    val dupWin = keyed.join(tail, "g").filter($"k" =!= $"own")
+      .select($"doc_id", $"j")
+      .unionAll(keyed.join(broadcast(mega), "g").filter($"k" =!= $"own")
+        .select($"doc_id", $"j"))
+    scrubReconstruct(toks, dupWin, "n_selfdup_windows")
+  }
+
+  val selfDedupScrubSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS j,
+       |    CAST(('0x' || substring(md5(
+       |      list_aggregate(t[i:i+${ScrubGram - 1}], 'string_agg', ' ')),
+       |      1, $ScrubHashHex)) AS BIGINT) AS g
+       |  FROM base, UNNEST(generate_series(1, n - ${ScrubGram - 1})) AS s(i)
+       |  WHERE n >= $ScrubGram),
+       |owners AS (
+       |  SELECT g, min(doc_id * $SelfDedupEncBase + j) AS own FROM grams
+       |  GROUP BY g HAVING count(*) >= 2),
+       |dupwin AS (SELECT doc_id, j FROM grams JOIN owners USING (g)
+       |  WHERE doc_id * $SelfDedupEncBase + j <> own),
+       |covered AS (SELECT DISTINCT doc_id, idx
+       |  FROM dupwin, UNNEST(generate_series(j, j + ${ScrubGram - 1})) AS u(idx)),
+       |tokens AS (SELECT doc_id, i - 1 AS idx, t[i] AS tok
+       |  FROM base, UNNEST(generate_series(1, n)) AS s(i)),
+       |kept AS (SELECT tokens.* FROM tokens ANTI JOIN covered USING (doc_id, idx))
+       |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(w.n_selfdup_windows, 0) AS BIGINT) AS n_selfdup_windows,
+       |  CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
+       |  COALESCE(k.kept_md5, md5('')) AS kept_md5
+       |FROM base b
+       |LEFT JOIN (SELECT doc_id, count(*) AS n_selfdup_windows FROM dupwin GROUP BY 1) w
+       |  USING (doc_id)
+       |LEFT JOIN (SELECT doc_id, count(*) AS n_covered FROM covered GROUP BY 1) c
+       |  USING (doc_id)
+       |LEFT JOIN (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY idx)) AS kept_md5
+       |  FROM kept GROUP BY 1) k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val decontamScrubSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),

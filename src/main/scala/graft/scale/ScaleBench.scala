@@ -208,6 +208,15 @@ object ScaleBench {
       // d_ngram_jaccard (pair count bounded by the df cap) — measured
       // separately because the planted excerpts change the df profile
       "d_containment" -> (graft.dedup.Dedup.containment _),
+      // r10: the bucketed-attach twins — the production layout for the
+      // gram family's verify attach (the r9 super-linear cell was the
+      // inline containment attach re-exchanging the wide gram arrays);
+      // measured against the inline cells above so the growth-curve gap
+      // IS the attach layout's cost
+      "d_ngram_bucketed" -> ((s: SparkSession, d: String) =>
+        graft.dedup.Dedup.ngramJaccardBucketedAttach(s, d)),
+      "d_containment_bucketed" -> ((s: SparkSession, d: String) =>
+        graft.dedup.Dedup.containmentBucketedAttach(s, d)),
       // r8: the persisted rare-gram index lifecycle (build 2/3 + upsert
       // 1/3 + serve) must track the one-shot d_ngram_jaccard above —
       // the upsert leg's probe is key-filtered, and the serve tail is
@@ -254,7 +263,15 @@ object ScaleBench {
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[Int, Cell]]
 
-    for (n <- scales; (name, fn) <- queries) {
+    // SPARK_GRAFT_ONLY=a,b,c runs a targeted probe: just the named
+    // queries, skipping the censuses (band-join, cross-copy, capped
+    // recall, chain) — the fast loop for verifying one family's growth
+    // curve after a fix without paying the full ~hour rehearsal
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val measured = only.fold(queries)(sel => queries.filter(q => sel(q._1)))
+
+    for (n <- scales; (name, fn) <- measured) {
       val dir = dirs(n)
       clearPersisted()
       listener.reset()
@@ -275,7 +292,7 @@ object ScaleBench {
 
     // candidate-pair counts for the band-join claim (not a timed query:
     // counts the band-join candidates BEFORE the Jaccard verify)
-    val candCounts = scales.map { n =>
+    val candCounts = if (only.isDefined) Map.empty[Int, Long] else scales.map { n =>
       clearPersisted()
       val docs = graft.Tables.documents(spark, dirs(n))
       val sets = graft.dedup.Dedup.shingleSets(docs, algo = "xxh64")
@@ -283,7 +300,7 @@ object ScaleBench {
         .bandCandidates(graft.dedup.Dedup.signaturesFromSets(sets))
       n -> cands.count()
     }.toMap
-    val docCounts = scales.map { n =>
+    val docCounts = if (only.isDefined) Map.empty[Int, Long] else scales.map { n =>
       n -> graft.Tables.documents(spark, dirs(n)).count()
     }.toMap
 
@@ -292,7 +309,9 @@ object ScaleBench {
     // either a generator bug or a false positive of the algorithm (the
     // 32-bit simhash floor shows up here as cross-copy pairs; Jaccard-
     // verified and rotation-decorrelated outputs must be ~0).
-    val crossCopy = scales.filter(_ > 1).map { n =>
+    val crossCopy = if (only.isDefined)
+      Map.empty[Int, Map[String, (Long, Long)]]
+    else scales.filter(_ > 1).map { n =>
       clearPersisted()
       import org.apache.spark.sql.functions.col
       def crossFrac(df: DataFrame, a: String, b: String, stride: Long) = {
@@ -327,7 +346,9 @@ object ScaleBench {
     // capped-bucket recall: verified dups surviving the maxBucket=256 cap
     // vs the uncapped verified dups (claim: hot buckets hold boilerplate,
     // not dup clusters — recall stays 1.0)
-    val cappedRecall = scales.map { n =>
+    val cappedRecall = if (only.isDefined)
+      Map.empty[Int, (Long, Long)]
+    else scales.map { n =>
       clearPersisted()
       import org.apache.spark.sql.functions.col
       val full = graft.dedup.Dedup.lshJaccardFast(spark, dirs(n))
@@ -345,7 +366,7 @@ object ScaleBench {
     // identical fixed point. Measured directly (not via a corpus: near-dup
     // corpora are shallow by construction, which is exactly why the
     // adversarial chain has to be planted).
-    val chainProp = {
+    val chainProp = if (only.isDefined) Map.empty[String, Double] else {
       clearPersisted()
       import spark.implicits._
       val diam = 400
@@ -381,6 +402,11 @@ object ScaleBench {
       .append("disjoint-shard scale model (ScaleData scaladoc): true dup ")
       .append("pairs grow exactly linearly, so super-linear growth in any ")
       .append("measured quantity is an algorithmic artifact\"},\n")
+    if (only.isDefined)
+      sb.append("  \"probe_only\": [")
+        .append(measured.map(q => s""""${q._1}"""").mkString(", "))
+        .append("],\n")
+    else {
     sb.append("  \"band_join\": {")
     sb.append(scales.map { n =>
       val nd = docCounts(n); val allPairs = nd * (nd - 1) / 2
@@ -398,6 +424,7 @@ object ScaleBench {
     sb.append(chainProp.toSeq.sortBy(_._1).map { case (k, v) =>
       s""""$k": ${jnum(v)}""" }.mkString(", "))
     sb.append("},\n")
+    }
     sb.append("  \"queries\": {\n")
     sb.append(results.map { case (name, cells) =>
       val base = cells(scales.head)

@@ -298,4 +298,62 @@ class DataSelectionSpec extends SparkTestBase {
       rs.foreach { case (_, n, sbp, rbp) => assert(n * 10000 == sbp + rbp) }
     }
   }
+
+  test("leakage split: exact-dup groups never straddle a split boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("lk_split").toString
+    // 3,000 docs; every third text is a byte-identical copy of the one
+    // two ids earlier — planted dup groups of size 2 spanning id ranges
+    val docs = (0L until 3000L).map { i =>
+      val text = if (i % 3 == 2) s"shared text body number ${i - 2} with enough words"
+                 else s"shared text body number $i with enough words"
+      (i, text)
+    }
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synthetic"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.ops.DataSelection.leakageSplit(spark, dir)
+      .as[(Long, Long, String)].collect()
+    assert(rows.length == 3000, "every doc appears exactly once")
+    val byId = rows.map(r => r._1 -> r).toMap
+    // cohesion: each planted pair shares canon (the smaller id) AND split
+    (0L until 3000L).filter(_ % 3 == 2).foreach { i =>
+      assert(byId(i)._2 == i - 2, s"doc $i canon must be ${i - 2}")
+      assert(byId(i)._3 == byId(i - 2)._3,
+        s"dup pair ($i, ${i - 2}) split ${byId(i)._3} vs ${byId(i - 2)._3}")
+    }
+    // non-dup docs are their own canon
+    (0L until 3000L).filterNot(_ % 3 == 2).foreach(i => assert(byId(i)._2 == i))
+    // fractions track 90/5/5 at the GROUP level (2,000 groups)
+    val groupSplits = rows.groupBy(_._2).map(_._2.head._3)
+    val n = groupSplits.size.toDouble
+    val train = groupSplits.count(_ == "train") / n
+    val value = groupSplits.count(_ == "val") / n
+    assert(math.abs(train - 0.90) < 0.03, s"train fraction $train")
+    assert(math.abs(value - 0.05) < 0.02, s"val fraction $value")
+  }
+
+  test("near-dup leakage split: LSH clusters are split-cohesive end to end") {
+    import spark.implicits._
+    val rows = graft.ops.DataSelection.leakageSplitClustered(spark, sfDir)
+      .as[(Long, Long, String)].collect()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, "every doc assigned exactly once")
+    // cohesion at cluster granularity
+    rows.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.map(_._3).distinct.length == 1, s"cluster $c spans splits")
+    }
+    // stronger, crossing two operators: every VERIFIED dup pair from the
+    // LSH family lands in one split
+    val split = rows.map(r => r._1 -> r._3).toMap
+    val pairs = graft.dedup.Dedup.lshJaccardFast(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("is_dup") === 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "sf corpus must contain verified dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"dup pair ($a, $b) crosses splits")
+    }
+  }
 }

@@ -324,6 +324,24 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("d4d bucketed: containment attach joins with zero exchange on doc_a, one on doc_b") {
+    // the r9 ×50 rehearsal's super-linear cell was CONTAINMENT's inline
+    // attach — pin that its bucketed twin carries the same one-exchange
+    // shape as the jaccard family's
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.dedup.Dedup.containmentBucketedAttach(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("Bucketed: true"),
+        s"attach must scan the bucketed tables:\n${p.take(1500)}")
+      val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hashEx == 1,
+        s"expected exactly one hash exchange (doc_b redistribution), got $hashEx:\n${p.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("chunking fans out map-side: no hash exchange before the final sort") {
     val p = plan(SparkEntry.queries("t_chunk_docs")(spark, sfDir))
     assert(p.contains("Generate"), p) // the posexplode fan-out

@@ -95,6 +95,69 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("self-dedup keeps the globally first occurrence, scrubs every later one") {
+    val span = (1 to TextOps.ScrubGram).map(i => s"dup$i").mkString(" ")
+    val inner = (1 to TextOps.ScrubGram).map(i => s"rep$i").mkString(" ")
+    val docs = Seq(
+      // owner: smallest (doc_id, j) — doc 1 keeps the span intact
+      1L -> s"head1a head1b $span tail1a tail1b",
+      // later cross-doc occurrence: scrubbed
+      2L -> s"head2a $span tail2a",
+      // TWO later occurrences in one doc: both scrubbed
+      5L -> s"$span mid5a $span tail5a",
+      // within-doc repeat with no cross-doc twin: first kept, second out
+      6L -> s"$inner gap6a $inner",
+      7L -> "nothing duplicated in this one at all")
+    val dir = stageDocs(docs)
+    val rows = TextOps.selfDedupScrub(spark, dir).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 owns the span: untouched
+    assert(byId(1L).getAs[Long]("n_selfdup_windows") == 0L)
+    assert(byId(1L).getAs[String]("kept_md5") == md5(docs.head._2))
+    // doc 2 loses exactly the span tokens
+    assert(byId(2L).getAs[Long]("n_covered") == TextOps.ScrubGram.toLong)
+    assert(byId(2L).getAs[String]("kept_md5") == md5("head2a tail2a"))
+    // doc 5 loses both occurrences
+    assert(byId(5L).getAs[Long]("n_covered") == 2L * TextOps.ScrubGram)
+    assert(byId(5L).getAs[String]("kept_md5") == md5("mid5a tail5a"))
+    // doc 6: the WITHIN-doc repeat keeps its first position only
+    assert(byId(6L).getAs[Long]("n_covered") == TextOps.ScrubGram.toLong)
+    assert(byId(6L).getAs[String]("kept_md5") == md5(s"$inner gap6a"))
+    // doc 7 untouched
+    assert(byId(7L).getAs[Long]("n_selfdup_windows") == 0L)
+    assert(byId(7L).getAs[String]("kept_md5") == md5(docs.last._2))
+  }
+
+  test("guarded self-dedup: planted mega-hot window, bit-identical + broadcast") {
+    // one boilerplate window in every doc (occ = 120 >= ScrubHotDf): the
+    // guard must route its owner row by broadcast and keep the answer
+    val boiler = (1 to TextOps.ScrubGram).map(i => s"boiler$i").mkString(" ")
+    val docs = (0 until 120).map { d =>
+      d.toLong -> s"$boiler unique${d}a unique${d}b"
+    }
+    val dir = stageDocs(docs)
+    val plain = TextOps.selfDedupScrub(spark, dir).collect().map(_.toSeq)
+    val guarded = TextOps.selfDedupScrubGuarded(spark, dir)
+    assert(guarded.collect().map(_.toSeq).toSeq == plain.toSeq,
+      "guarded variant must be bit-identical to the plain self-dedup")
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"mega-hot owner rows must join by broadcast:\n${plan.take(1500)}")
+    // first doc (owner) keeps the boilerplate, every later doc loses it
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keptById = plain.map(r => r.head.asInstanceOf[Long] -> r.last).toMap
+    assert(keptById(0L) == md5(s"$boiler unique0a unique0b"))
+    (1 until 120).foreach { d =>
+      assert(keptById(d.toLong) == md5(s"unique${d}a unique${d}b"),
+        s"doc $d: later occurrence must be scrubbed")
+    }
+  }
+
   test("span scrub reconstruction is linear: a fully-covered 20k-token doc") {
     // two identical 20k-token docs: every window is duplicated, so the
     // covered array spans the whole doc — the O(n·|cov|) form took ~4·10⁸
