@@ -110,7 +110,7 @@ class NgramIndexSpec extends SparkTestBase {
     val served = NgramIndex.incrementalServe(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(served == inline)
     val scratch = new java.io.File(
-      graft.similarity.Ann.cachedIndexDir(sfDir, "ngram-inc"))
+      graft.similarity.Ann.scratchDir(sfDir, "ngram-inc"))
     NgramIndex.incrementalServe(spark, sfDir).collect() // second call: same dir
     assert(scratch.isDirectory, "scratch dir should live under the managed cache root")
     assert((tmpDebris -- before).isEmpty,

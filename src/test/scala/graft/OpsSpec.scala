@@ -35,6 +35,12 @@ class OpsSpec extends SparkTestBase {
       "d_minhash_capped", "d_lsh_jaccard_capped", "d_simhash_wide",
       "d_embedding_capped", "d_embedding_scaled", "d_semantic_scaled",
       "d_incremental_admit_fast",
+      // xxhash64 gram twin: DuckDB has no xxhash64; DedupSpec pins
+      // bit-equality with the md5 path at spec scale
+      "d_ngram_jaccard_fast",
+      // near-dup split granularity rides LSH connected components,
+      // which SQL can't replay; cohesion law gated in DataSelectionSpec
+      "t_leakage_split_near",
       "a_quantiles_approx", "a_approx_ndv", "a_kmv_overlap", "t_perplexity",
       "t_freq_tokens",
       "t_dsir_weights", "s_bm25_topk", "s_bm25_topk_indexed",
