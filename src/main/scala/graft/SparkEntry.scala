@@ -40,6 +40,9 @@ object SparkEntry {
     // only their globally FIRST occurrence — redundancy out, content kept
     "t_selfdedup_scrub" -> (TextOps.selfDedupScrub _),
     "t_selfdedup_guarded" -> (TextOps.selfDedupScrubGuarded _),
+    // crawl-batched form against a persistent window-owner store; the
+    // one-shot SQL gates it, proving sequential-incremental ≡ global
+    "t_selfdedup_incremental" -> (TextOps.selfDedupIncremental _),
     // group-cohesive split: dup groups never straddle train/val/test
     "t_leakage_split" -> (graft.ops.DataSelection.leakageSplit _),
     "t_leakage_split_near" -> (graft.ops.DataSelection.leakageSplitClustered _),
@@ -281,6 +284,8 @@ object SparkEntry {
     "t_selfdedup_scrub" -> TextOps.selfDedupScrubSql,
     // the guard changes the join ROUTE, not the answer: same oracle
     "t_selfdedup_guarded" -> TextOps.selfDedupScrubSql,
+    // first-wins is prefix-stable, so batched ≡ one-shot — same oracle
+    "t_selfdedup_incremental" -> TextOps.selfDedupScrubSql,
     // near-dup variant (t_leakage_split_near) is rows-only: connected
     // components aren't SQL-replayable; cohesion law is spec-gated
     "t_leakage_split" -> graft.ops.DataSelection.leakageSplitSql,

@@ -319,26 +319,59 @@ object Dedup {
     * bit-identical to [[lshJaccard]] — same oracle SQL gates both.
     * PlanSpec pins the exchange counts. */
   def lshJaccardBucketedAttach(spark: SparkSession, dir: String,
-                               nBuckets: Int = 8): DataFrame = {
+                               nBuckets: Int = 8,
+                               reuse: Boolean = false): DataFrame = {
     graft.functions.ShingleExpressions.register(spark)
-    graft.sources.Store.writeBucketed(
-      shingleSets(Tables.documents(spark, dir)), "graft_d3_sets", "doc_id", nBuckets)
-    // the bucketed tables are DERIVED copies of the documents corpus and
-    // retain any later-taken-down doc's shingles; register them so a
-    // Store.deleteKeys on the base table drops them (next call rebuilds
-    // from the post-delete corpus) instead of serving deleted content
-    Seq("graft_d3_sets", "graft_d3_cands").foreach { t =>
+    val (setsT, candsT) = bucketedPair(spark, dir, "d3", nBuckets, reuse,
+      shingleSets(Tables.documents(spark, dir)),
+      s => bandCandidates(signaturesFromSets(s)).select("doc_a", "doc_b"))
+    val attached = candsT
+      .join(setsT.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(setsT.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+    scoreAttachedPairs(attached)
+  }
+
+  /** The bucketed-attach twins' shared table device: per-(kind, corpus
+    * dir, process) names, build-or-reuse, takedown registration.
+    *
+    * The dir digest keeps two corpora from aliasing one table (the same
+    * reason Ann.cachedIndexDir carries it); the pid suffix
+    * (Store.processTable) keeps two JVMs sharing the warehouse from
+    * clobbering each other's drop-and-recreate mid-read — the race the
+    * index scratch dirs had. `reuse = true` is the build-once/query-many
+    * split (the ANN `*_indexed` precedent): serve-path callers skip the
+    * writes when this process already materialized this corpus's pair —
+    * which at 100 TB is the whole point, the one-time bucketed write
+    * amortizes across every dedup/containment pass sharing the layout.
+    * Verify/bench callers keep the default rebuild so correctness runs
+    * are always layout-fresh.
+    *
+    * The tables are DERIVED copies of the documents corpus and retain
+    * any later-taken-down doc's rows; registering them routes a base-
+    * table Store.deleteKeys into a drop (next call rebuilds from the
+    * post-delete corpus) instead of serving deleted content. */
+  private def bucketedPair(spark: SparkSession, dir: String, kind: String,
+                           nBuckets: Int, reuse: Boolean,
+                           sets: => DataFrame,
+                           candsOf: DataFrame => DataFrame)
+      : (DataFrame, DataFrame) = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val setsName = graft.sources.Store.processTable(s"graft_${kind}_sets_$h")
+    val candsName = graft.sources.Store.processTable(s"graft_${kind}_cands_$h")
+    Seq(setsName, candsName).foreach { t =>
       graft.sources.Store.registerDerived(s"$dir/documents.parquet", t) { () =>
         spark.sql(s"DROP TABLE IF EXISTS $t"); ()
       }
     }
-    val setsT = spark.table("graft_d3_sets")
-    val cands = bandCandidates(signaturesFromSets(setsT)).select("doc_a", "doc_b")
-    graft.sources.Store.writeBucketed(cands, "graft_d3_cands", "doc_a", nBuckets)
-    val attached = spark.table("graft_d3_cands")
-      .join(setsT.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(setsT.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-    scoreAttachedPairs(attached)
+    val have = reuse && spark.catalog.tableExists(setsName) &&
+      spark.catalog.tableExists(candsName)
+    if (!have) {
+      graft.sources.Store.writeBucketed(sets, setsName, "doc_id", nBuckets)
+      graft.sources.Store.writeBucketed(
+        candsOf(spark.table(setsName)), candsName, "doc_a", nBuckets)
+    }
+    (spark.table(setsName), spark.table(candsName))
   }
 
   val lshJaccardSql: String =
@@ -507,21 +540,14 @@ object Dedup {
     * containment passes then SHARE. Gated by the UNMODIFIED inline
     * [[containmentSql]]; PlanSpec pins the exchange counts. */
   def containmentBucketedAttach(spark: SparkSession, dir: String,
-                                nBuckets: Int = 8): DataFrame = {
+                                nBuckets: Int = 8,
+                                reuse: Boolean = false): DataFrame = {
     graft.functions.ShingleExpressions.register(spark)
     graft.functions.HashExpressions.register(spark)
-    graft.sources.Store.writeBucketed(
-      gramSets(containCorpus(spark, dir)), "graft_d4d_sets", "doc_id", nBuckets)
-    Seq("graft_d4d_sets", "graft_d4d_cands").foreach { t =>
-      graft.sources.Store.registerDerived(s"$dir/documents.parquet", t) { () =>
-        spark.sql(s"DROP TABLE IF EXISTS $t"); ()
-      }
-    }
-    val setsT = spark.table("graft_d4d_sets")
-    val cands = ngramPairsOver(
-      setsT.select(col("doc_id"), explode(col("gs")).as("h")))
-    graft.sources.Store.writeBucketed(cands, "graft_d4d_cands", "doc_a", nBuckets)
-    scoreContainAttachedPairs(spark.table("graft_d4d_cands")
+    val (setsT, candsT) = bucketedPair(spark, dir, "d4d", nBuckets, reuse,
+      gramSets(containCorpus(spark, dir)),
+      s => ngramPairsOver(s.select(col("doc_id"), explode(col("gs")).as("h"))))
+    scoreContainAttachedPairs(candsT
       .join(setsT.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
       .join(setsT.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b"))
   }
@@ -663,23 +689,14 @@ object Dedup {
     * — the UNMODIFIED inline SQL gates it; PlanSpec pins the exchange
     * counts. */
   def ngramJaccardBucketedAttach(spark: SparkSession, dir: String,
-                                 nBuckets: Int = 8): DataFrame = {
+                                 nBuckets: Int = 8,
+                                 reuse: Boolean = false): DataFrame = {
     graft.functions.ShingleExpressions.register(spark)
     graft.functions.HashExpressions.register(spark)
-    graft.sources.Store.writeBucketed(
-      gramSets(Tables.documents(spark, dir)), "graft_d4b_sets", "doc_id", nBuckets)
-    // derived copies of the documents corpus: a takedown on the base
-    // table must reach them (same contract as the d3 bucketed tables)
-    Seq("graft_d4b_sets", "graft_d4b_cands").foreach { t =>
-      graft.sources.Store.registerDerived(s"$dir/documents.parquet", t) { () =>
-        spark.sql(s"DROP TABLE IF EXISTS $t"); ()
-      }
-    }
-    val setsT = spark.table("graft_d4b_sets")
-    val cands = ngramPairsOver(
-      setsT.select(col("doc_id"), explode(col("gs")).as("h")))
-    graft.sources.Store.writeBucketed(cands, "graft_d4b_cands", "doc_a", nBuckets)
-    scoreGramAttachedPairs(spark.table("graft_d4b_cands")
+    val (setsT, candsT) = bucketedPair(spark, dir, "d4b", nBuckets, reuse,
+      gramSets(Tables.documents(spark, dir)),
+      s => ngramPairsOver(s.select(col("doc_id"), explode(col("gs")).as("h"))))
+    scoreGramAttachedPairs(candsT
       .join(setsT.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
       .join(setsT.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b"))
   }

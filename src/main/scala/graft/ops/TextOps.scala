@@ -606,10 +606,16 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  private def scrubToks(spark: SparkSession, dir: String): DataFrame = {
+  private def scrubToks(spark: SparkSession, dir: String): DataFrame =
+    scrubToksOf(Tables.documents(spark, dir))
+
+  /** [[scrubToks]] over an arbitrary (doc_id, text) frame — shared by the
+    * whole-corpus paths and the batched incremental self-dedup. */
+  private def scrubToksOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.HashExpressions.register(spark)
-    Tables.documents(spark, dir)
+    docs
       .select($"doc_id", split(trim($"text"), "\\s+").as("t"))
       .select($"doc_id", $"t", size($"t").as("n"))
   }
@@ -738,6 +744,121 @@ object TextOps {
         .select($"doc_id", $"j"))
     scrubReconstruct(toks, dupWin, "n_selfdup_windows")
   }
+
+  /** Window-owner store partition count (`gp = g % SelfDedupStoreParts`):
+    * bounds the partitions a batch's probe must scan, like
+    * [[graft.dedup.IncrementalDedup.StoreParts]]. */
+  val SelfDedupStoreParts = 16
+
+  private def selfStoreAt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val f = new java.io.File(dir)
+    val hasData = f.exists && {
+      val kids = f.listFiles
+      kids != null && kids.exists(k => !k.getName.startsWith("_") &&
+        !k.getName.startsWith("."))
+    }
+    if (hasData)
+      spark.read.parquet(dir)
+        .select(col("g"), col("own"), col("own_doc"), col("gp").cast("int"))
+    else
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("g", LongType), StructField("own", LongType),
+          StructField("own_doc", LongType), StructField("gp", IntegerType))))
+  }
+
+  /** Incremental cross-batch self-dedup — [[selfDedupScrub]] for a corpus
+    * that arrives in crawl batches. The decisive property: ExactSubstr's
+    * first-occurrence-wins rule is PREFIX-STABLE — a document's scrub
+    * decision depends only on occurrences with SMALLER (doc_id, j) keys,
+    * so under id-ordered batches no later batch can ever change an
+    * already-emitted row. ([[spanScrub]]'s drop-ALL-occurrences rule is
+    * not: the first copy of a span becomes scrub-worthy only when its
+    * second copy arrives, so that rule fundamentally cannot stream with
+    * immutable outputs. First-wins is the one span rule that does.)
+    *
+    * Mechanics mirror [[graft.dedup.IncrementalDedup.admitBatch]]: a
+    * persistent (g → earliest occurrence key) store partitioned by
+    * `gp = g % `[[SelfDedupStoreParts]]; a batch probes ONLY its touched
+    * `gp=` partitions with its distinct window hashes broadcast (the
+    * store side never shuffles), scrubs a window iff a strictly smaller
+    * occurrence key exists in the store or earlier in the batch, appends
+    * the never-seen hashes with their batch-first keys, and reconstructs
+    * its own documents with the shared gap-merge. Replay-safe for the
+    * same reason admitBatch is: owners are min-stable under id-ordered
+    * batches and the probe rejects only on `own < k`, so a half-appended
+    * crash window replays to identical rows. The store carries
+    * `own_doc = doc of the owning occurrence` so a takedown can free the
+    * windows a removed document owns ([[selfDedupRemoveOwners]] — same
+    * re-admission slack note as IncrementalDedup.removeOwners). */
+  def selfDedupAdmitBatch(batch: DataFrame, storeDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val toks = scrubToksOf(batch)
+    val wins = gramWindows(toks)
+      .withColumn("k", $"doc_id" * SelfDedupEncBase + $"j").persist()
+    val bmin = wins.groupBy($"g").agg(min($"k").as("bown"))
+      .withColumn("gp", pmod($"g", lit(SelfDedupStoreParts.toLong)).cast("int"))
+      .persist()
+    val gps = bmin.select("gp").distinct().collect().map(_.getInt(0)).toSeq
+    val hits = selfStoreAt(spark, storeDir).filter($"gp".isInCollection(gps))
+      .join(broadcast(bmin.select($"g")), Seq("g"))
+      .select($"g", $"own").persist()
+    val dupPrior = wins.join(hits, "g").filter($"own" < $"k")
+    val dupIntra = wins.join(bmin.select($"g", $"bown"), "g")
+      .filter($"k" > $"bown")
+    // one row per scrubbed OCCURRENCE: a window can be both prior- and
+    // intra-rejected, and the reconstruct's per-doc count must not
+    // double-book it
+    val dupWin = dupPrior.select($"doc_id", $"j")
+      .unionAll(dupIntra.select($"doc_id", $"j")).distinct()
+    // materialize BEFORE the append mutates what a lazy re-read would see
+    // (rows are replay-stable either way; the checkpoint also frees the
+    // probe lineage for long-running callers)
+    val out = scrubReconstruct(toks, dupWin, "n_selfdup_windows")
+      .localCheckpoint()
+    val newOwners = bmin.join(hits.select("g"), Seq("g"), "left_anti")
+      .select($"g", $"bown".as("own"),
+        // exact floor-div: EncBase is 2^20 and keys are non-negative, so
+        // a shift avoids the long/long → double precision trap
+        shiftright($"bown", 20).as("own_doc"), $"gp")
+    newOwners.repartition($"gp")
+      .write.mode("append").partitionBy("gp").parquet(storeDir)
+    wins.unpersist(); bmin.unpersist(); hits.unpersist()
+    out
+  }
+
+  /** `t_selfdedup_incremental`: the full documents table through
+    * [[selfDedupAdmitBatch]] as three sequential id-range batches against
+    * a fresh store — gated by the UNMODIFIED one-shot
+    * [[selfDedupScrubSql]], so the hash gate PROVES sequential-
+    * incremental ≡ global (the `d_incremental_admit` device at span
+    * granularity). */
+  def selfDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    val width = maxId / 3 + 1
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("selfdedup_store").toString
+    val parts = (0L until 3L).map { i =>
+      selfDedupAdmitBatch(
+        docs.filter($"doc_id" >= i * width && $"doc_id" < (i + 1) * width),
+        storeDir)
+    }
+    parts.reduce(_ unionAll _).orderBy($"doc_id")
+  }
+
+  /** Takedown reach into the window-owner store: free every window a
+    * removed document OWNS (partition-selective rewrite on the `gp=`
+    * dirs with hits), so re-submitted identical spans are admitted fresh
+    * instead of scrubbed against a ghost. Windows the victim merely
+    * duplicated (owned elsewhere) need no touch — its rows are gone with
+    * the base-table takedown. */
+  def selfDedupRemoveOwners(spark: SparkSession, storeDir: String,
+                            docs: Seq[Long]): Long =
+    graft.sources.Store.deleteKeys(spark, storeDir, "own_doc", docs, Seq("gp"))
 
   val selfDedupScrubSql: String =
     s"""WITH toks AS (

@@ -102,6 +102,13 @@ object ScaleBench {
       }
     }.toMap
 
+    // corpus-scaled bucket count for the bucketed-attach twins: per-
+    // bucket data stays constant as the corpus grows (write and SMJ
+    // parallelism track the input instead of capping at the oracle-scale
+    // default of 8)
+    val scaleOfDir: Map[String, Int] = dirs.map(_.swap)
+    def bucketsFor(d: String): Int = 8 * scaleOfDir.getOrElse(d, 1)
+
     // ---- measured queries -------------------------------------------
     // Production twins (xxhash64) for the dedup family; oracle-identity
     // md5 forms are deliberately NOT the scale path and are not measured
@@ -209,14 +216,39 @@ object ScaleBench {
       // separately because the planted excerpts change the df profile
       "d_containment" -> (graft.dedup.Dedup.containment _),
       // r10: the bucketed-attach twins — the production layout for the
-      // gram family's verify attach (the r9 super-linear cell was the
-      // inline containment attach re-exchanging the wide gram arrays);
-      // measured against the inline cells above so the growth-curve gap
-      // IS the attach layout's cost
+      // gram family's verify attach. The r10 probe showed WHY they are
+      // the only honest shape: at ×50 the inline jaccard attach survives
+      // on a stats-underestimated BROADCAST of the corpus-sized gram
+      // array table (complex-type size estimation lowballs arrays — a
+      // per-executor OOM at real scale), while inline containment's
+      // union-defeated estimate flips to SMJ and re-exchanges the wide
+      // arrays three times (the measured 680× shuffle bend). Bucketed:
+      // arrays move ONCE (pair intermediate onto the doc_b layout), and
+      // the tables are PRE-BUILT untimed (the ANN *_indexed precedent —
+      // the one-time write amortizes across every pass sharing the
+      // layout) with the bucket count scaled to the corpus (a fixed 8
+      // caps write+SMJ parallelism at 8 tasks, the D7e fixed-bucket
+      // mistake in layout form)
       "d_ngram_bucketed" -> ((s: SparkSession, d: String) =>
-        graft.dedup.Dedup.ngramJaccardBucketedAttach(s, d)),
+        graft.dedup.Dedup.ngramJaccardBucketedAttach(
+          s, d, nBuckets = bucketsFor(d), reuse = true)),
       "d_containment_bucketed" -> ((s: SparkSession, d: String) =>
-        graft.dedup.Dedup.containmentBucketedAttach(s, d)),
+        graft.dedup.Dedup.containmentBucketedAttach(
+          s, d, nBuckets = bucketsFor(d), reuse = true)),
+      "d_lsh_bucketed" -> ((s: SparkSession, d: String) =>
+        graft.dedup.Dedup.lshJaccardBucketedAttach(
+          s, d, nBuckets = bucketsFor(d), reuse = true)),
+      // r10: ExactSubstr self-dedup — one combinable aggregate + one
+      // equi-join over the window fan-out, then the in-row reconstruct;
+      // must track the linear t_span_scrub family. The incremental form's
+      // per-batch probe is partition-selective on the window-owner store,
+      // so its three-batch total should also stay ~linear
+      "t_selfdedup_scrub" -> (graft.ops.TextOps.selfDedupScrub _),
+      "t_selfdedup_guarded" -> (graft.ops.TextOps.selfDedupScrubGuarded _),
+      "t_selfdedup_incremental" -> (graft.ops.TextOps.selfDedupIncremental _),
+      // r10: group-cohesive split — one narrow combinable agg + one
+      // narrow join-back; the strict-linear class
+      "t_leakage_split" -> (graft.ops.DataSelection.leakageSplit _),
       // r8: the persisted rare-gram index lifecycle (build 2/3 + upsert
       // 1/3 + serve) must track the one-shot d_ngram_jaccard above —
       // the upsert leg's probe is key-filtered, and the serve tail is
@@ -246,23 +278,6 @@ object ScaleBench {
         .groupBy("l_returnflag").count().queryExecution.toRdd.count()
     } catch { case _: Throwable => () }
 
-    // pre-build the persisted ANN indexes (train + write, untimed) so the
-    // *_indexed cells below book only the serve-path query
-    for (n <- scales) {
-      try {
-        graft.similarity.Ann.pqTopKCached(spark, dirs(n)).queryExecution.toRdd.count()
-        graft.similarity.Ann.ivfTopKCached(spark, dirs(n)).queryExecution.toRdd.count()
-        graft.similarity.Retrieval.bm25TopKCached(spark, dirs(n)).queryExecution.toRdd.count()
-      } catch { case e: Throwable =>
-        System.err.println(s"[scale] index pre-build x$n failed: ${e.getMessage}")
-      }
-      ()
-    }
-
-    case class Cell(sec: Double, rows: Long, metrics: Map[String, Long])
-    val results = scala.collection.mutable.LinkedHashMap
-      .empty[String, scala.collection.mutable.LinkedHashMap[Int, Cell]]
-
     // SPARK_GRAFT_ONLY=a,b,c runs a targeted probe: just the named
     // queries, skipping the censuses (band-join, cross-copy, capped
     // recall, chain) — the fast loop for verifying one family's growth
@@ -270,6 +285,47 @@ object ScaleBench {
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val measured = only.fold(queries)(sel => queries.filter(q => sel(q._1)))
+
+    // pre-build the persisted ANN indexes (train + write, untimed) so the
+    // *_indexed cells below book only the serve-path query
+    val measuredNames = measured.map(_._1).toSet
+    for (n <- scales) {
+      try {
+        if (measuredNames("s_pq_topk_indexed"))
+          graft.similarity.Ann.pqTopKCached(spark, dirs(n)).queryExecution.toRdd.count()
+        if (measuredNames("s_ivf_topk_indexed"))
+          graft.similarity.Ann.ivfTopKCached(spark, dirs(n)).queryExecution.toRdd.count()
+        if (measuredNames("s_bm25_topk_indexed"))
+          graft.similarity.Retrieval.bm25TopKCached(spark, dirs(n)).queryExecution.toRdd.count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] index pre-build x$n failed: ${e.getMessage}")
+      }
+      ()
+    }
+    // pre-build the bucketed attach layouts (untimed, same rationale):
+    // the reuse=true timed cells then measure the SERVE path — pair-gen
+    // over the bucketed posting plus the single-exchange attach
+    for (n <- scales) {
+      try {
+        if (measuredNames("d_ngram_bucketed"))
+          graft.dedup.Dedup.ngramJaccardBucketedAttach(
+            spark, dirs(n), nBuckets = bucketsFor(dirs(n))).queryExecution.toRdd.count()
+        if (measuredNames("d_containment_bucketed"))
+          graft.dedup.Dedup.containmentBucketedAttach(
+            spark, dirs(n), nBuckets = bucketsFor(dirs(n))).queryExecution.toRdd.count()
+        if (measuredNames("d_lsh_bucketed"))
+          graft.dedup.Dedup.lshJaccardBucketedAttach(
+            spark, dirs(n), nBuckets = bucketsFor(dirs(n))).queryExecution.toRdd.count()
+        clearPersisted()
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] bucketed pre-build x$n failed: ${e.getMessage}")
+      }
+      ()
+    }
+
+    case class Cell(sec: Double, rows: Long, metrics: Map[String, Long])
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[Int, Cell]]
 
     for (n <- scales; (name, fn) <- measured) {
       val dir = dirs(n)

@@ -140,6 +140,16 @@ object Store {
   /** Bucketed managed table: hash-clustered and sorted by the join key.
     * Requires a warehouse-backed catalog (default in-memory catalog
     * works locally; external metastore on a cluster). */
+  /** Per-process name for a derived bucketed table: the managed warehouse
+    * is shared across JVMs (bench, verify, and scale runs can overlap on
+    * one box), and [[writeBucketed]] drop-and-recreates — two processes
+    * materializing the same name clobber each other mid-read, the same
+    * race the index scratch dirs had (Ann.scratchDir). The suffix gives
+    * each process its own copy; within a process the name is stable, so
+    * the one-time-write amortization across passes is untouched. */
+  def processTable(name: String): String =
+    s"${name}_p${ProcessHandle.current().pid()}"
+
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     nBuckets: Int): Unit = {
     val spark = df.sparkSession
@@ -155,7 +165,13 @@ object Store {
       }
       rm(loc)
     }
-    df.write
+    // repartition ON the bucket hash first: without it every write task
+    // emits a file per bucket it touches (tasks × nBuckets small files —
+    // the incremental-admit lesson); with it exactly one file per bucket,
+    // and the write's parallelism is nBuckets (size nBuckets ≥ cores for
+    // big corpora — the rehearsal scales it with the scale factor)
+    df.repartition(nBuckets, col(bucketCol))
+      .write
       .mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)

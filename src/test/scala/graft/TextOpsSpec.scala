@@ -158,6 +158,45 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("incremental self-dedup: batched ≡ one-shot, replay no-op, takedown frees owners") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val span = (1 to TextOps.ScrubGram).map(i => s"xd$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"alpha1 $span omega1",   // owner of the span
+      2L -> s"alpha2 $span omega2",   // later copy: scrubbed
+      7L -> s"alpha7 $span omega7",   // later still, lands in batch 2
+      9L -> "entirely unique text here with no duplication at all")
+    val dir = stageDocs(docs)
+    val oneShot = TextOps.selfDedupScrub(spark, dir).collect().map(_.toSeq).toSeq
+
+    val store = java.nio.file.Files.createTempDirectory("sd_store").toString
+    val table = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val b1 = TextOps.selfDedupAdmitBatch(table.filter(col("doc_id") <= 2), store)
+      .collect().map(_.toSeq)
+    val b2 = TextOps.selfDedupAdmitBatch(table.filter(col("doc_id") > 2), store)
+      .collect().map(_.toSeq)
+    assert((b1 ++ b2).sortBy(_.head.asInstanceOf[Long]).toSeq == oneShot,
+      "sequential batches must reproduce the one-shot rows exactly")
+
+    // replay: re-admitting batch 2 over the already-written store keys
+    // must produce identical rows (crash-window recovery)
+    val b2again = TextOps.selfDedupAdmitBatch(table.filter(col("doc_id") > 2), store)
+      .collect().map(_.toSeq)
+    assert(b2again.sortBy(_.head.asInstanceOf[Long]).toSeq ==
+      b2.sortBy(_.head.asInstanceOf[Long]).toSeq)
+
+    // takedown: doc 1 owned the span window; freeing its owned rows must
+    // re-admit identical content fresh (kept intact, not scrubbed)
+    val freed = TextOps.selfDedupRemoveOwners(spark, store, Seq(1L))
+    assert(freed >= 1L, "doc 1 must own at least the span window")
+    val resub = TextOps.selfDedupAdmitBatch(
+      Seq((100L, s"alphaR $span omegaR")).toDF("doc_id", "text"), store)
+      .collect()
+    assert(resub.head.getAs[Long]("n_selfdup_windows") == 0L,
+      "freed span must be admitted fresh after the owner takedown")
+  }
+
   test("span scrub reconstruction is linear: a fully-covered 20k-token doc") {
     // two identical 20k-token docs: every window is duplicated, so the
     // covered array spans the whole doc — the O(n·|cov|) form took ~4·10⁸
