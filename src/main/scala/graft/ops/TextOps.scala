@@ -805,14 +805,15 @@ object TextOps {
     val hits = selfStoreAt(spark, storeDir).filter($"gp".isInCollection(gps))
       .join(broadcast(bmin.select($"g")), Seq("g"))
       .select($"g", $"own").persist()
-    val dupPrior = wins.join(hits, "g").filter($"own" < $"k")
-    val dupIntra = wins.join(bmin.select($"g", $"bown"), "g")
-      .filter($"k" > $"bown")
-    // one row per scrubbed OCCURRENCE: a window can be both prior- and
-    // intra-rejected, and the reconstruct's per-doc count must not
-    // double-book it
-    val dupWin = dupPrior.select($"doc_id", $"j")
-      .unionAll(dupIntra.select($"doc_id", $"j")).distinct()
+    // the corpus-global first occurrence of g as of this batch is
+    // min(store owner, batch minimum) — ONE owner table, ONE join over
+    // the window fan-out, and no occurrence can double-book (vs the
+    // two-join prior/intra split, which also needed a distinct)
+    val ownAll = bmin.join(hits, Seq("g"), "left_outer")
+      .select($"g",
+        least(coalesce($"own", lit(Long.MaxValue)), $"bown").as("own_min"))
+    val dupWin = wins.join(ownAll, "g").filter($"k" > $"own_min")
+      .select($"doc_id", $"j")
     // materialize BEFORE the append mutates what a lazy re-read would see
     // (rows are replay-stable either way; the checkpoint also frees the
     // probe lineage for long-running callers)
