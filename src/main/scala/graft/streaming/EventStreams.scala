@@ -295,6 +295,38 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming span-level self-dedup: each id-ordered microbatch of
+    * documents runs [[graft.ops.TextOps.selfDedupAdmitBatch]] against the
+    * persistent window-owner store, its scrub rows landing under
+    * `outDir` partitioned by batch id. This sink EXISTS because of the
+    * rule it streams: ExactSubstr's first-occurrence-wins is
+    * prefix-stable — an emitted document's scrub decision can never be
+    * changed by later data — so the stream's outputs are immutable and
+    * equal the one-shot corpus rule ([[graft.ops.TextOps.selfDedupScrub]];
+    * spec-pinned). The drop-ALL span rule ([[graft.ops.TextOps]] T17)
+    * has no such sink: its first copy becomes scrub-worthy only when the
+    * second arrives.
+    *
+    * Exactly-once by idempotence, the [[admissionSink]] argument: scrub
+    * rows are a pure function of (store ∪ batch), replayed store appends
+    * are owner-stable no-ops, and the output write dynamically overwrites
+    * only the batch's own `batch_id=` partition. */
+  def selfDedupSink(docsStream: DataFrame, storeDir: String,
+                    outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.TextOps
+          .selfDedupAdmitBatch(batch.select(col("doc_id"), col("text")), storeDir)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Streaming ANN index maintenance: each microbatch of newly embedded
     * vectors folds into the persisted IVF index via
     * [[graft.similarity.Ann.ivfIndexUpsert]], so the serving index stays

@@ -197,6 +197,55 @@ class TextOpsSpec extends SparkTestBase {
       "freed span must be admitted fresh after the owner takedown")
   }
 
+  test("streaming self-dedup sink equals the one-shot rule; restart is clean") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.EventStreams
+    val span = (1 to TextOps.ScrubGram).map(i => s"sd$i").mkString(" ")
+    val corpusDir = stageDocs(Seq(
+      1L -> s"s1a $span s1b", 2L -> s"s2a $span s2b",
+      6L -> s"s6a $span s6b", 8L -> "all unique over here"))
+    val docs = Tables.documents(spark, corpusDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val src = java.nio.file.Files.createTempDirectory("sd_src").toString
+    val store = java.nio.file.Files.createTempDirectory("sd_sink_store").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sd_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("sd_chk").toString
+    // two id-ordered single-file microbatches with unambiguous mtimes
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, dt: Long): Unit = {
+      val d = s"$src/$name"
+      df.coalesce(1).write.parquet(d)
+      val f = new java.io.File(d).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/$name.parquet")
+      java.nio.file.Files.move(f.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + dt))
+    }
+    stage(docs.filter(col("doc_id") <= 2), "b0", 0L)
+    stage(docs.filter(col("doc_id") > 2), "b1", 10000L)
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      val q = EventStreams.selfDedupSink(stream, store, outDir, chk)
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "n_tokens", "n_selfdup_windows", "n_covered", "kept_md5")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val oneShot = TextOps.selfDedupScrub(spark, corpusDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == oneShot,
+      "streamed microbatch self-dedup must equal the one-shot corpus rule")
+    // restart with nothing new: no reprocessing, no duplicate rows
+    run()
+    assert(spark.read.parquet(outDir).count() == streamed.size)
+  }
+
   test("span scrub reconstruction is linear: a fully-covered 20k-token doc") {
     // two identical 20k-token docs: every window is duplicated, so the
     // covered array spans the whole doc — the O(n·|cov|) form took ~4·10⁸
