@@ -46,6 +46,8 @@ object SparkEntry {
     // group-cohesive split: dup groups never straddle train/val/test
     "t_leakage_split" -> (graft.ops.DataSelection.leakageSplit _),
     "t_leakage_split_near" -> (graft.ops.DataSelection.leakageSplitClustered _),
+    // per-source cap through the top-k rewrite (heap, not window skew)
+    "t_domain_cap" -> (graft.ops.DataSelection.domainCap _),
     "t_doc_keywords" -> (TextOps.docKeywords _),
     "e_props_json" -> (Events.propsExtract _),
     "j_left_outer_orders" -> (Joins.leftOuterOrders _),
@@ -289,6 +291,7 @@ object SparkEntry {
     // near-dup variant (t_leakage_split_near) is rows-only: connected
     // components aren't SQL-replayable; cohesion law is spec-gated
     "t_leakage_split" -> graft.ops.DataSelection.leakageSplitSql,
+    "t_domain_cap" -> graft.ops.DataSelection.domainCapSql,
     "t_doc_keywords" -> TextOps.docKeywordsSql,
     "e_props_json" -> Events.propsExtractSql,
     "j_left_outer_orders" -> Joins.leftOuterOrdersSql,

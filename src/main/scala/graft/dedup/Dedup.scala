@@ -350,15 +350,23 @@ object Dedup {
     * any later-taken-down doc's rows; registering them routes a base-
     * table Store.deleteKeys into a drop (next call rebuilds from the
     * post-delete corpus) instead of serving deleted content. */
+  /** The (sets, cands) table names [[bucketedPair]] materializes for a
+    * given corpus dir — package-visible so specs assert on the REAL
+    * names instead of duplicating the construction. */
+  private[graft] def bucketedTableNames(dir: String, kind: String)
+      : (String, String) = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    (graft.sources.Store.processTable(s"graft_${kind}_sets_$h"),
+      graft.sources.Store.processTable(s"graft_${kind}_cands_$h"))
+  }
+
   private def bucketedPair(spark: SparkSession, dir: String, kind: String,
                            nBuckets: Int, reuse: Boolean,
                            sets: => DataFrame,
                            candsOf: DataFrame => DataFrame)
       : (DataFrame, DataFrame) = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    val setsName = graft.sources.Store.processTable(s"graft_${kind}_sets_$h")
-    val candsName = graft.sources.Store.processTable(s"graft_${kind}_cands_$h")
+    val (setsName, candsName) = bucketedTableNames(dir, kind)
     Seq(setsName, candsName).foreach { t =>
       graft.sources.Store.registerDerived(s"$dir/documents.parquet", t) { () =>
         spark.sql(s"DROP TABLE IF EXISTS $t"); ()

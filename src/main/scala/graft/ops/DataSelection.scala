@@ -532,6 +532,60 @@ object DataSelection {
        |FROM b
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-source cap size. */
+  val DomainCapK = 25
+
+  /** Per-source document cap (`t_domain_cap`) — the RefinedWeb/CCNet
+    * domain-diversity stage: no source (site, domain, feed) may
+    * contribute more than [[DomainCapK]] documents, and the survivors are
+    * the most prose-like ones (space-ratio basis points — the
+    * qualityScore heuristic — descending, doc_id tie-break). Without a
+    * cap, one boilerplate-heavy megasite dominates the mixture and the
+    * model learns its template.
+    *
+    * Scale shape: sources are LOW-cardinality relative to the corpus, so
+    * the textbook row_number window is the worst skew case — every row of
+    * the hottest source lands on one reducer. The rank order is therefore
+    * folded into ONE ascending BIGINT ((10000 − prose_bp)·2⁴³ + doc_id —
+    * exact while doc_id < 2⁴³) so the RewriteWindowTopK rule fires: a
+    * k-element heap per source per map task, shuffle bounded at
+    * k·partitions rows per source, nothing fully sorted. PlanSpec pins
+    * the rewritten plan (no Window node); the oracle replays the
+    * equivalent two-key ORDER BY. */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val txt = $"text"
+    val nChars = greatest(length(txt), lit(1)).cast("double")
+    val nSpaces = length(txt) - length(regexp_replace(txt, " ", ""))
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        floor(nSpaces * lit(10000) / nChars).cast("long").as("prose_bp"))
+      .withColumn("ck", (lit(10000L) - $"prose_bp") * lit(1L << 43) + $"doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"ck")
+    scored
+      .withColumn("src_rank", row_number().over(w))
+      .filter($"src_rank" <= DomainCapK)
+      .select($"doc_id", $"source", $"src_rank".cast("long").as("src_rank"),
+        $"prose_bp")
+      .orderBy($"source", $"src_rank")
+  }
+
+  val domainCapSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor((len(text) - len(replace(text, ' ', ''))) * 10000.0
+       |         / greatest(len(text), 1)) AS BIGINT) AS prose_bp
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, source, prose_bp,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY prose_bp DESC, doc_id) AS BIGINT) AS src_rank
+       |  FROM scored)
+       |SELECT doc_id, source, src_rank, prose_bp
+       |FROM ranked WHERE src_rank <= $DomainCapK
+       |ORDER BY source, src_rank""".stripMargin
+
   /** [[leakageSplit]] at NEAR-dup granularity (`t_leakage_split_near`,
     * rows-only): the group key is the LSH dup-graph connected component
     * ([[graft.dedup.Dedup.dupClustersFast]]'s cluster_id = component min

@@ -454,15 +454,17 @@ class StoreSpec extends SparkTestBase {
     Tables.documents(spark, sfDir)
       .write.partitionBy("lang").parquet(s"$docDir/documents.parquet")
     graft.dedup.Dedup.lshJaccardBucketedAttach(spark, docDir).collect()
-    assert(spark.catalog.tableExists("graft_d3_sets"))
-    assert(spark.catalog.tableExists("graft_d3_cands"))
+    val (setsName, candsName) =
+      graft.dedup.Dedup.bucketedTableNames(docDir, "d3")
+    assert(spark.catalog.tableExists(setsName))
+    assert(spark.catalog.tableExists(candsName))
     val victim = Tables.documents(spark, docDir)
       .select("doc_id").head().getLong(0)
     Store.deleteKeys(spark, s"$docDir/documents.parquet",
       "doc_id", Seq(victim), Seq("lang"))
-    assert(!spark.catalog.tableExists("graft_d3_sets"),
+    assert(!spark.catalog.tableExists(setsName),
       "derived bucketed set table must be invalidated by the takedown")
-    assert(!spark.catalog.tableExists("graft_d3_cands"))
+    assert(!spark.catalog.tableExists(candsName))
     // the serve path rebuilds from the post-delete corpus: the victim is
     // unreachable through the rebuilt tables
     val rebuilt = graft.dedup.Dedup.lshJaccardBucketedAttach(spark, docDir)

@@ -19,6 +19,26 @@ class TopKRewriteSpec extends SparkTestBase {
     (GraftPlanExec.ofRows(spark, rewritten), rewritten.toString)
   }
 
+  test("domain cap rewrites to the heap aggregate and matches the window rows") {
+    // the per-source cap is the rule's flagship consumer: sources are
+    // low-cardinality, so the window form is the hottest-reducer skew
+    // case; the folded single-ASC rank key exists exactly so this fires
+    val df = graft.ops.DataSelection.domainCap(spark, sfDir)
+    val rewritten = RewriteWindowTopK(df.queryExecution.analyzed)
+    val plan = rewritten.toString
+    assert(plan.contains("collect_top_k"), s"rule did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"window survived:\n$plan")
+    val got = GraftPlanExec.ofRows(spark, rewritten).collect().map(_.toSeq).toSet
+    assert(got == df.collect().map(_.toSeq).toSet)
+    // cap census: no source exceeds K, ranks dense from 1
+    val bySrc = df.collect().groupBy(_.getString(1))
+    bySrc.foreach { case (s, rs) =>
+      val ranks = rs.map(_.getLong(2)).sorted
+      assert(ranks.length <= graft.ops.DataSelection.DomainCapK)
+      assert(ranks.sameElements(1L to ranks.length), s"source $s ranks: ${ranks.toSeq}")
+    }
+  }
+
   test("desc top-3 rewrites to the aggregate and returns identical rows") {
     val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
     val df = Tables.customer(spark, sfDir)
