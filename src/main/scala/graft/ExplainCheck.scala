@@ -20,7 +20,8 @@ object ExplainCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (name <- Seq("w_topk_per_group", "t_top_ngrams", "s_ann_topk", "w_last_per_group",
-        "t_stratified_sample", "t_training_mix", "a_mode_per_user")) {
+        "t_stratified_sample", "t_training_mix", "a_mode_per_user",
+        "t_domain_cap")) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.optimizedPlan.toString
       val fired = plan.contains("collect_top_k") || plan.contains("graft_top_k_ordered")

@@ -48,6 +48,8 @@ object SparkEntry {
     "t_leakage_split_near" -> (graft.ops.DataSelection.leakageSplitClustered _),
     // per-source cap through the top-k rewrite (heap, not window skew)
     "t_domain_cap" -> (graft.ops.DataSelection.domainCap _),
+    // codegen NFC normalizer with planted decomposed/composed twins
+    "t_nfc_normalize" -> (TextOps.nfcNormalize _),
     "t_doc_keywords" -> (TextOps.docKeywords _),
     "e_props_json" -> (Events.propsExtract _),
     "j_left_outer_orders" -> (Joins.leftOuterOrders _),
@@ -292,6 +294,7 @@ object SparkEntry {
     // components aren't SQL-replayable; cohesion law is spec-gated
     "t_leakage_split" -> graft.ops.DataSelection.leakageSplitSql,
     "t_domain_cap" -> graft.ops.DataSelection.domainCapSql,
+    "t_nfc_normalize" -> TextOps.nfcNormalizeSql,
     "t_doc_keywords" -> TextOps.docKeywordsSql,
     "e_props_json" -> Events.propsExtractSql,
     "j_left_outer_orders" -> Joins.leftOuterOrdersSql,

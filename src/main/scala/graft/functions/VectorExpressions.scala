@@ -165,6 +165,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_md5_prefix64"),
       new ExpressionInfo(classOf[HashExpressions.Md5Prefix64].getName, "graft_md5_prefix64"),
       (exprs: Seq[Expression]) => HashExpressions.fromExprs(exprs)))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NormalizeExpressions.Nfc].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NormalizeExpressions.Nfc(exprs(0))))
     ext.injectFunction((FunctionIdentifier("graft_bloom_might_contain"),
       new ExpressionInfo(classOf[BloomExpressions.BloomMightContain].getName,
         "graft_bloom_might_contain"),

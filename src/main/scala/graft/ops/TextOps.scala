@@ -187,6 +187,54 @@ object TextOps {
       |WHERE rank <= 5
       |ORDER BY lang, rank""".stripMargin
 
+  /** Unicode NFC normalization audit (`t_normalize_text`) — the
+    * normalize-before-hash stage every web pipeline runs ahead of dedup:
+    * decomposed "e + U+0301" and composed "é" must hash as the same
+    * text, or every encoder's composition choice masquerades as distinct
+    * content. Runs the codegen `graft_nfc` expression
+    * ([[graft.functions.NormalizeExpressions]]) over the corpus and
+    * emits per-doc before/after lengths, a changed flag, and the md5 of
+    * the normalized text — the synthetic corpus is ASCII, so the query
+    * PLANTS a decomposed suffix on doc_id % 7 == 0 and its composed twin
+    * on % 7 == 1 (both engines), making the oracle hash-gate the actual
+    * composition: the decomposed plants must come out changed and one
+    * char shorter, the composed plants untouched. Map-only; the NFC
+    * fast path keeps already-composed text allocation-free. */
+  def nfcNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.NormalizeExpressions.register(spark)
+    val raw = when($"doc_id" % 7 === 0, concat($"text", lit(" cafe\u0301")))
+      .when($"doc_id" % 7 === 1, concat($"text", lit(" caf\u00e9")))
+      .otherwise($"text")
+    Tables.documents(spark, dir)
+      .select($"doc_id", raw.as("raw"))
+      .select($"doc_id", $"raw",
+        length($"raw").cast("long").as("n_before"),
+        graft.functions.NormalizeExpressions.nfc($"raw").as("norm"))
+      .select($"doc_id", $"n_before",
+        length($"norm").cast("long").as("n_after"),
+        ($"raw" =!= $"norm").cast("int").as("changed"),
+        md5($"norm".cast("binary")).as("norm_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val nfcNormalizeSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 7 AS INT)
+      |      WHEN 0 THEN text || ' cafe' || chr(769)
+      |      WHEN 1 THEN text || ' caf' || chr(233)
+      |      ELSE text END AS raw
+      |  FROM documents),
+      |n AS (SELECT doc_id, raw, len(raw) AS n_before,
+      |        nfc_normalize(raw) AS norm FROM raw)
+      |SELECT doc_id, CAST(n_before AS BIGINT) AS n_before,
+      |  CAST(len(norm) AS BIGINT) AS n_after,
+      |  CAST(raw <> norm AS INT) AS changed,
+      |  md5(norm) AS norm_md5
+      |FROM n
+      |ORDER BY doc_id""".stripMargin
+
   /** Deterministic hash sampling: the reproducible train/holdout split a
     * data pipeline needs — membership depends only on (salt, doc_id), so
     * the same 10% sample falls out on any engine, any partitioning, any

@@ -246,6 +246,32 @@ class TextOpsSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() == streamed.size)
   }
 
+  test("NFC normalizer: decomposed recomposes, composed untouched, same hash") {
+    // ids 0 and 7 (% 7 == 0) get the DECOMPOSED suffix, ids 1 and 8
+    // (% 7 == 1) the composed twin; identical base texts make the md5s
+    // directly comparable across the two forms
+    val dir = stageDocs(Seq(
+      0L -> "same base text", 1L -> "same base text",
+      7L -> "other base words", 8L -> "other base words",
+      2L -> "plain ascii only here"))
+    val rows = TextOps.nfcNormalize(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // decomposed plant: one char shorter after NFC, flagged changed
+    assert(rows(0L).getAs[Long]("n_after") == rows(0L).getAs[Long]("n_before") - 1)
+    assert(rows(0L).getAs[Int]("changed") == 1)
+    // composed plant: already NFC — untouched
+    assert(rows(1L).getAs[Int]("changed") == 0)
+    assert(rows(1L).getAs[Long]("n_after") == rows(1L).getAs[Long]("n_before"))
+    // the whole point: both forms normalize to the SAME bytes
+    assert(rows(0L).getAs[String]("norm_md5") == rows(1L).getAs[String]("norm_md5"))
+    assert(rows(7L).getAs[String]("norm_md5") == rows(8L).getAs[String]("norm_md5"))
+    // ascii fast path: untouched
+    assert(rows(2L).getAs[Int]("changed") == 0)
+    // the normalizer is the codegen expression, not a UDF
+    val plan = TextOps.nfcNormalize(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("graft_nfc"), s"expected graft_nfc in plan:\n${plan.take(1200)}")
+  }
+
   test("span scrub reconstruction is linear: a fully-covered 20k-token doc") {
     // two identical 20k-token docs: every window is duplicated, so the
     // covered array spans the whole doc — the O(n·|cov|) form took ~4·10⁸
