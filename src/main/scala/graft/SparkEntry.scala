@@ -50,6 +50,8 @@ object SparkEntry {
     "t_domain_cap" -> (graft.ops.DataSelection.domainCap _),
     // codegen NFC normalizer with planted decomposed/composed twins
     "t_nfc_normalize" -> (TextOps.nfcNormalize _),
+    // exact dedup over NFC-normalized bytes: composition variants collapse
+    "t_dedup_nfc" -> (TextOps.dedupNfc _),
     "t_doc_keywords" -> (TextOps.docKeywords _),
     "e_props_json" -> (Events.propsExtract _),
     "j_left_outer_orders" -> (Joins.leftOuterOrders _),
@@ -295,6 +297,7 @@ object SparkEntry {
     "t_leakage_split" -> graft.ops.DataSelection.leakageSplitSql,
     "t_domain_cap" -> graft.ops.DataSelection.domainCapSql,
     "t_nfc_normalize" -> TextOps.nfcNormalizeSql,
+    "t_dedup_nfc" -> TextOps.dedupNfcSql,
     "t_doc_keywords" -> TextOps.docKeywordsSql,
     "e_props_json" -> Events.propsExtractSql,
     "j_left_outer_orders" -> Joins.leftOuterOrdersSql,

@@ -235,6 +235,52 @@ object TextOps {
       |FROM n
       |ORDER BY doc_id""".stripMargin
 
+  /** NFC-aware exact dedup (`t_dedup_nfc`) — [[dedupExact]] with
+    * [[graft.functions.NormalizeExpressions.nfc]] applied before the
+    * hash: two encoders' composition choices (decomposed "e + U+0301" vs
+    * composed "é") are the SAME document, and a byte-hash dedup silently
+    * keeps both copies. Planted twins (doc_id < 5 gain a decomposed
+    * suffix; their +2⁶² twins the composed form, both engines) make the
+    * gate discriminative on the ASCII corpus: each planted pair
+    * collapses to one group here while byte dedup sees ten distinct
+    * texts (spec-pinned control). Same map-combinable one-aggregate
+    * shape as exact dedup — the normalizer adds a codegen-resident scan
+    * pass, nothing to the shuffle. */
+  def dedupNfc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.NormalizeExpressions.register(spark)
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = base
+      .withColumn("raw",
+        when($"doc_id" < 5, concat($"text", lit(" cafe\u0301")))
+          .otherwise($"text"))
+      .select($"doc_id", $"raw")
+      .unionByName(base.filter($"doc_id" < 5)
+        .select(($"doc_id" + graft.dedup.Dedup.ContainIdBase).as("doc_id"),
+          concat($"text", lit(" caf\u00e9")).as("raw")))
+    corpus
+      .groupBy(md5(graft.functions.NormalizeExpressions.nfc($"raw")
+        .cast("binary")).as("text_hash"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies")
+      .orderBy($"keep_id")
+  }
+
+  val dedupNfcSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id < 5 THEN text || ' cafe' || chr(769)
+       |         ELSE text END AS raw
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${graft.dedup.Dedup.ContainIdBase} AS doc_id,
+       |    text || ' caf' || chr(233) AS raw
+       |  FROM documents WHERE doc_id < 5)
+       |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM corpus
+       |GROUP BY md5(nfc_normalize(raw))
+       |ORDER BY keep_id""".stripMargin
+
   /** Deterministic hash sampling: the reproducible train/holdout split a
     * data pipeline needs — membership depends only on (salt, doc_id), so
     * the same 10% sample falls out on any engine, any partitioning, any

@@ -272,6 +272,37 @@ class TextOpsSpec extends SparkTestBase {
     assert(plan.contains("graft_nfc"), s"expected graft_nfc in plan:\n${plan.take(1200)}")
   }
 
+  test("NFC dedup collapses composition variants that byte dedup keeps apart") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextOps.dedupNfc(spark, sfDir).collect()
+    val byKeep = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each planted pair (doc < 5, twin at +2^62) collapses to one group
+    (0L until 5L).foreach { d =>
+      assert(byKeep(d) == 2L, s"planted pair for doc $d must collapse: ${byKeep(d)}")
+    }
+    // the twins never survive as their own keepers
+    assert((0L until 5L).forall(d =>
+      !byKeep.contains(d + graft.dedup.Dedup.ContainIdBase)))
+    // control: BYTE-hash dedup on the same planted corpus keeps all ten
+    val nGroupsNfc = rows.length
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = base
+      .withColumn("raw", org.apache.spark.sql.functions.when(col("doc_id") < 5,
+          org.apache.spark.sql.functions.concat(col("text"),
+            org.apache.spark.sql.functions.lit(" cafe\u0301")))
+        .otherwise(col("text")))
+      .select(col("doc_id"), col("raw"))
+      .unionByName(base.filter(col("doc_id") < 5)
+        .select((col("doc_id") + graft.dedup.Dedup.ContainIdBase).as("doc_id"),
+          org.apache.spark.sql.functions.concat(col("text"),
+            org.apache.spark.sql.functions.lit(" caf\u00e9")).as("raw")))
+    val byteGroups = corpus
+      .groupBy(org.apache.spark.sql.functions.md5(col("raw").cast("binary")))
+      .count().count()
+    assert(byteGroups == nGroupsNfc + 5,
+      s"byte dedup must keep the 5 planted pairs apart: $byteGroups vs $nGroupsNfc")
+  }
+
   test("span scrub reconstruction is linear: a fully-covered 20k-token doc") {
     // two identical 20k-token docs: every window is duplicated, so the
     // covered array spans the whole doc — the O(n·|cov|) form took ~4·10⁸
