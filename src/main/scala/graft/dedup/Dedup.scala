@@ -366,6 +366,10 @@ object Dedup {
                            sets: => DataFrame,
                            candsOf: DataFrame => DataFrame)
       : (DataFrame, DataFrame) = {
+    // reap predecessors first: dead processes' pid-suffixed copies would
+    // otherwise accrete in the shared warehouse forever (and hold a
+    // taken-down doc's rows past the takedown)
+    graft.sources.Store.sweepDeadProcessTables(spark)
     val (setsName, candsName) = bucketedTableNames(dir, kind)
     Seq(setsName, candsName).foreach { t =>
       graft.sources.Store.registerDerived(s"$dir/documents.parquet", t) { () =>

@@ -11,12 +11,18 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Static Unicode-normalization kernel invoked from generated code (the
   * [[HashUtil]] static-forwarder pattern). */
 object NormalizeUtil {
-  /** Canonical composition (Unicode NFC). The `isNormalized` probe keeps
-    * the overwhelmingly common case — ASCII and already-composed text —
-    * allocation-free (a pure scan of the char array): at 100 TB the
-    * normalizer sits in front of EVERY hash-based dedup stage, so the
-    * fast path is the path. */
+  /** Canonical composition (Unicode NFC). Two fast paths, because at
+    * 100 TB the normalizer sits in front of EVERY hash-based dedup stage
+    * so the common case IS the cost: (1) pure ASCII — a raw byte scan of
+    * the UTF8String, no String ever allocated (all bytes < 0x80 ⇒ NFC by
+    * definition); (2) non-ASCII but already composed — one decoded copy
+    * for the `isNormalized` probe, returned as-is. Only genuinely
+    * decomposed text pays the normalize. */
   def nfc(s: UTF8String): UTF8String = {
+    var i = 0
+    val n = s.numBytes
+    while (i < n && s.getByte(i) >= 0) i += 1
+    if (i == n) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

@@ -556,10 +556,14 @@ object DataSelection {
     import spark.implicits._
     val txt = $"text"
     val nChars = greatest(length(txt), lit(1)).cast("double")
-    val nSpaces = length(txt) - length(regexp_replace(txt, " ", ""))
+    // long math BEFORE the multiply: length() is IntegerType and a web
+    // document with > ~214k spaces overflows int at ×10000 — wrapping
+    // prose_bp negative, corrupting the folded rank key, and diverging
+    // from the oracle's double arithmetic
+    val nSpaces = (length(txt) - length(regexp_replace(txt, " ", ""))).cast("long")
     val scored = Tables.documents(spark, dir)
       .select($"doc_id", $"source",
-        floor(nSpaces * lit(10000) / nChars).cast("long").as("prose_bp"))
+        floor(nSpaces * lit(10000L) / nChars).cast("long").as("prose_bp"))
       .withColumn("ck", (lit(10000L) - $"prose_bp") * lit(1L << 43) + $"doc_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"ck")

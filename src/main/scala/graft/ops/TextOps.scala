@@ -63,15 +63,17 @@ object TextOps {
     // greatest(len, 1): an empty document must score 0, not NULL —
     // divide-by-zero yields null in Spark but must match DuckDB exactly.
     val nChars = greatest(length(txt), lit(1)).cast("double")
-    val nDigits = length(txt) - length(regexp_replace(txt, "[0-9]", ""))
-    val nUpper = length(txt) - length(regexp_replace(txt, "[A-Z]", ""))
-    val nSpaces = length(txt) - length(regexp_replace(txt, " ", ""))
+    // long math BEFORE the multiply: int counts × 10000 wrap negative
+    // past ~214k matching chars (the oracle's double arithmetic doesn't)
+    val nDigits = (length(txt) - length(regexp_replace(txt, "[0-9]", ""))).cast("long")
+    val nUpper = (length(txt) - length(regexp_replace(txt, "[A-Z]", ""))).cast("long")
+    val nSpaces = (length(txt) - length(regexp_replace(txt, " ", ""))).cast("long")
     Tables.documents(spark, dir)
       .select($"doc_id",
         length(txt).cast("long").as("n_chars"),
-        floor(nDigits * lit(10000) / nChars).cast("long").as("digit_bp"),
-        floor(nUpper * lit(10000) / nChars).cast("long").as("upper_bp"),
-        floor(nSpaces * lit(10000) / nChars).cast("long").as("space_bp"))
+        floor(nDigits * lit(10000L) / nChars).cast("long").as("digit_bp"),
+        floor(nUpper * lit(10000L) / nChars).cast("long").as("upper_bp"),
+        floor(nSpaces * lit(10000L) / nChars).cast("long").as("space_bp"))
       .orderBy($"doc_id")
   }
 
@@ -780,6 +782,21 @@ object TextOps {
     * doc_id < 2⁴³; the product cannot overflow int64. */
   val SelfDedupEncBase = 1L << 20
 
+  /** Enforce the [[SelfDedupEncBase]] bound LOUDLY: a doc with ≥ 2²⁰
+    * windows would spill its occurrence keys into the next doc's range
+    * and silently corrupt first-occurrence ownership. A filter (not an
+    * unused assert column, which column pruning would drop) so the check
+    * cannot be optimized away. */
+  private def encBoundGuard(toks: DataFrame): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    toks.filter(
+      when($"n".cast("long") - ScrubGram >= SelfDedupEncBase,
+        raise_error(concat(lit("self-dedup: document "), $"doc_id",
+          lit(s" exceeds the 2^20-window encoding bound ($SelfDedupEncBase)"))))
+        .otherwise(lit(true)))
+  }
+
   /** Corpus-internal duplicate-span removal (`t_selfdedup_scrub`) — the
     * ExactSubstr dedup of Lee et al., "Deduplicating Training Data Makes
     * Language Models Better" (2022), re-expressed window-wise: any
@@ -803,7 +820,7 @@ object TextOps {
     * them through a broadcast exactly like [[spanScrubGuarded]]. */
   def selfDedupScrub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = scrubToks(spark, dir)
+    val toks = encBoundGuard(scrubToks(spark, dir))
     val grams = gramWindows(toks).persist()
     val owners = grams.groupBy($"g")
       .agg(min($"doc_id" * SelfDedupEncBase + $"j").as("own"),
@@ -823,7 +840,7 @@ object TextOps {
     * TextOpsSpec pins it on a planted mega-hot corpus. */
   def selfDedupScrubGuarded(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = scrubToks(spark, dir)
+    val toks = encBoundGuard(scrubToks(spark, dir))
     val grams = gramWindows(toks).persist()
     val owners = grams.groupBy($"g")
       .agg(min($"doc_id" * SelfDedupEncBase + $"j").as("own"),
@@ -889,7 +906,7 @@ object TextOps {
   def selfDedupAdmitBatch(batch: DataFrame, storeDir: String): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val toks = scrubToksOf(batch)
+    val toks = encBoundGuard(scrubToksOf(batch))
     val wins = gramWindows(toks)
       .withColumn("k", $"doc_id" * SelfDedupEncBase + $"j").persist()
     val bmin = wins.groupBy($"g").agg(min($"k").as("bown"))
@@ -935,8 +952,14 @@ object TextOps {
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
     val maxId = docs.agg(max($"doc_id")).head().getLong(0)
     val width = maxId / 3 + 1
-    val storeDir = java.nio.file.Files
-      .createTempDirectory("selfdedup_store").toString
+    // the managed wiped-per-call scratch dir, NOT a fresh temp dir per
+    // invocation: the store is corpus-sized ((g, own, own_doc) per
+    // distinct window) and this query runs in bench/verify/scale loops —
+    // the exact leak class the gram index's incrementalServe fixed
+    val storeDir = graft.similarity.Ann.scratchDir(dir, "selfdedup-store")
+    graft.similarity.Ann.withBuildLock(new java.io.File(storeDir)) {
+      graft.similarity.Ann.resetScratch(storeDir)
+    }
     val parts = (0L until 3L).map { i =>
       selfDedupAdmitBatch(
         docs.filter($"doc_id" >= i * width && $"doc_id" < (i + 1) * width),

@@ -1094,8 +1094,15 @@ object Ann {
     * stale index (AnnIndexSpec pins the takedown case). Results are
     * pinned identical to the inline paths (AnnSpec), so the same oracle
     * SQL gates both. */
+  /** The leading generation tag must change whenever the FORMAT of any
+    * persisted index artifact changes, not just its parameters — v2 is
+    * the r10 gram-hash widening (gramSets keeps the full 60-bit md5
+    * prefix instead of reducing mod 2³¹−1): a pre-widening cached gram
+    * index has the same parameters and the same corpus files, so without
+    * the tag it would be served as fresh while silently carrying the old
+    * collision-prone postings. */
   private def trainingFingerprint: String =
-    s"v1-d$Dim-q$QuantScale-m$PqM-k$PqK-p$IvfProbes-r$PqRerankN-t$PqTopN-a$AnnQueryIds"
+    s"v2-d$Dim-q$QuantScale-m$PqM-k$PqK-p$IvfProbes-r$PqRerankN-t$PqTopN-a$AnnQueryIds"
 
   /** Fingerprint of the corpus DATA the index serves: every visible file
     * under the embeddings table folded as (relative path, length, mtime)
@@ -1172,6 +1179,20 @@ object Ann {
     * live here and be covered by the caller's critical section too). */
   private[graft] def scratchDir(dir: String, kind: String): String = {
     val pid = ProcessHandle.current().pid()
+    // reap DEAD processes' scratch copies on the way in: the pid suffix
+    // fixed the cross-JVM clobber race, but each JVM would otherwise
+    // leave one full index copy in the cache root forever — the
+    // unbounded-growth failure the fixed path originally eliminated,
+    // just relocated. Scratch names are the only `-p<pid>-` entries
+    // under the cache root (cached index entries never carry the tag).
+    val re = "-p(\\d+)-".r
+    Option(new java.io.File(s"$cacheRoot/graft-ann-index").listFiles())
+      .getOrElse(Array.empty).toSeq.filter(_.isDirectory)
+      .flatMap(d => re.findFirstMatchIn(d.getName).map(m => d -> m.group(1).toLong))
+      .filter { case (_, p) =>
+        p != pid && { val h = ProcessHandle.of(p); !(h.isPresent && h.get.isAlive) }
+      }
+      .foreach { case (d, _) => withBuildLock(d)(deleteLocal(d)) }
     new java.io.File(cachedIndexDir(dir, s"$kind-p$pid")).getPath
   }
 
@@ -1216,10 +1237,16 @@ object Ann {
                          (build: String => Unit): String = {
     // retention rides the store's own vacuum (r10): the first pinned
     // entry for a root wires `VersionedStore.vacuum(root, keepLast)` to
-    // the cache's horizon rule through the Store registry — one call
-    // governs manifests AND their derived index copies
+    // the cache through the Store registry — one call governs manifests
+    // AND their derived index copies. The hook fires AFTER the manifests
+    // are dropped, so the surviving manifest list IS the retained set:
+    // an entry whose version lost its manifest can never serve a
+    // legitimate readAt again, regardless of how many NEWER versions
+    // happen to be cached (the keepLast-of-cached rule got that wrong
+    // for roots pinned only at old versions)
     graft.sources.Store.registerVacuumHook(vroot, s"ann-index-cache")(
-      keepLast => vacuumIndexCache(vroot, keepLast))
+      _ => vacuumIndexCacheRetain(vroot,
+        graft.sources.VersionedStore.versions(spark, vroot).toSet))
     val entry = new java.io.File(cachedIndexDir(s"$vroot@v$version", kind))
     val path = ensureFresh(
       entry,
@@ -1280,6 +1307,36 @@ object Ann {
         }
       }
     val keepVers = entries.map(_._2).distinct.sorted.takeRight(keepLast).toSet
+    reapEntries(entries, keepVers, minIdleMillis)
+  }
+
+  /** [[vacuumIndexCache]] with the retained set given EXPLICITLY — the
+    * form the store's own vacuum wires up: an entry is retained iff its
+    * version still has a manifest. The keepLast form above keys on the
+    * newest-k of the CACHED versions, which is right for manual cache
+    * pruning but wrong as the store hook — indexes pinned only at old
+    * versions would survive every vacuum while `readAt` of their
+    * versions can never succeed again. */
+  def vacuumIndexCacheRetain(vroot: String, retained: Set[Long],
+                             minIdleMillis: Long = 0L): Seq[String] = {
+    val root = new java.io.File(s"$cacheRoot/graft-ann-index")
+    val entries = Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory)
+      .flatMap { d =>
+        val vpin = new java.io.File(d, "_vpin")
+        if (!vpin.exists()) None
+        else new String(java.nio.file.Files.readAllBytes(vpin.toPath),
+          "UTF-8").split("\n", 2) match {
+          case Array(r, v) if r == vroot => v.trim.toLongOption.map(d -> _)
+          case _ => None
+        }
+      }
+    reapEntries(entries, retained, minIdleMillis)
+  }
+
+  private def reapEntries(entries: Seq[(java.io.File, Long)],
+                          keepVers: Set[Long],
+                          minIdleMillis: Long): Seq[String] = {
     val idleFloor = System.currentTimeMillis() - minIdleMillis
     val victims = entries.filterNot { case (d, v) =>
       keepVers(v) ||

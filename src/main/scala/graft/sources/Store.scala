@@ -150,6 +150,40 @@ object Store {
   def processTable(name: String): String =
     s"${name}_p${ProcessHandle.current().pid()}"
 
+  private def deleteDir(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteDir)
+    f.delete(); ()
+  }
+
+  /** Reap warehouse directories left behind by DEAD processes'
+    * [[processTable]] names. The pid suffix fixes the cross-JVM
+    * drop-and-recreate race but moves the cleanup burden here: the
+    * in-memory catalog dies with its process while the parquet data
+    * stays, so without a sweep every run permanently leaks a bucketed
+    * corpus copy — and a taken-down document's derived rows would
+    * outlive the takedown inside dead-pid tables that no process-local
+    * registry hook can reach. Called from every bucketed-pair
+    * materialization (one listdir — cheap), so any new writer reaps its
+    * predecessors; crash-killed processes are covered because liveness
+    * is probed via ProcessHandle, not lockfiles. */
+  def sweepDeadProcessTables(spark: SparkSession): Seq[String] = {
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val re = "_p(\\d+)$".r
+    val self = ProcessHandle.current().pid()
+    val victims = Option(wh.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory)
+      .flatMap(d => re.findFirstMatchIn(d.getName).map(m => d -> m.group(1).toLong))
+      .filter { case (_, pid) =>
+        pid != self && {
+          val h = ProcessHandle.of(pid)
+          !(h.isPresent && h.get.isAlive)
+        }
+      }
+    victims.foreach { case (d, _) => deleteDir(d) }
+    victims.map(_._1.getName).sorted
+  }
+
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     nBuckets: Int): Unit = {
     val spark = df.sparkSession

@@ -299,6 +299,26 @@ class DataSelectionSpec extends SparkTestBase {
     }
   }
 
+  test("domain cap: a 250k-space document keeps prose_bp in range (no int wrap)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("dcap_big").toString
+    // > ~214k spaces wrapped the int ×10000 product negative before the
+    // long fix, corrupting prose_bp and the folded rank key
+    val big = ("word " * 250000).trim
+    (Seq((1L, big)) ++ (2L to 30L).map(i => (i, s"doc number $i text here")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("webx"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.ops.DataSelection.domainCap(spark, dir).collect()
+    val bigRow = rows.find(_.getLong(0) == 1L).get
+    val bp = bigRow.getAs[Long]("prose_bp")
+    assert(bp >= 0 && bp <= 10000, s"prose_bp out of range: $bp")
+    // "word " is exactly 1 space per 5 chars minus the trailing trim
+    assert(bp == 1999L, s"expected 1999 bp, got $bp")
+  }
+
   test("leakage split: exact-dup groups never straddle a split boundary") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -472,6 +472,25 @@ class StoreSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("dead-process pid-suffixed tables are swept; live ones survive") {
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    wh.mkdirs()
+    // a dead process's leftover (pid 999999999 cannot be alive) and this
+    // process's own live table directory
+    val dead = new java.io.File(wh, "graft_test_sets_abc123_p999999999")
+    dead.mkdirs()
+    new java.io.File(dead, "part-0.parquet").createNewFile()
+    val live = new java.io.File(wh,
+      Store.processTable("graft_test_sets_def456"))
+    live.mkdirs()
+    val swept = Store.sweepDeadProcessTables(spark)
+    assert(swept.contains(dead.getName), s"dead-pid table must be reaped: $swept")
+    assert(!dead.exists(), "dead-pid table directory must be deleted")
+    assert(live.isDirectory, "the current process's table must survive")
+    live.delete()
+  }
+
   test("same-bucketed join plans with zero exchanges") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sfDir)

@@ -303,6 +303,21 @@ class TextOpsSpec extends SparkTestBase {
       s"byte dedup must keep the 5 planted pairs apart: $byteGroups vs $nGroupsNfc")
   }
 
+  test("self-dedup refuses a document past the 2^20-window encoding bound") {
+    // silently spilling occurrence keys into the next doc's range would
+    // corrupt first-occurrence ownership — the guard must fail loudly
+    val big = (0 until (1 << 20) + TextOps.ScrubGram).map(i => "w").mkString(" ")
+    val dir = stageDocs(Seq(1L -> big, 2L -> "small doc here"))
+    val e = intercept[Exception] {
+      TextOps.selfDedupScrub(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("encoding bound")),
+      s"expected the bound error, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("span scrub reconstruction is linear: a fully-covered 20k-token doc") {
     // two identical 20k-token docs: every window is duplicated, so the
     // covered array spans the whole doc — the O(n·|cov|) form took ~4·10⁸

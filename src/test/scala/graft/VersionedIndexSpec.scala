@@ -122,6 +122,24 @@ class VersionedIndexSpec extends SparkTestBase {
       "without the grace the horizon rule reaps it")
   }
 
+  test("store vacuum reaps dead-manifest entries even when nothing newer is cached") {
+    // the r10 review gap: indexes pinned ONLY at old versions are the
+    // "newest cached" set, but their manifests are gone — readAt of their
+    // versions can never succeed again, so the hook must reap them (the
+    // keepLast-of-cached rule kept them forever)
+    val emb = Tables.embeddings(spark, sfDir)
+    val vroot = tmp("vidx_stale")
+    val vs = (0 to 3).map(i =>
+      VersionedStore.commitAppend(emb.filter(col("vec_id") % 4 === i), vroot))
+    Seq(vs(0), vs(1)).foreach(v => Ann.pqTopKCachedAt(spark, vroot, v).collect())
+    def entry(v: Long) = new java.io.File(Ann.cachedIndexDir(s"$vroot@v$v", "pq"))
+    assert(entry(vs(0)).isDirectory && entry(vs(1)).isDirectory)
+    VersionedStore.vacuum(spark, vroot, keepLast = 2) // retains vs(2), vs(3)
+    assert(VersionedStore.versions(spark, vroot) == vs.takeRight(2))
+    assert(!entry(vs(0)).exists() && !entry(vs(1)).exists(),
+      "entries for dropped manifests must be reaped even as the newest cached")
+  }
+
   test("bm25: v1-pinned serve survives a v2 commit, equals inline over readAt(v1)") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val vroot = tmp("vidx_bm25")
