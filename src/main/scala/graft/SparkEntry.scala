@@ -46,6 +46,10 @@ object SparkEntry {
     // group-cohesive split: dup groups never straddle train/val/test
     "t_leakage_split" -> (graft.ops.DataSelection.leakageSplit _),
     "t_leakage_split_near" -> (graft.ops.DataSelection.leakageSplitClustered _),
+    // the near split's cohesion law as a GATED answer: DuckDB replays the
+    // clusters + split rule and independently verifies zero cross-split
+    // verified-dup pairs
+    "t_leakage_split_gate" -> (graft.ops.DataSelection.leakageSplitGate _),
     // per-source cap through the top-k rewrite (heap, not window skew)
     "t_domain_cap" -> (graft.ops.DataSelection.domainCap _),
     // codegen NFC normalizer with planted decomposed/composed twins
@@ -198,7 +202,12 @@ object SparkEntry {
     "g_copurchase_rank" -> (graft.ops.Graph.copurchaseRank _),
     // personalized PageRank: restart mass on one seed (recommender form)
     "g_personalized_rank" -> (graft.ops.Graph.personalizedRank _),
+    // r11: the DEFAULT gram-family entries serve through the bucketed
+    // layout (reuse = true — build once per process, then pure serve);
+    // the `_inline` twins keep the layout-free form oracle-green and the
+    // `_bucketed` twins measure a layout-fresh rebuild each run
     "d_ngram_jaccard" -> (graft.dedup.Dedup.ngramJaccard _),
+    "d_ngram_inline" -> (graft.dedup.Dedup.ngramJaccardInline _),
     "d_ngram_jaccard_fast" -> (graft.dedup.Dedup.ngramJaccardFast _),
     "d_ngram_bucketed" -> ((s, dir) => graft.dedup.Dedup.ngramJaccardBucketedAttach(s, dir)),
     "d_ngram_incremental" -> (graft.dedup.NgramIndex.incrementalServe _),
@@ -206,6 +215,7 @@ object SparkEntry {
     // asymmetric-overlap dedup: |A∩B|/min — catches excerpts/quotes
     // that symmetric Jaccard structurally misses (planted both engines)
     "d_containment" -> (graft.dedup.Dedup.containment _),
+    "d_containment_inline" -> (graft.dedup.Dedup.containmentInline _),
     "d_containment_bucketed" -> ((s, dir) => graft.dedup.Dedup.containmentBucketedAttach(s, dir)),
     "j_fuzzy_names" -> (Joins.fuzzyNameMatch _),
     "t_dq_audit" -> (Quality.dqAudit _),
@@ -295,6 +305,7 @@ object SparkEntry {
     // near-dup variant (t_leakage_split_near) is rows-only: connected
     // components aren't SQL-replayable; cohesion law is spec-gated
     "t_leakage_split" -> graft.ops.DataSelection.leakageSplitSql,
+    "t_leakage_split_gate" -> graft.ops.DataSelection.leakageSplitGateSql,
     "t_domain_cap" -> graft.ops.DataSelection.domainCapSql,
     "t_nfc_normalize" -> TextOps.nfcNormalizeSql,
     "t_dedup_nfc" -> TextOps.dedupNfcSql,
@@ -397,14 +408,17 @@ object SparkEntry {
     "g_copurchase_rank" -> graft.ops.Graph.copurchaseRankSql,
     "g_personalized_rank" -> graft.ops.Graph.personalizedRankSql,
     "d_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccardSql,
-    // the bucketed attach is gated by the UNMODIFIED inline SQL: the hash
-    // proves the exchange-free layout changes the plan, not the answer
+    "d_ngram_inline" -> graft.dedup.Dedup.ngramJaccardSql,
+    // the bucketed attach is gated by the SAME SQL as the inline form:
+    // the hash proves the exchange-free layout changes the plan (which
+    // d_ngram_jaccard now serves by default), not the answer
     "d_ngram_bucketed" -> graft.dedup.Dedup.ngramJaccardSql,
     "d_ngram_incremental" -> graft.dedup.Dedup.ngramJaccardSql,
     "d_ngram_indexed" -> graft.dedup.Dedup.ngramJaccardSql,
     "d_containment" -> graft.dedup.Dedup.containmentSql,
+    "d_containment_inline" -> graft.dedup.Dedup.containmentSql,
     // bucketed attach changes the LAYOUT, not the answer: gated by the
-    // unmodified inline SQL, like d_ngram_bucketed
+    // same SQL, like d_ngram_bucketed
     "d_containment_bucketed" -> graft.dedup.Dedup.containmentSql,
     "j_fuzzy_names" -> Joins.fuzzyNameMatchSql,
     "t_dq_audit" -> Quality.dqAuditSql,

@@ -46,6 +46,24 @@ object Dedup {
       sh => graft.functions.HashExpressions.md5Prefix64(sh, 15) % P)
   }
 
+  /** The canonical text every near-dup hash family hashes: Unicode NFC
+    * first (T24's normalize-before-hash rule — decomposed "e + U+0301"
+    * and composed "é" must produce the SAME shingles/grams/simhash
+    * votes, or composition variants evade near-dup detection exactly as
+    * they evaded byte-exact dedup), then lowercase. Until r11 only the
+    * EXACT dedup path normalized; the hash families worked on raw
+    * bytes. The codegen `graft_nfc` has an allocation-free ASCII fast
+    * path, so on the common case this costs one byte scan riding the
+    * scan projection. Oracle lockstep: every twin SQL applies DuckDB's
+    * `nfc_normalize` at the same spot ([[canonTextSql]]). */
+  private[dedup] def canonText(docs: DataFrame): Column = {
+    graft.functions.NormalizeExpressions.register(docs.sparkSession)
+    lower(graft.functions.NormalizeExpressions.nfc(col("text")))
+  }
+
+  /** DuckDB twin of [[canonText]]. */
+  private[dedup] val canonTextSql: String = "lower(nfc_normalize(text))"
+
   /** Production fast path: xxhash64 (Spark-native, codegen, ~an order of
     * magnitude cheaper than any md5 form) — NOT oracle-comparable (DuckDB
     * has no xxhash64), so it ships as a rows-only-checked query and the
@@ -56,9 +74,9 @@ object Dedup {
 
   private def shingleTable(docs: DataFrame, hasher: Column => Column): DataFrame =
     docs
-      // hoist lower(text) out of the transform lambda: inside it, the
-      // expression re-evaluates per element → O(len²) per document
-      .withColumn("lt", lower(col("text")))
+      // hoist the canonical text out of the transform lambda: inside it,
+      // the expression re-evaluates per element → O(len²) per document
+      .withColumn("lt", canonText(docs))
       .withColumn("shingle", explode(expr(
         s"transform(sequence(1, greatest(length(lt) - ${K - 1}, 1))," +
           s" i -> substring(lt, i, $K))")))
@@ -74,7 +92,7 @@ object Dedup {
     graft.functions.ShingleExpressions.register(docs.sparkSession)
     docs.select(col("doc_id"),
       graft.functions.ShingleExpressions
-        .shingleSet(lower(col("text")), K, 15, P, algo).as("hs"))
+        .shingleSet(canonText(docs), K, 15, P, algo).as("hs"))
   }
 
   /** Doc → NumHashes minhash signature values. All m mins come from one
@@ -219,9 +237,9 @@ object Dedup {
     s"""SELECT doc_id,
        |  (CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % $P) AS h
        |FROM (
-       |  SELECT doc_id, substring(lower(text), i, $K) AS shingle
+       |  SELECT doc_id, substring($canonTextSql, i, $K) AS shingle
        |  FROM documents,
-       |       UNNEST(range(1, greatest(len(lower(text)) - ${K - 1}, 1) + 1)) AS t(i))""".stripMargin
+       |       UNNEST(range(1, greatest(len($canonTextSql) - ${K - 1}, 1) + 1)) AS t(i))""".stripMargin
 
   private[dedup] def sigSql: String = {
     val aggs = (0 until NumHashes).map { j =>
@@ -319,7 +337,7 @@ object Dedup {
     * bit-identical to [[lshJaccard]] — same oracle SQL gates both.
     * PlanSpec pins the exchange counts. */
   def lshJaccardBucketedAttach(spark: SparkSession, dir: String,
-                               nBuckets: Int = 8,
+                               nBuckets: Int = -1,
                                reuse: Boolean = false): DataFrame = {
     graft.functions.ShingleExpressions.register(spark)
     val (setsT, candsT) = bucketedPair(spark, dir, "d3", nBuckets, reuse,
@@ -361,11 +379,66 @@ object Dedup {
       graft.sources.Store.processTable(s"graft_${kind}_cands_$h"))
   }
 
+  /** Target on-disk bytes of SOURCE TEXT per bucket of the derived
+    * gram/shingle-set layout (the set arrays are ~the text's size: 8 B
+    * per distinct shingle/gram). 64 MB keeps bucket files in parquet's
+    * comfortable range while the bucket COUNT grows linearly with the
+    * corpus — the D7e lesson (any fixed count caps write and SMJ
+    * parallelism at toy scale). */
+  val BucketTargetBytes: Long = 64L * 1024 * 1024
+  /** Upper clamp on the derived count: past ~200k buckets the metastore
+    * listing and per-bucket file count dominate; at that count a 100 TB
+    * corpus still lands ~500 MB per bucket. */
+  val MaxDerivedBuckets = 200000
+
+  /** Corpus-derived bucket count: ceil(bytes / [[BucketTargetBytes]]),
+    * floored at max(8, cluster default parallelism) so small corpora
+    * keep full write/SMJ parallelism, clamped at [[MaxDerivedBuckets]].
+    * Pure derivation split out for the spec. */
+  private[graft] def bucketsForBytes(bytes: Long, parallelism: Int): Int = {
+    val byData = (bytes + BucketTargetBytes - 1) / BucketTargetBytes
+    math.min(MaxDerivedBuckets.toLong,
+      math.max(math.max(8, parallelism).toLong, byData)).toInt
+  }
+
+  /** [[bucketsForBytes]] over the documents table's actual file listing
+    * (a pure LISTING pass — the Ann.dataFingerprint device, no data
+    * read). This is the DEFAULT for every bucketed-attach entry point:
+    * the API previously shipped a fixed `nBuckets = 8`, which SURVEY
+    * D4d-b itself calls "the D7e fixed-bucket mistake in layout form" —
+    * production callers got the toy default unless they remembered to
+    * scale it. */
+  private[graft] def bucketsForCorpus(spark: SparkSession, dir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(root).getLength
+    bucketsForBytes(bytes, spark.sparkContext.defaultParallelism)
+  }
+
+  /** Build counter for the bucketed-pair tables (spec observability:
+    * the corpus-fingerprint freshness rule below must REBUILD on corpus
+    * change and SKIP on a clean reuse hit). */
+  private[graft] val bucketedBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** In-JVM freshness registry for `reuse = true`: table name → the
+    * corpus dataFingerprint it was built from. The tables are
+    * pid-suffixed (no cross-JVM reuse exists by construction), so a
+    * process-local map IS the complete freshness story — the r10 form
+    * keyed reuse on bare existence, which kept serving stale sets after
+    * an in-place corpus rewrite (append, regeneration) that
+    * Store.deleteKeys' drop hooks never see. */
+  private val bucketedFingerprints =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def bucketedPair(spark: SparkSession, dir: String, kind: String,
                            nBuckets: Int, reuse: Boolean,
                            sets: => DataFrame,
                            candsOf: DataFrame => DataFrame)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) = synchronized {
+    // the whole check-and-build is serialized JVM-wide: Verify's query
+    // pool can hit one (kind, corpus) pair from two threads, and
+    // writeBucketed's drop-and-recreate is not self-concurrent. Builds
+    // are the rare path; serve hits only pay the map lookup.
+    //
     // reap predecessors first: dead processes' pid-suffixed copies would
     // otherwise accrete in the shared warehouse forever (and hold a
     // taken-down doc's rows past the takedown)
@@ -373,15 +446,21 @@ object Dedup {
     val (setsName, candsName) = bucketedTableNames(dir, kind)
     Seq(setsName, candsName).foreach { t =>
       graft.sources.Store.registerDerived(s"$dir/documents.parquet", t) { () =>
-        spark.sql(s"DROP TABLE IF EXISTS $t"); ()
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        bucketedFingerprints.remove(t); ()
       }
     }
+    val want = graft.similarity.Ann.dataFingerprint(spark, dir, "documents.parquet")
     val have = reuse && spark.catalog.tableExists(setsName) &&
-      spark.catalog.tableExists(candsName)
+      spark.catalog.tableExists(candsName) &&
+      bucketedFingerprints.get(setsName).contains(want)
     if (!have) {
-      graft.sources.Store.writeBucketed(sets, setsName, "doc_id", nBuckets)
+      val nb = if (nBuckets > 0) nBuckets else bucketsForCorpus(spark, dir)
+      graft.sources.Store.writeBucketed(sets, setsName, "doc_id", nb)
       graft.sources.Store.writeBucketed(
-        candsOf(spark.table(setsName)), candsName, "doc_a", nBuckets)
+        candsOf(spark.table(setsName)), candsName, "doc_a", nb)
+      bucketedFingerprints.put(setsName, want)
+      bucketedBuilds.incrementAndGet()
     }
     (spark.table(setsName), spark.table(candsName))
   }
@@ -484,7 +563,7 @@ object Dedup {
     graft.functions.ShingleExpressions.register(docs.sparkSession)
     graft.functions.HashExpressions.register(docs.sparkSession)
     docs
-      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("toks", split(trim(canonText(docs)), "\\s+"))
       .withColumn("gs", expr(
         s"""CASE WHEN size(toks) >= $NgramN THEN
            |  array_sort(array_distinct(transform(
@@ -500,7 +579,7 @@ object Dedup {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val excerpts = docs.filter(col("doc_id") < 5)
       .select((col("doc_id") + ContainIdBase).as("doc_id"),
-        concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"),
+        concat_ws(" ", slice(split(trim(canonText(docs)), "\\s+"),
           1, ContainTokens)).as("text"))
     docs.unionByName(excerpts)
   }
@@ -527,7 +606,26 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  def containment(spark: SparkSession, dir: String): DataFrame = {
+  /** The DEFAULT `d_containment` entry — since r11 it SERVES THROUGH THE
+    * BUCKETED LAYOUT ([[containmentBucketedAttach]] with `reuse = true`):
+    * the inline attach's stats-underestimated plan is the one measured
+    * scale hazard left in the suite (the union defeats size estimation,
+    * the wide gram-array attach flips broadcast→SMJ and re-exchanges the
+    * arrays three times — in-regime ×30→×50 shuffle 9.9× for 1.67× rows,
+    * SCALE_PROBE_INREGIME_r10), so the scale-safe layout must be the
+    * path users actually call, not an opt-in twin. Results are
+    * bit-identical (one scorer, one oracle SQL); [[containmentInline]]
+    * keeps the layout-free form for catalogless sessions and the
+    * control measurements. */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    containmentBucketedAttach(spark, dir, reuse = true)
+
+  /** The layout-free inline attach (`d_containment_inline`) — the r10
+    * default, kept for sessions without a warehouse-backed catalog and
+    * as the ScaleBench control cell. Fine at oracle scale; at corpus
+    * scale its attach plan is the documented regime-flip hazard (see
+    * [[containment]]). */
+  def containmentInline(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ShingleExpressions.register(spark)
     graft.functions.HashExpressions.register(spark)
     val grams = gramSets(containCorpus(spark, dir))
@@ -552,7 +650,7 @@ object Dedup {
     * containment passes then SHARE. Gated by the UNMODIFIED inline
     * [[containmentSql]]; PlanSpec pins the exchange counts. */
   def containmentBucketedAttach(spark: SparkSession, dir: String,
-                                nBuckets: Int = 8,
+                                nBuckets: Int = -1,
                                 reuse: Boolean = false): DataFrame = {
     graft.functions.ShingleExpressions.register(spark)
     graft.functions.HashExpressions.register(spark)
@@ -570,11 +668,11 @@ object Dedup {
        |  UNION ALL
        |  SELECT doc_id + $ContainIdBase AS doc_id,
        |    list_aggregate(
-       |      (string_split_regex(trim(lower(text)), '\\s+'))[1:$ContainTokens],
+       |      (string_split_regex(trim($canonTextSql), '\\s+'))[1:$ContainTokens],
        |      'string_agg', ' ') AS text
        |  FROM documents WHERE doc_id < 5),
        |toklist AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+       |  SELECT doc_id, string_split_regex(trim($canonTextSql), '\\s+') AS l
        |  FROM corpus),
        |g AS (
        |  SELECT DISTINCT doc_id,
@@ -625,7 +723,13 @@ object Dedup {
     * the runner — Bench clears all caches between queries and Verify
     * clears after its pool drains. MEMORY_AND_DISK bounds the worst case
     * at spill, not OOM. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardBucketedAttach(spark, dir, reuse = true)
+
+  /** The layout-free inline form (`d_ngram_inline`) — the r10 default;
+    * see [[containmentInline]] for why the DEFAULT entry now serves the
+    * bucketed layout instead. */
+  def ngramJaccardInline(spark: SparkSession, dir: String): DataFrame = {
     val grams = gramSets(Tables.documents(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ngramJaccardOver(grams, grams.select(col("doc_id"), explode(col("gs")).as("h")))
@@ -701,7 +805,7 @@ object Dedup {
     * — the UNMODIFIED inline SQL gates it; PlanSpec pins the exchange
     * counts. */
   def ngramJaccardBucketedAttach(spark: SparkSession, dir: String,
-                                 nBuckets: Int = 8,
+                                 nBuckets: Int = -1,
                                  reuse: Boolean = false): DataFrame = {
     graft.functions.ShingleExpressions.register(spark)
     graft.functions.HashExpressions.register(spark)
@@ -715,7 +819,7 @@ object Dedup {
 
   val ngramJaccardSql: String =
     s"""WITH toklist AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+       |  SELECT doc_id, string_split_regex(trim($canonTextSql), '\\s+') AS l
        |  FROM documents),
        |g AS (
        |  SELECT DISTINCT doc_id,
@@ -770,18 +874,20 @@ object Dedup {
     * ([[graft.streaming.EventStreams.curationFlags]]). */
   def evalGramHashes(spark: SparkSession, dir: String): Array[Long] = {
     graft.functions.ShingleExpressions.register(spark)
-    Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    docs
       .filter(col("doc_id") % DecontamEvalMod === 0)
       .select(explode(graft.functions.ShingleExpressions
-        .shingleSet(lower(col("text")), DecontamK, 15, P, "md5")).as("h"))
+        .shingleSet(canonText(docs), DecontamK, 15, P, "md5")).as("h"))
       .distinct().collect().map(_.getLong(0)).sorted
   }
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ShingleExpressions.register(spark)
-    val sets = Tables.documents(spark, dir).select(col("doc_id"),
+    val docs = Tables.documents(spark, dir)
+    val sets = docs.select(col("doc_id"),
       graft.functions.ShingleExpressions
-        .shingleSet(lower(col("text")), DecontamK, 15, P, "md5").as("hs"))
+        .shingleSet(canonText(docs), DecontamK, 15, P, "md5").as("hs"))
     val evalGrams = sets.filter(col("doc_id") % DecontamEvalMod === 0)
       .select(explode(col("hs")).as("h")).distinct()
     sets.filter(col("doc_id") % DecontamEvalMod =!= 0)
@@ -804,9 +910,9 @@ object Dedup {
        |  SELECT DISTINCT doc_id,
        |    (CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % $P) AS h
        |  FROM (
-       |    SELECT doc_id, substring(lower(text), i, $DecontamK) AS shingle
+       |    SELECT doc_id, substring($canonTextSql, i, $DecontamK) AS shingle
        |    FROM documents,
-       |         UNNEST(range(1, greatest(len(lower(text)) - ${DecontamK - 1}, 1) + 1)) AS t(i))),
+       |         UNNEST(range(1, greatest(len($canonTextSql) - ${DecontamK - 1}, 1) + 1)) AS t(i))),
        |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $DecontamEvalMod = 0),
        |tr AS (SELECT * FROM sh WHERE doc_id % $DecontamEvalMod <> 0),
        |tot AS (SELECT doc_id, count(*) AS n_total FROM tr GROUP BY 1),
@@ -826,13 +932,14 @@ object Dedup {
     * the token array): every per-token md5 vote and the 32 bit balances
     * stay inside the row, so the signature table is produced map-only —
     * the round-2 form exploded every token and shuffled them through a
-    * 32-conditional-sum aggregation. Token semantics are unchanged
-    * (split(trim(lower(text)), '\\s+'), 32-bit md5 prefix per token). */
+    * 32-conditional-sum aggregation. Tokens come from the shared
+    * [[canonText]] canonicalization (NFC → lower → whitespace split),
+    * 32-bit md5 prefix per token. */
   def simhash(docs: DataFrame): DataFrame = {
     graft.functions.ShingleExpressions.register(docs.sparkSession)
     docs.select(col("doc_id"),
       graft.functions.ShingleExpressions
-        .simhash(split(trim(lower(col("text"))), "\\s+"), 32).as("sig"))
+        .simhash(split(trim(canonText(docs)), "\\s+"), 32).as("sig"))
   }
 
   /** SimHash near-dup pairs: share ≥1 of 4 byte-bands, hamming ≤ 6. */
@@ -857,7 +964,7 @@ object Dedup {
     graft.functions.ShingleExpressions.register(docs.sparkSession)
     val sigs = docs.select(col("doc_id"),
       graft.functions.ShingleExpressions
-        .simhash(split(trim(lower(col("text"))), "\\s+"), 56).as("sig"))
+        .simhash(split(trim(canonText(docs)), "\\s+"), 56).as("sig"))
     simhashPairs(sigs, nBands = 7)
   }
 
@@ -964,8 +1071,8 @@ object Dedup {
                       maxEdges: Long = DriverUnionFindMaxEdges): DataFrame =
     dupClustersOver(spark, dir, lshJaccardFast(spark, dir), maxEdges)
 
-  private def dupClustersOver(spark: SparkSession, dir: String,
-                              pairs: DataFrame, maxEdges: Long): DataFrame = {
+  private[graft] def dupClustersOver(spark: SparkSession, dir: String,
+                                     pairs: DataFrame, maxEdges: Long): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.filter(col("is_dup") === 1)
       .select(col("doc_a"), col("doc_b")).persist(lvl)
@@ -1112,7 +1219,7 @@ object Dedup {
     s"""WITH toks AS (
        |  SELECT doc_id,
        |    CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h32
-       |  FROM (SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM (SELECT doc_id, UNNEST(string_split_regex(trim($canonTextSql), '\\s+')) AS tok
        |        FROM documents)),
        |bal AS (
        |  SELECT doc_id, i,

@@ -611,4 +611,76 @@ object DataSelection {
           .otherwise("test").as("split"))
       .orderBy($"doc_id")
   }
+
+  /** Oracle-adjacent gate for the near-dup split (`t_leakage_split_gate`):
+    * [[leakageSplitClustered]] itself ships rows-only because its
+    * cluster ids come from the xxhash64 production path — but the
+    * GROUP-COHESION invariant it exists for IS SQL-replayable over the
+    * md5 twin: DuckDB replays the LSH dup graph (the recursive-CTE
+    * connected components of `d_dup_clusters`), assigns each CLUSTER a
+    * split by the same salted hash, and verifies with its own
+    * independent edge join that ZERO verified-dup pairs cross a split
+    * boundary. The Spark side computes the same census with a genuine
+    * edge join (not by construction-from-clusters), so both engines
+    * hash-agree on (per-split docs, clusters, and the cross-split pair
+    * count = 0) — the leakage property itself is now a gated answer,
+    * not just a spec assertion.
+    *
+    * Cost shape: the verified edge list and the cluster labels share ONE
+    * lshJaccard pass (pairs persisted); everything downstream is
+    * narrow-key joins over (doc, cluster, split) rows. */
+  def leakageSplitGate(spark: SparkSession, dir: String): DataFrame = {
+    HashExpressions.register(spark)
+    import spark.implicits._
+    val pairs = graft.dedup.Dedup.lshJaccard(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clusters = graft.dedup.Dedup
+      .dupClustersOver(spark, dir, pairs, graft.dedup.Dedup.DriverUnionFindMaxEdges)
+      .select($"doc_id", $"cluster_id")
+    val bucket = HashExpressions.md5Prefix64(
+      concat(lit(SplitSeed + ":"), $"cluster_id".cast("string")), DsirHashHex) % 100
+    val assigned = clusters
+      .select($"doc_id", $"cluster_id",
+        when(bucket < SplitTrainPct, "train")
+          .when(bucket < SplitValPct, "val")
+          .otherwise("test").as("split"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.filter($"is_dup" === 1).select($"doc_a", $"doc_b")
+    val cross = edges
+      .join(assigned.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
+      .join(assigned.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
+      .agg(sum(when($"split_a" =!= $"split_b", 1L).otherwise(0L)).as("n_cross_pairs"))
+      .select(coalesce($"n_cross_pairs", lit(0L)).as("n_cross_pairs"))
+    assigned.groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"cluster_id").as("n_clusters"))
+      .crossJoin(cross)
+      .orderBy($"split")
+  }
+
+  val leakageSplitGateSql: String =
+    s"""WITH clusters AS (${graft.dedup.Dedup.dupClustersSql}),
+       |assigned AS (
+       |  SELECT doc_id, cluster_id,
+       |    CASE WHEN pct < $SplitTrainPct THEN 'train'
+       |         WHEN pct < $SplitValPct THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (
+       |    SELECT doc_id, cluster_id,
+       |      CAST(('0x' || substring(
+       |        md5('$SplitSeed:' || CAST(cluster_id AS VARCHAR)), 1, $DsirHashHex))
+       |        AS BIGINT) % 100 AS pct
+       |    FROM clusters)),
+       |pairs AS (${graft.dedup.Dedup.lshJaccardSql}),
+       |cross_e AS (
+       |  SELECT count(*) AS n_cross FROM pairs p
+       |  JOIN assigned a ON a.doc_id = p.doc_a
+       |  JOIN assigned b ON b.doc_id = p.doc_b
+       |  WHERE p.is_dup = 1 AND a.split <> b.split)
+       |SELECT a.split, count(*) AS n_docs,
+       |  count(DISTINCT cluster_id) AS n_clusters,
+       |  (SELECT CAST(n_cross AS BIGINT) FROM cross_e) AS n_cross_pairs
+       |FROM assigned a
+       |GROUP BY 1
+       |ORDER BY split""".stripMargin
 }

@@ -781,12 +781,19 @@ object TextOps {
     * tokens — far above any tokenizer context or the corpus) and
     * doc_id < 2⁴³; the product cannot overflow int64. */
   val SelfDedupEncBase = 1L << 20
+  /** Companion doc_id bound of the (doc_id·2²⁰ + j) encoding: ids at or
+    * above this cannot be packed without overflowing int64. Enforced
+    * alongside the window bound — this repo's own planted-twin
+    * convention uses doc_id + 2⁶², so an out-of-range id reaching the
+    * self-dedup encoder is a REAL hazard, not a theoretical one. */
+  val SelfDedupMaxDocId: Long = Long.MaxValue / SelfDedupEncBase
 
-  /** Enforce the [[SelfDedupEncBase]] bound LOUDLY: a doc with ≥ 2²⁰
-    * windows would spill its occurrence keys into the next doc's range
-    * and silently corrupt first-occurrence ownership. A filter (not an
-    * unused assert column, which column pruning would drop) so the check
-    * cannot be optimized away. */
+  /** Enforce the [[SelfDedupEncBase]] bounds LOUDLY: a doc with ≥ 2²⁰
+    * windows would spill its occurrence keys into the next doc's range,
+    * and a doc_id ≥ [[SelfDedupMaxDocId]] (or negative) overflows the
+    * pack outright — either silently corrupts first-occurrence
+    * ownership. A filter (not an unused assert column, which column
+    * pruning would drop) so the check cannot be optimized away. */
   private def encBoundGuard(toks: DataFrame): DataFrame = {
     val s = toks.sparkSession
     import s.implicits._
@@ -794,6 +801,9 @@ object TextOps {
       when($"n".cast("long") - ScrubGram >= SelfDedupEncBase,
         raise_error(concat(lit("self-dedup: document "), $"doc_id",
           lit(s" exceeds the 2^20-window encoding bound ($SelfDedupEncBase)"))))
+        .when($"doc_id" >= SelfDedupMaxDocId || $"doc_id" < 0,
+          raise_error(concat(lit("self-dedup: doc_id "), $"doc_id",
+            lit(s" is outside the encodable range [0, $SelfDedupMaxDocId)"))))
         .otherwise(lit(true)))
   }
 
@@ -892,8 +902,10 @@ object TextOps {
     * Mechanics mirror [[graft.dedup.IncrementalDedup.admitBatch]]: a
     * persistent (g → earliest occurrence key) store partitioned by
     * `gp = g % `[[SelfDedupStoreParts]]; a batch probes ONLY its touched
-    * `gp=` partitions with its distinct window hashes broadcast (the
-    * store side never shuffles), scrubs a window iff a strictly smaller
+    * `gp=` partitions with its distinct window hashes broadcast while
+    * they fit ([[SelfDedupBroadcastMaxGrams]] — the store side then
+    * never shuffles; an oversized batch falls back to a shuffle hash
+    * join instead of an executor OOM), scrubs a window iff a strictly smaller
     * occurrence key exists in the store or earlier in the batch, appends
     * the never-seen hashes with their batch-first keys, and reconstructs
     * its own documents with the shared gap-merge. Replay-safe for the
@@ -903,7 +915,21 @@ object TextOps {
     * `own_doc = doc of the owning occurrence` so a takedown can free the
     * windows a removed document owns ([[selfDedupRemoveOwners]] — same
     * re-admission slack note as IncrementalDedup.removeOwners). */
-  def selfDedupAdmitBatch(batch: DataFrame, storeDir: String): DataFrame = {
+  def selfDedupAdmitBatch(batch: DataFrame, storeDir: String): DataFrame =
+    selfDedupAdmitBatch(batch, storeDir, SelfDedupBroadcastMaxGrams)
+
+  /** Size gate on the store-probe broadcast: a crawl batch has roughly
+    * one distinct window hash per token, so the probe side is
+    * batch-token-sized — broadcast-safe for the documented "ingest batch
+    * ≪ corpus" cadence, an executor OOM for a multi-GB batch. At 4M
+    * hashes the broadcast relation is a few tens of MB; past it the
+    * probe falls back to a shuffle hash join (the ScrubHotDf
+    * broadcast/shuffle split shape) — bit-identical rows either way,
+    * TextOpsSpec pins the equality by forcing the fallback. */
+  val SelfDedupBroadcastMaxGrams = 4000000L
+
+  private[graft] def selfDedupAdmitBatch(batch: DataFrame, storeDir: String,
+                                         maxBroadcastGrams: Long): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val toks = encBoundGuard(scrubToksOf(batch))
@@ -913,8 +939,14 @@ object TextOps {
       .withColumn("gp", pmod($"g", lit(SelfDedupStoreParts.toLong)).cast("int"))
       .persist()
     val gps = bmin.select("gp").distinct().collect().map(_.getInt(0)).toSeq
-    val hits = selfStoreAt(spark, storeDir).filter($"gp".isInCollection(gps))
-      .join(broadcast(bmin.select($"g")), Seq("g"))
+    // the partition-selective gp filter holds on BOTH routes; only the
+    // probe join's build side is gated (bmin is already materialized, so
+    // count() is a cached pass, not a recompute)
+    val storeSide = selfStoreAt(spark, storeDir).filter($"gp".isInCollection(gps))
+    val probe =
+      if (bmin.count() <= maxBroadcastGrams) broadcast(bmin.select($"g"))
+      else bmin.select($"g")
+    val hits = storeSide.join(probe, Seq("g"))
       .select($"g", $"own").persist()
     // the corpus-global first occurrence of g as of this batch is
     // min(store owner, batch minimum) — ONE owner table, ONE join over

@@ -1095,14 +1095,16 @@ object Ann {
     * pinned identical to the inline paths (AnnSpec), so the same oracle
     * SQL gates both. */
   /** The leading generation tag must change whenever the FORMAT of any
-    * persisted index artifact changes, not just its parameters — v2 is
+    * persisted index artifact changes, not just its parameters — v2 was
     * the r10 gram-hash widening (gramSets keeps the full 60-bit md5
-    * prefix instead of reducing mod 2³¹−1): a pre-widening cached gram
-    * index has the same parameters and the same corpus files, so without
-    * the tag it would be served as fresh while silently carrying the old
-    * collision-prone postings. */
+    * prefix instead of reducing mod 2³¹−1); v3 is the r11 NFC threading
+    * (every near-dup hash family now hashes NFC→lower canonical text,
+    * so gram/posting identity changes for any non-ASCII corpus): a
+    * pre-change cached index has the same parameters and the same
+    * corpus files, so without the tag it would be served as fresh while
+    * silently carrying stale-format postings. */
   private def trainingFingerprint: String =
-    s"v2-d$Dim-q$QuantScale-m$PqM-k$PqK-p$IvfProbes-r$PqRerankN-t$PqTopN-a$AnnQueryIds"
+    s"v3-d$Dim-q$QuantScale-m$PqM-k$PqK-p$IvfProbes-r$PqRerankN-t$PqTopN-a$AnnQueryIds"
 
   /** Fingerprint of the corpus DATA the index serves: every visible file
     * under the embeddings table folded as (relative path, length, mtime)
@@ -1183,12 +1185,21 @@ object Ann {
     // fixed the cross-JVM clobber race, but each JVM would otherwise
     // leave one full index copy in the cache root forever — the
     // unbounded-growth failure the fixed path originally eliminated,
-    // just relocated. Scratch names are the only `-p<pid>-` entries
-    // under the cache root (cached index entries never carry the tag).
-    val re = "-p(\\d+)-".r
+    // just relocated. Ownership is probed via the `_scratch` MARKER file
+    // [[resetScratch]] drops (holding the owning pid), never by parsing
+    // `-p<digits>-` out of the entry NAME: non-scratch cache entries
+    // embed the sanitized source path, which can itself contain a
+    // `-p<digits>-` fragment (a corpus dir like `/data/set-p2-v1`), and
+    // the r10 name-regex reaper would have deleted such a legitimate
+    // cached index on every scratch call.
     Option(new java.io.File(s"$cacheRoot/graft-ann-index").listFiles())
       .getOrElse(Array.empty).toSeq.filter(_.isDirectory)
-      .flatMap(d => re.findFirstMatchIn(d.getName).map(m => d -> m.group(1).toLong))
+      .flatMap { d =>
+        val m = new java.io.File(d, "_scratch")
+        if (!m.exists()) None
+        else new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
+          .trim.toLongOption.map(d -> _)
+      }
       .filter { case (_, p) =>
         p != pid && { val h = ProcessHandle.of(p); !(h.isPresent && h.get.isAlive) }
       }
@@ -1197,11 +1208,19 @@ object Ann {
   }
 
   /** Wipe-and-recreate a [[scratchDir]] path — called by the owner
-    * inside its build lock. */
+    * inside its build lock. Drops the `_scratch` ownership marker
+    * (owning pid) immediately after the mkdir, so the dead-pid reaper
+    * above can identify scratch entries without name parsing; the
+    * mkdir→marker window is a few microseconds inside the owner's build
+    * lock, and an unmarked orphan from a crash inside it is re-wiped by
+    * the next same-path resetScratch. */
   private[graft] def resetScratch(path: String): Unit = {
     val f = new java.io.File(path)
     deleteLocal(f)
     f.mkdirs()
+    java.nio.file.Files.write(new java.io.File(f, "_scratch").toPath,
+      ProcessHandle.current().pid().toString.getBytes("UTF-8"))
+    ()
   }
 
   /** Build-if-stale for the persisted index cache. Freshness = the

@@ -165,11 +165,17 @@ object Store {
     * registry hook can reach. Called from every bucketed-pair
     * materialization (one listdir — cheap), so any new writer reaps its
     * predecessors; crash-killed processes are covered because liveness
-    * is probed via ProcessHandle, not lockfiles. */
+    * is probed via ProcessHandle, not lockfiles.
+    *
+    * Scope: ONLY names this framework creates — the `graft_` prefix plus
+    * the [[processTable]] `_p<pid>` suffix. The r10 sweep matched ANY
+    * `_p<digits>$` directory, which would silently destroy a foreign
+    * managed table that merely ends in a pid-shaped number (e.g.
+    * `metrics_p2024`) on every bucketed-pair materialization. */
   def sweepDeadProcessTables(spark: SparkSession): Seq[String] = {
     val wh = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
-    val re = "_p(\\d+)$".r
+    val re = "^graft_.*_p(\\d+)$".r
     val self = ProcessHandle.current().pid()
     val victims = Option(wh.listFiles()).getOrElse(Array.empty).toSeq
       .filter(_.isDirectory)

@@ -625,8 +625,15 @@ object EventStreams {
       length(col("text")).cast("double")).cast("long")
     withHits
       .withColumn("predicted", pred)
-      .withColumn("hs", graft.functions.ShingleExpressions
-        .shingleSet(lower(col("text")), Dedup.DecontamK, 15, Dedup.P, "md5"))
+      .withColumn("hs", {
+        // lockstep with batch decontaminate: eval hashes are built over
+        // the NFC→lower canonical text (Dedup.canonText), so the stream
+        // probe must shingle the same bytes
+        graft.functions.NormalizeExpressions.register(docsStream.sparkSession)
+        graft.functions.ShingleExpressions.shingleSet(
+          lower(graft.functions.NormalizeExpressions.nfc(col("text"))),
+          Dedup.DecontamK, 15, Dedup.P, "md5")
+      })
       .withColumn("n_hit",
         size(array_intersect(col("hs"), typedLit(evalHashes))).cast("long"))
       .select(col("doc_id"),

@@ -21,6 +21,33 @@ class AnnIndexSpec extends SparkTestBase {
     dir
   }
 
+  test("scratch reaper: marker-owned dead scratch reaped, name lookalikes spared") {
+    // ownership lives in the `_scratch` marker (pid inside), never in the
+    // entry NAME: a cached index whose sanitized source path happens to
+    // contain `-p<digits>-` (corpus dir like /data/set-p2024-v1) must
+    // survive every reap — the r10 name-regex reaper deleted it
+    val parent = new java.io.File(Ann.scratchDir(sfDir, "reap-probe"))
+      .getParentFile
+    parent.mkdirs()
+    val dead = new java.io.File(parent, "fixture-dead-scratch-entry")
+    dead.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dead, "_scratch").toPath,
+      "999999999".getBytes("UTF-8")) // pid that cannot be alive
+    val lookalike = new java.io.File(parent, "ngram-corpus-p2024-v1-aaaaaa")
+    lookalike.mkdirs()
+    new java.io.File(lookalike, "_built").createNewFile()
+    try {
+      Ann.scratchDir(sfDir, "reap-probe2") // any scratchDir call reaps
+      assert(!dead.exists(), "marker-owned dead-pid scratch must be reaped")
+      assert(lookalike.isDirectory,
+        "an unmarked entry with a pid-shaped NAME fragment must survive")
+    } finally {
+      Option(lookalike.listFiles()).foreach(_.foreach(_.delete()))
+      lookalike.delete()
+      ()
+    }
+  }
+
   test("deleteKeys on the corpus invalidates the cached PQ index") {
     val dir = stageEmbeddings()
     val marker = new java.io.File(Ann.cachedIndexDir(dir, "pq"), "_built")

@@ -24,30 +24,28 @@ class CboSpec extends SparkTestBase {
     spark.range(200000L).select((col("id") % n).as("k"), col("id").as("v"))
       .write.mode("overwrite").saveAsTable("cbo_fact")
 
-    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
     try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256 * 1024).toString)
-      def planOf(): String = {
-        val dim = spark.table("cbo_dim").filter(col("k") < 1000)
-        val joined = spark.table("cbo_fact").join(dim, "k")
-        joined.queryExecution.executedPlan.toString
+      withSessionConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> (256 * 1024).toString,
+        "spark.sql.cbo.enabled" -> "false") {
+        def planOf(): String = {
+          val dim = spark.table("cbo_dim").filter(col("k") < 1000)
+          val joined = spark.table("cbo_fact").join(dim, "k")
+          joined.queryExecution.executedPlan.toString
+        }
+
+        val before = planOf()
+        assert(before.contains("SortMergeJoin"),
+          s"without stats the filtered dim should look too big to broadcast:\n${before.take(1200)}")
+
+        spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+        spark.sql("ANALYZE TABLE cbo_fact COMPUTE STATISTICS")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        val after = planOf()
+        assert(after.contains("BroadcastHashJoin"),
+          s"with column stats the 0.25% filter estimate should broadcast:\n${after.take(1200)}")
       }
-
-      spark.conf.set("spark.sql.cbo.enabled", "false")
-      val before = planOf()
-      assert(before.contains("SortMergeJoin"),
-        s"without stats the filtered dim should look too big to broadcast:\n${before.take(1200)}")
-
-      spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS FOR ALL COLUMNS")
-      spark.sql("ANALYZE TABLE cbo_fact COMPUTE STATISTICS")
-      spark.conf.set("spark.sql.cbo.enabled", "true")
-      val after = planOf()
-      assert(after.contains("BroadcastHashJoin"),
-        s"with column stats the 0.25% filter estimate should broadcast:\n${after.take(1200)}")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
-      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
       spark.sql("DROP TABLE IF EXISTS cbo_dim")
       spark.sql("DROP TABLE IF EXISTS cbo_fact")
     }

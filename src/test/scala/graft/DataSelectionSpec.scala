@@ -376,4 +376,24 @@ class DataSelectionSpec extends SparkTestBase {
       assert(split(a) == split(b), s"dup pair ($a, $b) crosses splits")
     }
   }
+
+  test("leakage gate: zero cross-split dup pairs, census covers the corpus") {
+    import spark.implicits._
+    val rows = graft.ops.DataSelection.leakageSplitGate(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet == Set("train", "val", "test"))
+    // the gate's whole point: the violation count is structurally zero,
+    // computed by a GENUINE edge join (and independently re-derived by
+    // the DuckDB oracle)
+    assert(rows.forall(_._4 == 0L), s"cross-split dup pairs: ${rows.toSeq}")
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._2).sum == nDocs, "splits must partition the corpus")
+    // the md5 gate and the xxhash64 production split agree at spec scale
+    // (same components, same cluster ids, same salted split rule)
+    val near = graft.ops.DataSelection.leakageSplitClustered(spark, sfDir)
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    rows.foreach { case (s, n, _, _) =>
+      assert(near(s) == n, s"gate census for $s diverges from the near split")
+    }
+  }
 }

@@ -38,6 +38,72 @@ class DedupSpec extends SparkTestBase {
     assert(h1 == h2)
   }
 
+  test("NFC: composition variants collapse across every near-dup hash family") {
+    import spark.implicits._
+    // a decomposed twin ("e" + U+0301) of a composed document: byte-wise
+    // different, canonically the same text — until r11 only EXACT dedup
+    // normalized, so this pair evaded every hash family below
+    val composed = "café résumé déjà touché " +
+      "the café menu lists résumé advice and touché replies"
+    val decomposed = java.text.Normalizer.normalize(
+      composed, java.text.Normalizer.Form.NFD)
+    assert(composed != decomposed, "fixture must be byte-distinct")
+    val docs = Seq((1L, composed), (2L, decomposed)).toDF("doc_id", "text")
+
+    // shingle sets (minhash family), gram sets (ngram/containment
+    // family), and simhash signatures must all agree bit-for-bit
+    val ss = Dedup.shingleSets(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(ss(1L) == ss(2L), "shingle sets must normalize before hashing")
+    val gs = Dedup.gramSets(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(gs(1L) == gs(2L), "gram sets must normalize before hashing")
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L), "simhash must normalize before hashing")
+
+    // end-to-end: the MinHash LSH path now CATCHES the pair — every band
+    // collides (identical signatures) and the planted twin verifies at
+    // jaccard 10000
+    val cands = Dedup.bandCandidates(
+      Dedup.signaturesFromSets(Dedup.shingleSets(docs))).collect()
+    assert(cands.length == 1)
+    assert(cands.head.getLong(0) == 1L && cands.head.getLong(1) == 2L)
+    assert(cands.head.getLong(2) == Dedup.Bands.toLong,
+      "composition variants must collide in every band")
+  }
+
+  test("bucket count derives from corpus bytes; reuse rebuilds on corpus change") {
+    import spark.implicits._
+    // pure derivation: data-driven growth, parallelism floor, upper clamp
+    assert(Dedup.bucketsForBytes(1L, 4) == 8, "small corpus takes the floor")
+    assert(Dedup.bucketsForBytes(1L, 48) == 48, "floor tracks parallelism")
+    assert(Dedup.bucketsForBytes(100L * Dedup.BucketTargetBytes, 4) == 100,
+      "bucket count grows linearly with corpus bytes")
+    assert(Dedup.bucketsForBytes(Long.MaxValue / 4, 4) == Dedup.MaxDerivedBuckets,
+      "derived count clamps at the metastore-sanity cap")
+    val sfBuckets = Dedup.bucketsForCorpus(spark, sfDir)
+    assert(sfBuckets >= 8, s"corpus listing derivation must run: $sfBuckets")
+
+    // reuse=true freshness (the r10 gap): an IN-PLACE corpus rewrite —
+    // append/regeneration, which fires no Store.deleteKeys hook — must
+    // rebuild instead of serving the stale bucketed tables
+    val dir = java.nio.file.Files.createTempDirectory("bucket_fresh").toString
+    Tables.documents(spark, sfDir).limit(40)
+      .write.parquet(s"$dir/documents.parquet")
+    val base = Dedup.bucketedBuilds.get()
+    Dedup.ngramJaccardBucketedAttach(spark, dir, reuse = true).collect()
+    assert(Dedup.bucketedBuilds.get() == base + 1, "first call builds")
+    Dedup.ngramJaccardBucketedAttach(spark, dir, reuse = true).collect()
+    assert(Dedup.bucketedBuilds.get() == base + 1, "clean reuse hit: no rebuild")
+    Tables.documents(spark, sfDir).limit(25)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val after = Dedup.ngramJaccardBucketedAttach(spark, dir, reuse = true)
+    after.collect()
+    assert(Dedup.bucketedBuilds.get() == base + 2,
+      "corpus fingerprint change must force a rebuild under reuse=true")
+  }
+
   test("simhash signature fits in 32 bits") {
     val sigs = Dedup.simhash(Tables.documents(spark, sfDir))
     val bad = sigs.filter(col("sig") < 0 || col("sig") >= (1L << 32))

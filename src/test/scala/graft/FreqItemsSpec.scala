@@ -74,9 +74,7 @@ class FreqItemsSpec extends SparkTestBase {
   test("guarantees hold at a different partitioning (merge-order shift)") {
     import spark.implicits._
     graft.functions.FreqItems.register(spark)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "2")
+    withSessionConf("spark.sql.shuffle.partitions" -> "2") {
       val sk = tokens.repartition(7)
         .groupBy($"lang")
         .agg(call_function("graft_freq_items", $"tok", lit(K)).as("fi"))
@@ -94,6 +92,6 @@ class FreqItemsSpec extends SparkTestBase {
       for (((lang, item), c) <- exact if c > n(lang) / (K + 1))
         assert(sk.exists(r => r.getString(0) == lang && r.getString(1) == item),
           s"$lang/$item lost at alternate partitioning")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
   }
 }

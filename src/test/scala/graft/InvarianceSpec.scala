@@ -40,13 +40,11 @@ class InvarianceSpec extends SparkTestBase {
     "d_ngram_incremental", "t_perplexity_core", "s_pq_topk_versioned",
     "t_curriculum_order")
 
-  private def runAt(q: String, parts: Int): Seq[String] = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try SparkEntry.queries(q)(spark, sfDir).collect()
-      .map(_.toString).toSeq.sorted
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  private def runAt(q: String, parts: Int): Seq[String] =
+    withSessionConf("spark.sql.shuffle.partitions" -> parts.toString) {
+      SparkEntry.queries(q)(spark, sfDir).collect()
+        .map(_.toString).toSeq.sorted
+    }
 
   for (q <- queries)
     test(s"$q: identical results at 3 and 17 shuffle partitions") {

@@ -272,9 +272,7 @@ class PlanSpec extends SparkTestBase {
   test("d3 bucketed: doc_a attach joins with zero exchange, doc_b with one") {
     // force the sort-merge path a 100 TB fact-fact join takes — broadcast
     // would hide the exchange question the bucketing answers
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    withSessionConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val df = graft.dedup.Dedup.lshJaccardBucketedAttach(spark, sfDir)
       df.collect()
       // AQE's toString prints the final plan AND the initial plan — count
@@ -296,16 +294,14 @@ class PlanSpec extends SparkTestBase {
       val pU = un.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       val hashExU = pU.linesIterator.count(_.contains("Exchange hashpartitioning"))
       assert(hashExU > 1, s"unbucketed control unexpectedly shuffle-free ($hashExU):\n${pU.take(1500)}")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
   }
 
   test("d4b bucketed: gram attach joins with zero exchange on doc_a, one on doc_b") {
     // same pin as d3 bucketed, for the gram family: the ×50 rehearsal
     // showed the INLINE path re-shuffling the heavy gs_a-attached
     // intermediate on doc_b — the bucketed layout must not
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    withSessionConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val df = graft.dedup.Dedup.ngramJaccardBucketedAttach(spark, sfDir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
@@ -316,21 +312,41 @@ class PlanSpec extends SparkTestBase {
         s"expected exactly one hash exchange (doc_b redistribution), got $hashEx:\n${p.take(3000)}")
 
       // control: the inline attach exchanges the gram table itself
-      val un = graft.dedup.Dedup.ngramJaccard(spark, sfDir)
+      // (ngramJaccardInline — the DEFAULT entry serves the bucketed
+      // layout since r11, so the layout-free form is the named twin)
+      val un = graft.dedup.Dedup.ngramJaccardInline(spark, sfDir)
       un.collect()
       val pU = un.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       val hashExU = pU.linesIterator.count(_.contains("Exchange hashpartitioning"))
       assert(hashExU > 1, s"inline control unexpectedly shuffle-free ($hashExU):\n${pU.take(1500)}")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("default gram-family entries execute the BUCKETED attach (r11 serve path)") {
+    // the round-10 weak: d_containment/d_ngram_jaccard — the entries a
+    // user actually calls — served the inline attach whose stats-
+    // underestimated plan re-exchanges the gram arrays at scale. Pin
+    // that the DEFAULT entries now execute the bucketed shape: bucketed
+    // scans, and exactly ONE hash exchange (the doc_b redistribution)
+    withSessionConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      for (q <- Seq("d_ngram_jaccard", "d_containment")) {
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+        assert(p.contains("Bucketed: true"),
+          s"$q must serve from the bucketed layout:\n${p.take(1500)}")
+        val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+        assert(hashEx == 1,
+          s"$q: expected exactly one hash exchange, got $hashEx:\n${p.take(3000)}")
+      }
+    }
   }
 
   test("d4d bucketed: containment attach joins with zero exchange on doc_a, one on doc_b") {
     // the r9 ×50 rehearsal's super-linear cell was CONTAINMENT's inline
     // attach — pin that its bucketed twin carries the same one-exchange
     // shape as the jaccard family's
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    withSessionConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val df = graft.dedup.Dedup.containmentBucketedAttach(spark, sfDir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
@@ -339,7 +355,7 @@ class PlanSpec extends SparkTestBase {
       val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
       assert(hashEx == 1,
         s"expected exactly one hash exchange (doc_b redistribution), got $hashEx:\n${p.take(3000)}")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
   }
 
   test("chunking fans out map-side: no hash exchange before the final sort") {

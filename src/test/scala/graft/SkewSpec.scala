@@ -54,18 +54,13 @@ class SkewSpec extends SparkTestBase {
     // 100 TB absorbs moderate skew with no query rewrite at all (manual
     // salting stays for the extreme tail).
     import spark.implicits._
-    val confs = Seq(
+    withSessionConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
-    val saved = confs.map { case (key, _) =>
-      key -> spark.conf.getOption(key)
-    }
-    confs.foreach { case (key, v) => spark.conf.set(key, v) }
-    try {
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
       val probe = spark.range(200000).select(
         when(col("id") < 180000, 0L).otherwise(col("id") % 97).as("k"),
         col("id").as("row_id"))
@@ -79,9 +74,6 @@ class SkewSpec extends SparkTestBase {
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"),
         s"AQE must mark the skewed join side:\n${plan.take(1500)}")
-    } finally saved.foreach {
-      case (key, Some(v)) => spark.conf.set(key, v)
-      case (key, None) => spark.conf.unset(key)
     }
   }
 }

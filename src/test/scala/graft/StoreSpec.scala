@@ -484,10 +484,20 @@ class StoreSpec extends SparkTestBase {
     val live = new java.io.File(wh,
       Store.processTable("graft_test_sets_def456"))
     live.mkdirs()
+    // a FOREIGN managed table whose name merely ends in a pid-shaped
+    // number (and one without the graft_ prefix at all): the r10 sweep
+    // matched any `_p<digits>$` and would have destroyed both
+    val foreign = new java.io.File(wh, "metrics_p2024")
+    foreign.mkdirs()
+    new java.io.File(foreign, "part-0.parquet").createNewFile()
     val swept = Store.sweepDeadProcessTables(spark)
     assert(swept.contains(dead.getName), s"dead-pid table must be reaped: $swept")
     assert(!dead.exists(), "dead-pid table directory must be deleted")
     assert(live.isDirectory, "the current process's table must survive")
+    assert(foreign.isDirectory,
+      "a foreign table with a pid-shaped suffix must NEVER be swept")
+    assert(!swept.contains(foreign.getName), swept.toString)
+    foreign.listFiles().foreach(_.delete()); foreign.delete()
     live.delete()
   }
 
@@ -499,9 +509,7 @@ class StoreSpec extends SparkTestBase {
     Store.writeBucketed(ord, "ord_b", "l_orderkey", 8)
     // disable auto-broadcast so the small test tables take the same
     // sort-merge path a 100 TB fact-fact join would
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    withSessionConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val joined = Store.bucketedJoin(spark, "li_b", "ord_b", "l_orderkey")
       assert(joined.count() > 0)
       val plan = joined.queryExecution.executedPlan.toString
@@ -514,6 +522,6 @@ class StoreSpec extends SparkTestBase {
       unbucketed.count()
       val planU = unbucketed.queryExecution.executedPlan.toString
       assert(planU.contains("Exchange"), planU.take(800))
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
   }
 }

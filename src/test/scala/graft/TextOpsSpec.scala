@@ -197,6 +197,49 @@ class TextOpsSpec extends SparkTestBase {
       "freed span must be admitted fresh after the owner takedown")
   }
 
+  test("self-dedup probe: shuffle fallback above the broadcast cap is bit-identical") {
+    import org.apache.spark.sql.functions.col
+    // the r10 probe broadcast the batch's distinct window hashes
+    // UNCONDITIONALLY — batch-token-sized, an executor OOM for a
+    // multi-GB crawl batch. Force the over-cap route (threshold 0) and
+    // pin bit-equality against the broadcast route on a fresh store.
+    val span = (1 to TextOps.ScrubGram).map(i => s"bg$i").mkString(" ")
+    val dir = stageDocs(Seq(
+      1L -> s"bga1 $span bgz1", 2L -> s"bga2 $span bgz2",
+      5L -> s"bga5 $span bgz5", 8L -> "no duplication in this one at all"))
+    val table = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def runWith(maxBroadcast: Long): Seq[Seq[Any]] = {
+      val store = java.nio.file.Files.createTempDirectory("sd_guard").toString
+      Seq(table.filter(col("doc_id") <= 2), table.filter(col("doc_id") > 2))
+        .flatMap(b => TextOps.selfDedupAdmitBatch(b, store, maxBroadcast)
+          .collect().map(_.toSeq))
+        .sortBy(_.head.asInstanceOf[Long])
+    }
+    val viaBroadcast = runWith(TextOps.SelfDedupBroadcastMaxGrams)
+    val viaShuffle = runWith(0L)
+    assert(viaShuffle == viaBroadcast,
+      "the guarded shuffle route must change the plan, not the answer")
+  }
+
+  test("self-dedup: out-of-range doc_id fails loudly, not silently corrupted") {
+    import spark.implicits._
+    // the (doc_id·2^20 + j) encoding documents doc_id < 2^43 but r10
+    // enforced only the window bound; this repo's own planted-twin
+    // convention (doc_id + 2^62) makes out-of-range ids a real hazard
+    val bad = Seq((TextOps.SelfDedupMaxDocId + 7L,
+      (1 to TextOps.ScrubGram + 2).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("sd_badid").toString
+    val e = intercept[Exception] {
+      TextOps.selfDedupAdmitBatch(bad, store).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("outside the encodable range")),
+      s"expected the loud encoding-bound error, got: ${messages(e)}")
+  }
+
   test("streaming self-dedup sink equals the one-shot rule; restart is clean") {
     import org.apache.spark.sql.functions.col
     import graft.streaming.EventStreams
