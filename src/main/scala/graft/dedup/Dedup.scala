@@ -332,8 +332,10 @@ object Dedup {
     * projections). The doc_b attach then needs exactly ONE shuffle — the
     * pair intermediate redistributing by doc_b onto the bucketed set
     * table's layout. Against the unbucketed path's three-plus exchanges,
-    * that is the whole point of bucketing at 100 TB: the big set table
-    * never moves again after the one-time bucketed write. Results are
+    * that is the point of bucketing at 100 TB: the set TABLE never
+    * re-exchanges — though the attached arrays still ride the pair
+    * intermediate through that one doc_b exchange, the irreducible
+    * array pass (see [[ngramJaccardBucketedSlim]]). Results are
     * bit-identical to [[lshJaccard]] — same oracle SQL gates both.
     * PlanSpec pins the exchange counts. */
   def lshJaccardBucketedAttach(spark: SparkSession, dir: String,
@@ -717,18 +719,24 @@ object Dedup {
     * graft_sorted_intersect merge as the MinHash verifier. Docs with
     * fewer than NgramN tokens have empty sets and never pair.
     *
+    * Since r11 the DEFAULT entry SERVES THROUGH THE BUCKETED LAYOUT
+    * ([[ngramJaccardBucketedAttach]], `reuse = true`, corpus-derived
+    * bucket count) — see [[containment]] for the rationale; the
+    * layout-free form lives on as [[ngramJaccardInline]]
+    * (`d_ngram_inline`), gated by the same oracle SQL. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardBucketedAttach(spark, dir, reuse = true)
+
+  /** The layout-free inline form (`d_ngram_inline`) — the r10 default;
+    * see [[containmentInline]] for why the DEFAULT entry now serves the
+    * bucketed layout instead.
+    *
     * Cache lifetime: the returned plan references the persisted gram
     * table twice (posting build + pair verify), so it cannot be
     * unpersisted here without defeating the share; the release point is
     * the runner — Bench clears all caches between queries and Verify
     * clears after its pool drains. MEMORY_AND_DISK bounds the worst case
     * at spill, not OOM. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardBucketedAttach(spark, dir, reuse = true)
-
-  /** The layout-free inline form (`d_ngram_inline`) — the r10 default;
-    * see [[containmentInline]] for why the DEFAULT entry now serves the
-    * bucketed layout instead. */
   def ngramJaccardInline(spark: SparkSession, dir: String): DataFrame = {
     val grams = gramSets(Tables.documents(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -798,12 +806,15 @@ object Dedup {
     * bucketed by doc_id and the candidates by doc_a with the same bucket
     * count, so the doc_a attach is a zero-exchange sort-merge join and
     * only the pair intermediate redistributes (ONE exchange) onto the
-    * set table's layout for the doc_b attach; the gram arrays themselves
-    * never move after the one-time bucketed write — which at 100 TB is
-    * amortized across every dedup/containment/decontamination pass that
-    * shares the gram table. Results are bit-identical to [[ngramJaccard]]
-    * — the UNMODIFIED inline SQL gates it; PlanSpec pins the exchange
-    * counts. */
+    * set table's layout for the doc_b attach. Honestly stated: the gs_a
+    * arrays RIDE that one exchange on every pair row — the single
+    * irreducible array pass ([[ngramJaccardBucketedSlim]] measures that
+    * it can only be traded for the other side's arrays, never avoided) —
+    * while the gram TABLE itself never re-exchanges after the one-time
+    * bucketed write, which at 100 TB is amortized across every
+    * dedup/containment/decontamination pass that shares it. Results are
+    * bit-identical to the inline form — the UNMODIFIED SQL gates it;
+    * PlanSpec pins the exchange counts. */
   def ngramJaccardBucketedAttach(spark: SparkSession, dir: String,
                                  nBuckets: Int = -1,
                                  reuse: Boolean = false): DataFrame = {
@@ -815,6 +826,50 @@ object Dedup {
     scoreGramAttachedPairs(candsT
       .join(setsT.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
       .join(setsT.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b"))
+  }
+
+  /** SLIM-pair attach experiment (measured in ScaleBench, not a serve
+    * entry): exchange the BARE (doc_a, doc_b) pairs (16 B/row) onto the
+    * doc_b bucket layout first, SMJ gs_b there, then ONE array-bearing
+    * exchange back onto the doc_a layout for the gs_a attach. The
+    * question it answers: the standard bucketed attach's single exchange
+    * carries gs_a on every pair row — can the array bytes be avoided?
+    * Answer (measured ×30→×50, SCALE_r11): no — the arrays still move
+    * exactly once (gs_b instead of gs_a; on a copy-duplicated corpus the
+    * sides are the same size), plus an extra bare-pair exchange, so slim
+    * is strictly ≥ the standard shape in shuffle volume. One array pass
+    * through the pair intermediate is IRREDUCIBLE for exact
+    * sorted-set intersection: n_inter needs both arrays co-located per
+    * pair, the hashes are uniform (sorted deltas don't compress), and
+    * computing n_inter from postings re-explodes the non-rare grams.
+    * Kept as the measured control behind SURVEY D4d-b's corrected
+    * claim. */
+  private[graft] def ngramJaccardBucketedSlim(spark: SparkSession, dir: String,
+                                              nBuckets: Int = -1,
+                                              reuse: Boolean = false): DataFrame = {
+    graft.functions.ShingleExpressions.register(spark)
+    graft.functions.HashExpressions.register(spark)
+    val (setsT, candsT) = bucketedPair(spark, dir, "d4b", nBuckets, reuse,
+      gramSets(Tables.documents(spark, dir)),
+      s => ngramPairsOver(s.select(col("doc_id"), explode(col("gs")).as("h"))))
+    scoreGramAttachedPairs(candsT
+      .join(setsT.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
+      .join(setsT.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a"))
+  }
+
+  /** Slim-pair twin for the containment scorer — see
+    * [[ngramJaccardBucketedSlim]]. */
+  private[graft] def containmentBucketedSlim(spark: SparkSession, dir: String,
+                                             nBuckets: Int = -1,
+                                             reuse: Boolean = false): DataFrame = {
+    graft.functions.ShingleExpressions.register(spark)
+    graft.functions.HashExpressions.register(spark)
+    val (setsT, candsT) = bucketedPair(spark, dir, "d4d", nBuckets, reuse,
+      gramSets(containCorpus(spark, dir)),
+      s => ngramPairsOver(s.select(col("doc_id"), explode(col("gs")).as("h"))))
+    scoreContainAttachedPairs(candsT
+      .join(setsT.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
+      .join(setsT.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a"))
   }
 
   val ngramJaccardSql: String =

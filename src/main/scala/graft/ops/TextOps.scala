@@ -645,16 +645,28 @@ object TextOps {
 
   /** Gram fan-out shared by the scrub family: one row per
     * [[ScrubGram]]-token window, keyed by the window's
-    * [[ScrubHashHex]]-digit md5-prefix hash. */
+    * [[ScrubHashHex]]-digit md5-prefix hash.
+    *
+    * r11: window IDENTITY hashes the NFC-normalized window string
+    * (`graft_nfc` around the joined gram, DuckDB `nfc_normalize` in
+    * lockstep) — the same composition-variant rule the dedup hash
+    * families gained: a duplicated span re-encoded with decomposed
+    * accents is the SAME span. Only the hash input normalizes; the
+    * tokens themselves (and the reconstructed kept text) keep their
+    * original bytes, because scrubbing must never rewrite what it
+    * keeps. A space-joined gram is safe to normalize as a unit: NFC
+    * cannot compose across the space separators. */
   private def gramWindows(toks: DataFrame): DataFrame = {
     val s = toks.sparkSession
     import s.implicits._
+    graft.functions.NormalizeExpressions.register(s)
     toks.filter($"n" >= ScrubGram)
       .select($"doc_id", $"t",
         explode(sequence(lit(0), $"n" - ScrubGram)).as("j"))
       .select($"doc_id", $"j",
         graft.functions.HashExpressions.md5Prefix64(
-          concat_ws(" ", slice($"t", $"j" + 1, lit(ScrubGram))), ScrubHashHex)
+          graft.functions.NormalizeExpressions.nfc(
+            concat_ws(" ", slice($"t", $"j" + 1, lit(ScrubGram)))), ScrubHashHex)
           .as("g"))
   }
 
@@ -1016,8 +1028,8 @@ object TextOps {
        |base AS (SELECT doc_id, t, len(t) AS n FROM toks),
        |grams AS (
        |  SELECT doc_id, i - 1 AS j,
-       |    CAST(('0x' || substring(md5(
-       |      list_aggregate(t[i:i+${ScrubGram - 1}], 'string_agg', ' ')),
+       |    CAST(('0x' || substring(md5(nfc_normalize(
+       |      list_aggregate(t[i:i+${ScrubGram - 1}], 'string_agg', ' '))),
        |      1, $ScrubHashHex)) AS BIGINT) AS g
        |  FROM base, UNNEST(generate_series(1, n - ${ScrubGram - 1})) AS s(i)
        |  WHERE n >= $ScrubGram),
@@ -1050,8 +1062,8 @@ object TextOps {
        |base0 AS (SELECT doc_id, t, len(t) AS n FROM toks),
        |grams0 AS (
        |  SELECT doc_id, i - 1 AS j,
-       |    CAST(('0x' || substring(md5(
-       |      list_aggregate(t[i:i+${ScrubGram - 1}], 'string_agg', ' ')),
+       |    CAST(('0x' || substring(md5(nfc_normalize(
+       |      list_aggregate(t[i:i+${ScrubGram - 1}], 'string_agg', ' '))),
        |      1, $ScrubHashHex)) AS BIGINT) AS g
        |  FROM base0, UNNEST(generate_series(1, n - ${ScrubGram - 1})) AS s(i)
        |  WHERE n >= $ScrubGram),
@@ -1086,8 +1098,8 @@ object TextOps {
        |base AS (SELECT doc_id, t, len(t) AS n FROM toks),
        |grams AS (
        |  SELECT doc_id, i - 1 AS j,
-       |    CAST(('0x' || substring(md5(
-       |      list_aggregate(t[i:i+${ScrubGram - 1}], 'string_agg', ' ')),
+       |    CAST(('0x' || substring(md5(nfc_normalize(
+       |      list_aggregate(t[i:i+${ScrubGram - 1}], 'string_agg', ' '))),
        |      1, $ScrubHashHex)) AS BIGINT) AS g
        |  FROM base, UNNEST(generate_series(1, n - ${ScrubGram - 1})) AS s(i)
        |  WHERE n >= $ScrubGram),

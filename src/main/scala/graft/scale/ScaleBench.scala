@@ -124,7 +124,11 @@ object ScaleBench {
       "d_lsh_dup_pairs" -> ((s: SparkSession, d: String) =>
         graft.dedup.Dedup.lshJaccardFast(s, d)
           .filter(org.apache.spark.sql.functions.col("is_dup") === 1)),
-      "d_ngram_jaccard" -> (graft.dedup.Dedup.ngramJaccard _),
+      // r11: the DEFAULT d_ngram_jaccard entry serves the bucketed
+      // layout, so this cell (the r10 "d_ngram_jaccard" measurement)
+      // is now the explicitly-named INLINE CONTROL — the layout-free
+      // attach whose regime behavior motivated the default change
+      "d_ngram_inline" -> (graft.dedup.Dedup.ngramJaccardInline _),
       // r10: the rehearsal leads with the PRODUCTION simhash — the
       // 56-bit wide form. The 32-bit variant stays oracle-gated at
       // sf-scale (SparkEntry) but is not a scale path: its ×50 cell
@@ -211,10 +215,12 @@ object ScaleBench {
       "s_bm25_topk" -> (graft.similarity.Retrieval.bm25TopK _),
       "s_bm25_topk_indexed" -> (graft.similarity.Retrieval.bm25TopKCached _),
       "s_hybrid_rrf" -> (graft.similarity.Retrieval.hybridRrf _),
-      // containment rides the same rare-gram posting join as
-      // d_ngram_jaccard (pair count bounded by the df cap) — measured
-      // separately because the planted excerpts change the df profile
-      "d_containment" -> (graft.dedup.Dedup.containment _),
+      // containment rides the same rare-gram posting join as the ngram
+      // family (pair count bounded by the df cap) — measured separately
+      // because the planted excerpts change the df profile. This is the
+      // INLINE control (= the r10 "d_containment" cell; the default
+      // entry now serves the bucketed layout, measured below)
+      "d_containment_inline" -> (graft.dedup.Dedup.containmentInline _),
       // r10: the bucketed-attach twins — the production layout for the
       // gram family's verify attach. The r10 probe showed WHY they are
       // the only honest shape: at ×50 the inline jaccard attach survives
@@ -229,11 +235,26 @@ object ScaleBench {
       // layout) with the bucket count scaled to the corpus (a fixed 8
       // caps write+SMJ parallelism at 8 tasks, the D7e fixed-bucket
       // mistake in layout form)
+      // r11: these ARE the default d_ngram_jaccard / d_containment serve
+      // paths now (SparkEntry routes them through the bucketed attach
+      // with reuse=true); bytes-per-pair for the doc_b exchange =
+      // shuffle_write_bytes / rows of these cells
       "d_ngram_bucketed" -> ((s: SparkSession, d: String) =>
         graft.dedup.Dedup.ngramJaccardBucketedAttach(
           s, d, nBuckets = bucketsFor(d), reuse = true)),
       "d_containment_bucketed" -> ((s: SparkSession, d: String) =>
         graft.dedup.Dedup.containmentBucketedAttach(
+          s, d, nBuckets = bucketsFor(d), reuse = true)),
+      // the slim-pair experiment (VERDICT r10 item 2): bare pairs to the
+      // doc_b layout first, arrays ride the exchange BACK — measures
+      // whether the one array pass can be avoided (it moves gs_b instead
+      // of gs_a, so on the copy corpus the volume answer is "no"; the
+      // cell makes that measured, not argued)
+      "d_ngram_bucketed_slim" -> ((s: SparkSession, d: String) =>
+        graft.dedup.Dedup.ngramJaccardBucketedSlim(
+          s, d, nBuckets = bucketsFor(d), reuse = true)),
+      "d_containment_bucketed_slim" -> ((s: SparkSession, d: String) =>
+        graft.dedup.Dedup.containmentBucketedSlim(
           s, d, nBuckets = bucketsFor(d), reuse = true)),
       "d_lsh_bucketed" -> ((s: SparkSession, d: String) =>
         graft.dedup.Dedup.lshJaccardBucketedAttach(

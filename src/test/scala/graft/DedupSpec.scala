@@ -104,6 +104,21 @@ class DedupSpec extends SparkTestBase {
       "corpus fingerprint change must force a rebuild under reuse=true")
   }
 
+  test("slim-pair bucketed attach is bit-identical to the standard shape") {
+    // the ScaleBench experiment twin must never drift semantically: only
+    // WHICH side's arrays ride the exchange differs
+    val std = graft.dedup.Dedup.ngramJaccardBucketedAttach(spark, sfDir, reuse = true)
+      .collect().map(_.toSeq).toSeq
+    val slim = graft.dedup.Dedup.ngramJaccardBucketedSlim(spark, sfDir, reuse = true)
+      .collect().map(_.toSeq).toSeq
+    assert(slim == std)
+    val stdC = graft.dedup.Dedup.containmentBucketedAttach(spark, sfDir, reuse = true)
+      .collect().map(_.toSeq).toSeq
+    val slimC = graft.dedup.Dedup.containmentBucketedSlim(spark, sfDir, reuse = true)
+      .collect().map(_.toSeq).toSeq
+    assert(slimC == stdC)
+  }
+
   test("simhash signature fits in 32 bits") {
     val sigs = Dedup.simhash(Tables.documents(spark, sfDir))
     val bad = sigs.filter(col("sig") < 0 || col("sig") >= (1L << 32))

@@ -197,6 +197,32 @@ class TextOpsSpec extends SparkTestBase {
       "freed span must be admitted fresh after the owner takedown")
   }
 
+  test("scrub window identity is NFC-canonical; kept text keeps original bytes") {
+    // the same duplicated span, once composed ("é") and once decomposed
+    // ("e" + U+0301): r11 window hashing normalizes the HASH INPUT, so
+    // the decomposed later copy is recognized and scrubbed — while the
+    // surviving text is reconstructed from the ORIGINAL tokens, not the
+    // normalized ones
+    val spanC = (1 to TextOps.ScrubGram).map(i => s"café$i").mkString(" ")
+    val spanD = java.text.Normalizer.normalize(
+      spanC, java.text.Normalizer.Form.NFD)
+    assert(spanC != spanD)
+    val docs = Seq(1L -> s"head1 $spanC tail1", 2L -> s"head2 $spanD tail2")
+    val dir = stageDocs(docs)
+    val rows = TextOps.selfDedupScrub(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 owns the span (first occurrence) — kept whole, ORIGINAL bytes
+    assert(rows(1L).getAs[Long]("n_selfdup_windows") == 0L)
+    assert(rows(1L).getAs[String]("kept_md5") == md5(docs.head._2))
+    // doc 2's decomposed re-encoding is the SAME span: scrubbed
+    assert(rows(2L).getAs[Long]("n_selfdup_windows") == 1L,
+      "composition variant of a duplicated span must be recognized")
+    assert(rows(2L).getAs[String]("kept_md5") == md5("head2 tail2"))
+  }
+
   test("self-dedup probe: shuffle fallback above the broadcast cap is bit-identical") {
     import org.apache.spark.sql.functions.col
     // the r10 probe broadcast the batch's distinct window hashes
