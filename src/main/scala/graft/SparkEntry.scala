@@ -99,7 +99,10 @@ object SparkEntry {
     // quality-aware canonical: longest member survives, not min-id
     "d_canonical_best" -> (graft.dedup.Dedup.canonicalBest _),
     "d_minhash_lsh" -> (graft.dedup.Dedup.minhashLsh _),
+    // r11: the default d_lsh_jaccard serves the bucketed layout (like
+    // the gram family); d_lsh_inline keeps the layout-free form gated
     "d_lsh_jaccard" -> (graft.dedup.Dedup.lshJaccard _),
+    "d_lsh_inline" -> (graft.dedup.Dedup.lshJaccardInline _),
     "d_lsh_bucketed" -> ((s, dir) => graft.dedup.Dedup.lshJaccardBucketedAttach(s, dir)),
     // xxhash64 production fast paths: no DuckDB twin (rows-only check);
     // benched alongside the md5-parity forms as the documented 100 TB path
@@ -341,7 +344,8 @@ object SparkEntry {
     "d_canonical_best" -> graft.dedup.Dedup.canonicalBestSql,
     "d_minhash_lsh" -> graft.dedup.Dedup.minhashLshSql,
     "d_lsh_jaccard" -> graft.dedup.Dedup.lshJaccardSql,
-    // bit-identical result over bucketed storage — same oracle gates both
+    "d_lsh_inline" -> graft.dedup.Dedup.lshJaccardSql,
+    // bit-identical result over bucketed storage — same oracle gates all
     "d_lsh_bucketed" -> graft.dedup.Dedup.lshJaccardSql,
     "d_simhash" -> graft.dedup.Dedup.simhashDupSql,
     "s_ann_topk" -> graft.similarity.Ann.bruteForceTopKSql,

@@ -288,10 +288,27 @@ object Dedup {
     * ~8 KB for a 1k-shingle web page). Pathologically large documents
     * (books: millions of shingles) should be length-capped upstream, the
     * standard corpus-dedup practice. */
+  /** The DEFAULT `d_lsh_jaccard` entry — r11: SERVES THROUGH THE
+    * BUCKETED LAYOUT (the same move the gram family made, and the same
+    * reason: the inline attach at ×50 survives only on a
+    * stats-underestimated BROADCAST of the corpus-sized shingle-array
+    * table — complex-type size estimates lowball arrays, an executor
+    * OOM at real scale). Downstream consumers (dup clustering,
+    * canonicalization, the leakage gate, the curation pipeline) inherit
+    * the serve layout and share the one-time build via `reuse = true`.
+    * [[lshJaccardInline]] keeps the layout-free form oracle-green. */
   def lshJaccard(spark: SparkSession, dir: String): DataFrame =
+    lshJaccardBucketedAttach(spark, dir, reuse = true)
+
+  /** The layout-free inline attach (`d_lsh_inline`) — the pre-r11
+    * default; catalogless-session fallback and the PlanSpec control. */
+  def lshJaccardInline(spark: SparkSession, dir: String): DataFrame =
     lshJaccardOver(shingleSets(Tables.documents(spark, dir)))
 
-  /** xxhash64 fast-path twin of [[lshJaccard]] (rows-only check). */
+  /** xxhash64 fast-path twin (rows-only check). Deliberately the
+    * INLINE one-shot shape: this is what the scale rehearsal measures
+    * as the single-pass production form (its bucketed serve twin is
+    * `d_lsh_bucketed`, which shares the same verify arithmetic). */
   def lshJaccardFast(spark: SparkSession, dir: String): DataFrame =
     lshJaccardOver(shingleSets(Tables.documents(spark, dir), algo = "xxh64"))
 

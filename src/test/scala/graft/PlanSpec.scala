@@ -288,8 +288,9 @@ class PlanSpec extends SparkTestBase {
         s"expected exactly one hash exchange (doc_b redistribution), got $hashEx:\n${p.take(3000)}")
 
       // control: the unbucketed pair-attach shuffles more — bucketing
-      // removed exchanges, not work
-      val un = graft.dedup.Dedup.lshJaccard(spark, sfDir)
+      // removed exchanges, not work (lshJaccardInline: the default entry
+      // serves the bucketed layout since r11)
+      val un = graft.dedup.Dedup.lshJaccardInline(spark, sfDir)
       un.collect()
       val pU = un.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       val hashExU = pU.linesIterator.count(_.contains("Exchange hashpartitioning"))
@@ -329,7 +330,7 @@ class PlanSpec extends SparkTestBase {
     // that the DEFAULT entries now execute the bucketed shape: bucketed
     // scans, and exactly ONE hash exchange (the doc_b redistribution)
     withSessionConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      for (q <- Seq("d_ngram_jaccard", "d_containment")) {
+      for (q <- Seq("d_ngram_jaccard", "d_containment", "d_lsh_jaccard")) {
         val df = SparkEntry.queries(q)(spark, sfDir)
         df.collect()
         val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)

@@ -151,7 +151,10 @@ class ShingleExprSpec extends SparkTestBase {
   }
 
   test("jaccard plan stays doc-level: set + intersect exprs, one band explode") {
-    val df = Dedup.lshJaccard(spark, sfDir)
+    // the inline construction — the default entry serves the bucketed
+    // layout since r11, where the shingle hashing ran at build time and
+    // the serve plan only scans + intersects
+    val df = Dedup.lshJaccardInline(spark, sfDir)
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("graft_shingle_set"), "shingle hashing left codegen")
