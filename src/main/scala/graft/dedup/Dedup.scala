@@ -298,7 +298,42 @@ object Dedup {
     * the serve layout and share the one-time build via `reuse = true`.
     * [[lshJaccardInline]] keeps the layout-free form oracle-green. */
   def lshJaccard(spark: SparkSession, dir: String): DataFrame =
-    lshJaccardBucketedAttach(spark, dir, reuse = true)
+    serveBucketedOrInline(spark, "d_lsh_jaccard")(
+      lshJaccardBucketedAttach(spark, dir, reuse = true))(
+      lshJaccardInline(spark, dir))
+
+  /** Routing for the three DEFAULT near-dup entries (r11 ADVICE): the
+    * bucketed serve needs a writable layout root (`Ann.cacheRoot`, i.e.
+    * `GRAFT_ANN_CACHE_DIR`/tmpdir — NOT the warehouse, which r12's
+    * external layout removed from the picture). On a read-only host the
+    * default entry must still answer, so an unusable root routes to the
+    * bit-identical inline twin with a loud log line instead of failing
+    * on the layout write. `usable` is injectable so the routing is
+    * spec-testable without mutating the JVM-global cache-root property
+    * under parallel suites. */
+  private[graft] def serveBucketedOrInline(spark: SparkSession, what: String,
+                                           usable: => Boolean = layoutRootUsable())
+                                          (bucketed: => DataFrame)
+                                          (inline: => DataFrame): DataFrame =
+    if (usable) bucketed
+    else {
+      System.err.println(s"[graft] $what: layout root not writable " +
+        s"(${graft.similarity.Ann.cacheRoot}) — serving the inline plan " +
+        "(bit-identical; no shared bucketed layout on this host)")
+      inline
+    }
+
+  /** Can the shared layout root be created and written? One mkdirs +
+    * one probe-file per call — cheap against a corpus-scale query. */
+  private[graft] def layoutRootUsable(
+      root: java.io.File = new java.io.File(
+        graft.similarity.Ann.cacheRoot, "graft-ann-index")): Boolean =
+    try {
+      root.mkdirs()
+      val probe = java.io.File.createTempFile(".probe", null, root)
+      probe.delete()
+      true
+    } catch { case _: Exception => false }
 
   /** The layout-free inline attach (`d_lsh_inline`) — the pre-r11
     * default; catalogless-session fallback and the PlanSpec control. */
@@ -368,34 +403,57 @@ object Dedup {
     scoreAttachedPairs(attached)
   }
 
-  /** The bucketed-attach twins' shared table device: per-(kind, corpus
-    * dir, process) names, build-or-reuse, takedown registration.
+  /** The bucketed-attach twins' shared table device — r12: the layout is
+    * CROSS-PROCESS PERSISTENT. The (sets, cands) pair lives as external
+    * bucketed parquet under the hardened ANN cache root
+    * (`Ann.cachedIndexDir(dir, "bkt-<kind>")`), built through the same
+    * machinery the persisted ANN indexes use — cross-process build
+    * locks, a `_built` marker carrying every parameter the layout
+    * depends on (INCLUDING the resolved bucket count) plus the corpus
+    * data fingerprint, temp-dir build with marker-last, atomic-rename
+    * install. One process pays the corpus-sized bucketed write; every
+    * other process (and every later driver) re-registers a catalog
+    * entry over the same files — a pure-DDL step, no data movement —
+    * which at 100 TB removes what r11 left as the dominant first-query
+    * cost of every new driver.
     *
-    * The dir digest keeps two corpora from aliasing one table (the same
-    * reason Ann.cachedIndexDir carries it); the pid suffix
-    * (Store.processTable) keeps two JVMs sharing the warehouse from
-    * clobbering each other's drop-and-recreate mid-read — the race the
-    * index scratch dirs had. `reuse = true` is the build-once/query-many
-    * split (the ANN `*_indexed` precedent): serve-path callers skip the
-    * writes when this process already materialized this corpus's pair —
-    * which at 100 TB is the whole point, the one-time bucketed write
-    * amortizes across every dedup/containment pass sharing the layout.
-    * Verify/bench callers keep the default rebuild so correctness runs
-    * are always layout-fresh.
+    * Catalog state stays PER-JVM (Spark's default in-memory catalog):
+    * each session registers `CREATE TABLE … CLUSTERED BY … LOCATION`
+    * over the installed files under a stable per-(kind, corpus) name.
+    * The shared WAREHOUSE is out of the picture entirely, which is what
+    * dissolves the r10 cross-JVM drop-and-recreate race the pid-suffixed
+    * names worked around — there is nothing left to race on: installs
+    * are atomic renames under the file lock, and DDL is per-process.
+    * A `_gen` id written at build time detects another process's
+    * re-install at the same path (same fingerprint, new files) and
+    * refreshes this session's registration — DROP+CREATE also drops the
+    * session's cached file listing for the old generation.
+    *
+    * `reuse = true` is the build-once/query-many split (the ANN
+    * `*_indexed` precedent) — and now amortizes across PROCESSES, not
+    * just passes in one JVM. `reuse = false` (Verify's explicit
+    * `*_bucketed` cells) keeps the always-rebuild contract via a forced
+    * build, so correctness runs still exercise the build path.
     *
     * The tables are DERIVED copies of the documents corpus and retain
-    * any later-taken-down doc's rows; registering them routes a base-
-    * table Store.deleteKeys into a drop (next call rebuilds from the
-    * post-delete corpus) instead of serving deleted content. */
-  /** The (sets, cands) table names [[bucketedPair]] materializes for a
-    * given corpus dir — package-visible so specs assert on the REAL
-    * names instead of duplicating the construction. */
+    * any later-taken-down doc's rows; bucketedPair registers BOTH a
+    * file-deletion hook and a catalog-drop hook for the base table, so
+    * a `Store.deleteKeys` takedown reaches the shared files and this
+    * JVM's serve entries. An UNREGISTERED process (one that never
+    * called bucketedPair this lifetime) rebuilds rather than serves
+    * post-takedown — the corpus fingerprint in the marker changed — the
+    * same guarantee (and the same mid-query caveat) the ANN index cache
+    * documents. */
+  /** The (sets, cands) serve-table names [[bucketedPair]] registers for
+    * a given corpus dir — package-visible so specs assert on the REAL
+    * names instead of duplicating the construction. Stable across
+    * processes (no pid suffix — the names are per-JVM catalog entries
+    * over shared external files, not warehouse directories). */
   private[graft] def bucketedTableNames(dir: String, kind: String)
       : (String, String) = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    (graft.sources.Store.processTable(s"graft_${kind}_sets_$h"),
-      graft.sources.Store.processTable(s"graft_${kind}_cands_$h"))
+    (s"graft_${kind}_sets_$h", s"graft_${kind}_cands_$h")
   }
 
   /** Target on-disk bytes of SOURCE TEXT per bucket of the derived
@@ -434,52 +492,110 @@ object Dedup {
     bucketsForBytes(bytes, spark.sparkContext.defaultParallelism)
   }
 
-  /** Build counter for the bucketed-pair tables (spec observability:
-    * the corpus-fingerprint freshness rule below must REBUILD on corpus
-    * change and SKIP on a clean reuse hit). */
+  /** Build counter for the bucketed-pair layouts (spec observability:
+    * the fingerprint freshness rule must REBUILD on corpus change and
+    * SKIP on a clean reuse hit). Global counter kept for telemetry;
+    * specs assert on [[bucketedBuildsFor]] — the per-entry counts —
+    * because suites share one JVM and run in parallel, so a concurrent
+    * build from ANOTHER suite landing between two global-counter reads
+    * made the r11 assertions flaky. */
   private[graft] val bucketedBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
-  /** In-JVM freshness registry for `reuse = true`: table name → the
-    * corpus dataFingerprint it was built from. The tables are
-    * pid-suffixed (no cross-JVM reuse exists by construction), so a
-    * process-local map IS the complete freshness story — the r10 form
-    * keyed reuse on bare existence, which kept serving stale sets after
-    * an in-place corpus rewrite (append, regeneration) that
-    * Store.deleteKeys' drop hooks never see. */
-  private val bucketedFingerprints =
+  private val bucketedBuildsByEntry =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[graft] def bucketedBuildsFor(dir: String, kind: String): Long =
+    bucketedBuildsByEntry.getOrElse(layoutEntry(dir, kind).getName, 0L)
+
+  /** The cross-process cache entry holding a (kind, corpus) layout. */
+  private[graft] def layoutEntry(dir: String, kind: String): java.io.File =
+    new java.io.File(graft.similarity.Ann.cachedIndexDir(dir, s"bkt-$kind"))
+
+  /** Everything the layout CONTENT depends on, folded into the `_built`
+    * marker: a format generation (bump on any persisted-shape change),
+    * the resolved bucket count (the r11 ADVICE gap — an explicit
+    * nBuckets differing from the derived one must rebuild, or a layout
+    * measurement cell silently measures the wrong layout), every
+    * family constant that shapes sets or candidates, and the corpus
+    * data fingerprint. */
+  private def layoutWant(spark: SparkSession, dir: String, nb: Int): String =
+    s"bkt-v1-nb$nb-k$K-h$NumHashes-b$Bands-r$RowsPerBand-p$P" +
+      s"-n$NgramN-df$NgramMaxDf-ct$ContainTokens-canonv3\n" +
+      graft.similarity.Ann.dataFingerprint(spark, dir, "documents.parquet")
+
+  /** Per-JVM serve-registration state: serve table name → the installed
+    * generation id its catalog entry points at. A mismatch (another
+    * process re-installed the entry at the same path) or a missing
+    * table (fresh session) re-registers — DROP + CREATE, which also
+    * drops this session's cached file listing of the old generation. */
+  private val serveRegistrations =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Spec hook: wipe the per-JVM registration memory so a test can model
+    * a FRESH PROCESS (no catalog entries, no registration state, shared
+    * cache files intact). Safe under parallel suites — a wiped entry is
+    * simply re-registered (idempotent DDL) on its owner's next serve. */
+  private[graft] def forgetServeRegistrations(): Unit = serveRegistrations.clear()
+
+  private def readEntryFile(entry: java.io.File, name: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(entry, name).toPath), "UTF-8")
 
   private def bucketedPair(spark: SparkSession, dir: String, kind: String,
                            nBuckets: Int, reuse: Boolean,
                            sets: => DataFrame,
                            candsOf: DataFrame => DataFrame)
       : (DataFrame, DataFrame) = synchronized {
-    // the whole check-and-build is serialized JVM-wide: Verify's query
-    // pool can hit one (kind, corpus) pair from two threads, and
-    // writeBucketed's drop-and-recreate is not self-concurrent. Builds
-    // are the rare path; serve hits only pay the map lookup.
+    // the whole check-and-build-and-register is serialized JVM-wide:
+    // Verify's query pool can hit one (kind, corpus) pair from two
+    // threads, and catalog DDL on one name is not self-concurrent.
+    // Builds are the rare path; serve hits pay two small file reads.
     //
-    // reap predecessors first: dead processes' pid-suffixed copies would
-    // otherwise accrete in the shared warehouse forever (and hold a
-    // taken-down doc's rows past the takedown)
+    // migration sweep: pre-r12 processes left pid-suffixed bucketed
+    // copies in the shared warehouse; reap dead owners' leftovers (one
+    // listdir — cheap, and it holds taken-down rows otherwise)
     graft.sources.Store.sweepDeadProcessTables(spark)
+    val nb = if (nBuckets > 0) nBuckets else bucketsForCorpus(spark, dir)
+    val entry = layoutEntry(dir, kind)
     val (setsName, candsName) = bucketedTableNames(dir, kind)
-    Seq(setsName, candsName).foreach { t =>
-      graft.sources.Store.registerDerived(s"$dir/documents.parquet", t) { () =>
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        bucketedFingerprints.remove(t); ()
-      }
+    val base = s"$dir/documents.parquet"
+    // takedown hooks, registered on EVERY call (not just builds): a
+    // deleteKeys on the corpus must reach the shared files AND this
+    // JVM's catalog entries, even in a process that only ever served
+    graft.sources.Store.registerDerived(base, entry.getPath) { () =>
+      graft.similarity.Ann.withBuildLock(entry)(
+        graft.similarity.Ann.deleteLocal(entry))
     }
-    val want = graft.similarity.Ann.dataFingerprint(spark, dir, "documents.parquet")
-    val have = reuse && spark.catalog.tableExists(setsName) &&
-      spark.catalog.tableExists(candsName) &&
-      bucketedFingerprints.get(setsName).contains(want)
-    if (!have) {
-      val nb = if (nBuckets > 0) nBuckets else bucketsForCorpus(spark, dir)
-      graft.sources.Store.writeBucketed(sets, setsName, "doc_id", nb)
-      graft.sources.Store.writeBucketed(
-        candsOf(spark.table(setsName)), candsName, "doc_a", nb)
-      bucketedFingerprints.put(setsName, want)
+    graft.sources.Store.registerDerived(base, s"cat-$setsName") { () =>
+      spark.sql(s"DROP TABLE IF EXISTS $setsName")
+      spark.sql(s"DROP TABLE IF EXISTS $candsName")
+      serveRegistrations.remove(setsName); ()
+    }
+    graft.similarity.Ann.ensureFresh(entry, layoutWant(spark, dir, nb),
+      registerBase = None, force = !reuse) { tmp =>
+      val setsDdl = graft.sources.Store.writeBucketedExternal(
+        sets, "doc_id", nb, s"$tmp/sets")
+      // candidates are generated from the MATERIALIZED sets (one scan of
+      // the written files — the gram/shingle hashing never runs twice)
+      val candsDdl = graft.sources.Store.writeBucketedExternal(
+        candsOf(spark.read.parquet(s"$tmp/sets")), "doc_a", nb, s"$tmp/cands")
+      java.nio.file.Files.write(new java.io.File(tmp, "_meta").toPath,
+        s"$nb\n$setsDdl\n$candsDdl".getBytes("UTF-8"))
+      java.nio.file.Files.write(new java.io.File(tmp, "_gen").toPath,
+        java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
       bucketedBuilds.incrementAndGet()
+      bucketedBuildsByEntry.updateWith(entry.getName)(c => Some(c.getOrElse(0L) + 1L))
+      ()
+    }
+    val gen = readEntryFile(entry, "_gen")
+    val fresh = serveRegistrations.get(setsName).contains(gen) &&
+      spark.catalog.tableExists(setsName) && spark.catalog.tableExists(candsName)
+    if (!fresh) {
+      val meta = readEntryFile(entry, "_meta").split("\n", 3)
+      val (metaNb, setsDdl, candsDdl) = (meta(0).toInt, meta(1), meta(2))
+      graft.sources.Store.registerBucketedExternal(
+        spark, setsName, setsDdl, "doc_id", metaNb, s"${entry.getPath}/sets")
+      graft.sources.Store.registerBucketedExternal(
+        spark, candsName, candsDdl, "doc_a", metaNb, s"${entry.getPath}/cands")
+      serveRegistrations.put(setsName, gen)
     }
     (spark.table(setsName), spark.table(candsName))
   }
@@ -637,7 +753,9 @@ object Dedup {
     * keeps the layout-free form for catalogless sessions and the
     * control measurements. */
   def containment(spark: SparkSession, dir: String): DataFrame =
-    containmentBucketedAttach(spark, dir, reuse = true)
+    serveBucketedOrInline(spark, "d_containment")(
+      containmentBucketedAttach(spark, dir, reuse = true))(
+      containmentInline(spark, dir))
 
   /** The layout-free inline attach (`d_containment_inline`) — the r10
     * default, kept for sessions without a warehouse-backed catalog and
@@ -742,7 +860,9 @@ object Dedup {
     * layout-free form lives on as [[ngramJaccardInline]]
     * (`d_ngram_inline`), gated by the same oracle SQL. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardBucketedAttach(spark, dir, reuse = true)
+    serveBucketedOrInline(spark, "d_ngram_jaccard")(
+      ngramJaccardBucketedAttach(spark, dir, reuse = true))(
+      ngramJaccardInline(spark, dir))
 
   /** The layout-free inline form (`d_ngram_inline`) — the r10 default;
     * see [[containmentInline]] for why the DEFAULT entry now serves the

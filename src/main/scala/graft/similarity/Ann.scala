@@ -1143,7 +1143,7 @@ object Ann {
     * path (`GRAFT_ANN_CACHE_DIR` env or `graft.ann.cache.dir` system
     * property) — a world-writable /tmp would let another local user
     * pre-plant index files. */
-  private def cacheRoot: String =
+  private[graft] def cacheRoot: String =
     sys.env.get("GRAFT_ANN_CACHE_DIR")
       .orElse(sys.props.get("graft.ann.cache.dir"))
       .getOrElse(System.getProperty("java.io.tmpdir"))
@@ -1158,7 +1158,7 @@ object Ann {
     s"$cacheRoot/graft-ann-index/$kind-$safe-$h"
   }
 
-  private def deleteLocal(f: java.io.File): Unit = {
+  private[graft] def deleteLocal(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteLocal))
     f.delete()
   }
@@ -1196,15 +1196,41 @@ object Ann {
       .getOrElse(Array.empty).toSeq.filter(_.isDirectory)
       .flatMap { d =>
         val m = new java.io.File(d, "_scratch")
-        if (!m.exists()) None
-        else new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
-          .trim.toLongOption.map(d -> _)
+        if (m.exists())
+          new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
+            .trim.toLongOption.map(d -> _)
+        else legacyScratchPid(d) // pre-marker upgrade generation (below)
       }
       .filter { case (_, p) =>
         p != pid && { val h = ProcessHandle.of(p); !(h.isPresent && h.get.isAlive) }
       }
       .foreach { case (d, _) => withBuildLock(d)(deleteLocal(d)) }
     new java.io.File(cachedIndexDir(dir, s"$kind-p$pid")).getPath
+  }
+
+  /** One-time upgrade path for the marker-file reaper: scratch dirs left
+    * by pre-marker processes (which never wrote `_scratch`) would
+    * otherwise be permanently unreapable orphans — the unbounded-growth
+    * leak the reaper exists to prevent, frozen in for one generation.
+    * A markerless dir is treated as legacy scratch ONLY under all three
+    * guards: (a) it carries no completion marker of any cache family
+    * (`_built` for ensureFresh entries, `_vpin` for version-pinned ones,
+    * `_source` for the versioned-corpus bootstrap root) — a LEGITIMATE
+    * cached index always has one, so the corpus-path false-positive the
+    * r10 name-regex reaper had (`/data/set-p2-v1` embedding a pid-shaped
+    * fragment) is excluded; (b) its name matches the old scratch shape
+    * `<kind>-p<pid>-…` from the name START; (c) that pid is dead (checked
+    * by the shared liveness filter above). A torn non-scratch entry
+    * (crash between install and marker — impossible by construction, the
+    * marker lands before the rename) has no marker either, but such an
+    * entry is unreadable garbage the next ensureFresh rebuilds anyway, so
+    * deleting it is a no-op semantically. */
+  private def legacyScratchPid(d: java.io.File): Option[(java.io.File, Long)] = {
+    val hasMarker = Seq("_built", "_vpin", "_source")
+      .exists(m => new java.io.File(d, m).exists())
+    if (hasMarker) None
+    else "^[A-Za-z0-9]+-p(\\d+)-".r.findFirstMatchIn(d.getName)
+      .flatMap(_.group(1).toLongOption).map(d -> _)
   }
 
   /** Wipe-and-recreate a [[scratchDir]] path — called by the owner
@@ -1365,18 +1391,24 @@ object Ann {
   }
 
   /** Shared build-if-stale core: marker check, JVM + cross-process build
-    * locks, temp-dir build with marker-last, atomic-rename install. */
-  private def ensureFresh(idx: java.io.File, want: String,
-                          registerBase: Option[String])
-                         (build: String => Unit): String = {
+    * locks, temp-dir build with marker-last, atomic-rename install.
+    * `force = true` rebuilds even when the marker is fresh — the
+    * layout-fresh contract the bucketed-pair `reuse = false` callers keep
+    * (Verify's explicit `*_bucketed` cells measure build + serve); forced
+    * concurrent builders serialize on the lock and each installs a
+    * complete generation. */
+  private[graft] def ensureFresh(idx: java.io.File, want: String,
+                                 registerBase: Option[String],
+                                 force: Boolean = false)
+                                (build: String => Unit): String = {
     def fresh: Boolean = {
       val marker = new java.io.File(idx, "_built")
       marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == want
     }
-    if (fresh) return idx.getPath
+    if (!force && fresh) return idx.getPath
     withBuildLock(idx) {
-      if (!fresh) { // re-check: the lock holder before us may have built it
+      if (force || !fresh) { // re-check: the lock holder before us may have built it
         val tmp = new java.io.File(idx.getParentFile,
           s"${idx.getName}.build-${java.util.UUID.randomUUID().toString.take(8)}")
         try {

@@ -219,6 +219,55 @@ object Store {
       .saveAsTable(table)
   }
 
+  /** [[writeBucketed]]'s EXTERNAL-location twin: the bucketed files land
+    * at `path` (not in the managed warehouse) via a throwaway catalog
+    * name that is dropped right after the write — external drop leaves
+    * the files. This is the build half of the cross-process bucketed
+    * LAYOUT cache (Dedup.bucketedPair): the files carry their bucket ids
+    * in the standard `_NNNNN` filename component, so ANY session can
+    * later re-register a `CREATE TABLE … CLUSTERED BY … LOCATION` entry
+    * over them and get the co-located zero/one-exchange join plans
+    * without rewriting a byte — one process builds, every process
+    * serves. Returns the written DataFrame's schema DDL (the
+    * re-registration needs it; reading it back from parquet footers
+    * would work but costs a listing per serve). */
+  def writeBucketedExternal(df: DataFrame, bucketCol: String, nBuckets: Int,
+                            path: String): String = {
+    val spark = df.sparkSession
+    val tmpName =
+      s"graft_bkt_build_p${ProcessHandle.current().pid()}_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+    // same one-file-per-bucket discipline as writeBucketed (tasks ×
+    // nBuckets small files otherwise)
+    df.repartition(nBuckets, col(bucketCol))
+      .write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .option("path", path)
+      .saveAsTable(tmpName)
+    val ddl = spark.table(tmpName).schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName") // external: files stay
+    ddl
+  }
+
+  /** Register (or re-register) a catalog entry over bucketed files
+    * written by [[writeBucketedExternal]] — per-JVM catalog state only,
+    * no data movement. DROP + CREATE (not CREATE IF NOT EXISTS) so the
+    * session's cached file listing for a previous generation at the same
+    * location is invalidated with the entry. */
+  def registerBucketedExternal(spark: SparkSession, table: String,
+                               schemaDdl: String, bucketCol: String,
+                               nBuckets: Int, path: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table ($schemaDdl)
+         |USING parquet
+         |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $nBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    ()
+  }
+
   /** Join two same-bucketed tables on the bucket key — planner should
     * produce a sort-merge join with zero Exchange operators. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,

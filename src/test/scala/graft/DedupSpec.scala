@@ -89,19 +89,77 @@ class DedupSpec extends SparkTestBase {
     // append/regeneration, which fires no Store.deleteKeys hook — must
     // rebuild instead of serving the stale bucketed tables
     val dir = java.nio.file.Files.createTempDirectory("bucket_fresh").toString
+    // per-ENTRY build counts (r11 ADVICE): suites share one parallel JVM,
+    // so asserting exact values of the GLOBAL counter raced any
+    // concurrent bucketedPair build from another suite — the private
+    // temp-dir entry's own count cannot
     Tables.documents(spark, sfDir).limit(40)
       .write.parquet(s"$dir/documents.parquet")
-    val base = Dedup.bucketedBuilds.get()
+    assert(Dedup.bucketedBuildsFor(dir, "d4b") == 0, "fresh temp-dir entry")
     Dedup.ngramJaccardBucketedAttach(spark, dir, reuse = true).collect()
-    assert(Dedup.bucketedBuilds.get() == base + 1, "first call builds")
+    assert(Dedup.bucketedBuildsFor(dir, "d4b") == 1, "first call builds")
     Dedup.ngramJaccardBucketedAttach(spark, dir, reuse = true).collect()
-    assert(Dedup.bucketedBuilds.get() == base + 1, "clean reuse hit: no rebuild")
+    assert(Dedup.bucketedBuildsFor(dir, "d4b") == 1, "clean reuse hit: no rebuild")
     Tables.documents(spark, sfDir).limit(25)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val after = Dedup.ngramJaccardBucketedAttach(spark, dir, reuse = true)
     after.collect()
-    assert(Dedup.bucketedBuilds.get() == base + 2,
+    assert(Dedup.bucketedBuildsFor(dir, "d4b") == 2,
       "corpus fingerprint change must force a rebuild under reuse=true")
+    // r12 ADVICE closure: an EXPLICIT bucket count differing from the
+    // served layout's must rebuild (the fingerprint folds the resolved
+    // count), not silently serve the other layout
+    Dedup.ngramJaccardBucketedAttach(spark, dir, nBuckets = 3, reuse = true).collect()
+    assert(Dedup.bucketedBuildsFor(dir, "d4b") == 3,
+      "explicit nBuckets differing from the built layout must rebuild")
+    Dedup.ngramJaccardBucketedAttach(spark, dir, nBuckets = 3, reuse = true).collect()
+    assert(Dedup.bucketedBuildsFor(dir, "d4b") == 3,
+      "same explicit nBuckets reuses cleanly")
+  }
+
+  test("bucketed layout is cross-process persistent: a fresh session serves without rebuilding") {
+    // two real JVMs are exercised by the probe harness; in-suite, a
+    // "fresh process" is a session with NO catalog entries and NO serve
+    // registration — exactly the state a new driver starts in (the
+    // shared cache entry is the only thing that persists)
+    val dir = java.nio.file.Files.createTempDirectory("bucket_xproc").toString
+    Tables.documents(spark, sfDir).limit(40)
+      .write.parquet(s"$dir/documents.parquet")
+    val first = Dedup.ngramJaccardBucketedAttach(spark, dir, reuse = true)
+      .collect().map(_.toSeq).toSeq
+    assert(Dedup.bucketedBuildsFor(dir, "d4b") == 1)
+    val (setsN, candsN) = Dedup.bucketedTableNames(dir, "d4b")
+    spark.sql(s"DROP TABLE IF EXISTS $setsN")
+    spark.sql(s"DROP TABLE IF EXISTS $candsN")
+    Dedup.forgetServeRegistrations()
+    val second = Dedup.ngramJaccardBucketedAttach(spark, dir, reuse = true)
+      .collect().map(_.toSeq).toSeq
+    assert(Dedup.bucketedBuildsFor(dir, "d4b") == 1,
+      "fresh session must re-register over the shared files, not rebuild")
+    assert(second == first)
+    assert(spark.catalog.tableExists(setsN), "serve re-registered the catalog entry")
+  }
+
+  test("default near-dup entries fall back to the inline plan when the layout root is unusable") {
+    // detection half: a root that cannot be created (its parent is a
+    // plain FILE — permission-bit roots don't block the test user, who
+    // may be privileged) is not usable
+    val notADir = java.io.File.createTempFile("not_a_dir", null)
+    assert(!Dedup.layoutRootUsable(new java.io.File(notADir, "sub")),
+      "an uncreatable root must be detected as unusable")
+    assert(Dedup.layoutRootUsable(), "the real root is usable in this environment")
+    // routing half: an unusable verdict serves the inline plan (and the
+    // bucketed thunk must not run at all — it would write the layout)
+    var builtBucketed = false
+    val routed = Dedup.serveBucketedOrInline(spark, "spec", usable = false) {
+      builtBucketed = true
+      Dedup.ngramJaccardBucketedAttach(spark, sfDir, reuse = true)
+    } {
+      Dedup.ngramJaccardInline(spark, sfDir)
+    }
+    assert(!builtBucketed, "unusable root must not touch the bucketed path")
+    val inline = Dedup.ngramJaccardInline(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(routed.collect().map(_.toSeq).toSeq == inline, "fallback is bit-identical")
   }
 
   test("slim-pair bucketed attach is bit-identical to the standard shape") {

@@ -472,6 +472,39 @@ class StoreSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("takedown reaches the DEFAULT near-dup entries over the shared layout cache") {
+    // r12 (VERDICT item 8): the DEFAULT d_lsh_jaccard / d_containment
+    // entries — not the explicit twins — must serve no taken-down doc
+    // after Store.deleteKeys, and must pay exactly ONE rebuild each on
+    // the post-delete corpus (the fingerprint change, not every call)
+    val docDir = java.nio.file.Files.createTempDirectory("default_takedown").toString
+    Tables.documents(spark, sfDir).limit(60)
+      .write.partitionBy("lang").parquet(s"$docDir/documents.parquet")
+    graft.dedup.Dedup.lshJaccard(spark, docDir).collect()
+    graft.dedup.Dedup.containment(spark, docDir).collect()
+    val builds0 = (graft.dedup.Dedup.bucketedBuildsFor(docDir, "d3"),
+      graft.dedup.Dedup.bucketedBuildsFor(docDir, "d4d"))
+    assert(builds0 == ((1L, 1L)), s"one build per family first: $builds0")
+    // victim ≥ ContainIdBase-safe range and ≥ 5 so the planted-excerpt
+    // twins never reference it
+    val victim = Tables.documents(spark, docDir)
+      .filter(col("doc_id") >= 5).select("doc_id").head().getLong(0)
+    Store.deleteKeys(spark, s"$docDir/documents.parquet",
+      "doc_id", Seq(victim), Seq("lang"))
+    for (df <- Seq(graft.dedup.Dedup.lshJaccard(spark, docDir),
+                   graft.dedup.Dedup.containment(spark, docDir))) {
+      assert(df.filter(col("doc_a") === victim || col("doc_b") === victim)
+        .count() == 0, "taken-down doc must appear in no served pair")
+    }
+    val builds1 = (graft.dedup.Dedup.bucketedBuildsFor(docDir, "d3"),
+      graft.dedup.Dedup.bucketedBuildsFor(docDir, "d4d"))
+    assert(builds1 == ((2L, 2L)),
+      s"exactly one rebuild per family after the takedown: $builds1")
+    // a further serve is a clean reuse hit
+    graft.dedup.Dedup.lshJaccard(spark, docDir).collect()
+    assert(graft.dedup.Dedup.bucketedBuildsFor(docDir, "d3") == 2L)
+  }
+
   test("dead-process pid-suffixed tables are swept; live ones survive") {
     val wh = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
