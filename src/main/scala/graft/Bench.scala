@@ -20,7 +20,9 @@ object Bench {
       Thread.sleep(50)
     }
 
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Map[String, Double]) = {
+      graft.ops.Legs.drain() // clear any leftover from a failed prior run
       val t0 = System.nanoTime()
       // toRdd.count() executes the FULL physical plan (a plain .count()
       // lets the optimizer drop final sorts and projections)
@@ -30,7 +32,7 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       clearPersisted()
-      dt
+      (dt, graft.ops.Legs.drain())
     }
 
     // JVM/codegen warm-up: one untimed scan+agg so the first timed query
@@ -43,9 +45,15 @@ object Bench {
     // Best-of-3 per query: run-to-run variance on this box is ±40%; the
     // min of three executions is the stable statistic for round-over-round
     // deltas (best-of-2 let unchanged queries read as 3–6× regressions).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> Seq.fill(3)(runOnce(fn)).min
-    }.toMap
+    // Each run also drains any per-leg wall times the lifecycle queries
+    // recorded (graft.ops.Legs); the published legs are the BEST run's
+    // (same statistic as the total, so legs + lazy-serve remainder are
+    // internally consistent).
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> Seq.fill(3)(runOnce(fn)).minBy(_._1)
+    }
+    val results = runs.map { case (n, (dt, _)) => n -> dt }.toMap
+    val legs: Map[String, Double] = runs.flatMap(_._2._2).toMap
     // The driver captures only the LAST ~2 KB of stdout; a name-keyed map
     // over 160+ queries can NEVER fit (names alone ≈ 3.3 KB — r07 and r08
     // both recorded "parsed": null). So the printed line is SHORT — total
@@ -58,6 +66,9 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    },"legs":${
+      legs.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v, 3) }
+        .mkString("{", ",", "}")
     },"sf":"$sfDir"}"""
     val bytes = (full + "\n").getBytes("UTF-8")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile), bytes)

@@ -359,10 +359,32 @@ object Dedup {
     scoreAttachedPairs(attached)
   }
 
+  /** Isolate the deterministic-output sort from the heavy scoring
+    * segment below it (r12). A global `orderBy` is an Exchange with
+    * RANGE partitioning, and range partitioning SAMPLES its child by
+    * running a real job over the child RDD — so everything between the
+    * previous shuffle boundary and the sort executes TWICE: once for
+    * the sampler, once for the sort's map tasks. For the pair scorers
+    * that segment is the expensive part of the whole query (the set
+    * scan + attach SMJ + per-pair sorted-intersect); the r11 rehearsal
+    * shows the signature directly — `d_ngram_bucketed` at ×50 READS
+    * 40.5 GB of shuffle while WRITING 20.5 GB (SCALE_r11), the attach
+    * exchange consumed twice. One narrow hash exchange of the SCORED
+    * rows (16–40 B each, no arrays) right below the sort turns the
+    * scoring segment into a materialized stage: the sampler and the
+    * sort both re-read shuffle files instead of re-executing the
+    * segment. The barrier costs one narrow pass; it saves an
+    * array-wide one plus the recompute — strictly cheaper from toy
+    * scale up. (The sort itself is the correctness gate's determinism
+    * contract; a production pipeline consuming pairs as a SET would
+    * drop both the sort and this barrier.) */
+  private def sortIsolated(scored: DataFrame): DataFrame =
+    scored.repartition(col("doc_a")).orderBy("doc_a", "doc_b")
+
   /** Shared verify tail: exact Jaccard from the attached sorted-set
     * arrays, identical arithmetic for the persisted and bucketed paths. */
   private def scoreAttachedPairs(attached: DataFrame): DataFrame =
-    attached
+    sortIsolated(attached
       .select(col("doc_a"), col("doc_b"),
         graft.functions.ShingleExpressions
           .sortedIntersect(col("hs_a"), col("hs_b")).as("n_inter"),
@@ -371,8 +393,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         floor(col("n_inter") * 10000 / (col("n_a") + col("n_b") - col("n_inter")))
           .cast("long").as("jaccard_bp"))
-      .withColumn("is_dup", (col("jaccard_bp") >= 8000).cast("int"))
-      .orderBy("doc_a", "doc_b")
+      .withColumn("is_dup", (col("jaccard_bp") >= 8000).cast("int")))
 
   /** [[lshJaccard]] with its pair-attach joins running over BUCKETED
     * storage (`d_lsh_bucketed`) — the layout a production dedup pipeline
@@ -738,7 +759,7 @@ object Dedup {
         floor(col("n_inter") * 10000 / (col("n_a") + col("n_b") - col("n_inter")))
           .cast("long").as("jaccard_bp"))
       .filter(col("contain_bp") >= ContainBp)
-      .orderBy("doc_a", "doc_b")
+      .transform(sortIsolated)
   }
 
   /** The DEFAULT `d_containment` entry — since r11 it SERVES THROUGH THE
@@ -930,7 +951,7 @@ object Dedup {
         floor(col("n_inter") * 10000 / (col("n_a") + col("n_b") - col("n_inter")))
           .cast("long").as("jaccard_bp"))
       .withColumn("is_dup", (col("jaccard_bp") >= 5000).cast("int"))
-      .orderBy("doc_a", "doc_b")
+      .transform(sortIsolated)
   }
 
   /** [[ngramJaccard]] with its pair-attach joins running over BUCKETED

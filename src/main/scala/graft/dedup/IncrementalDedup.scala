@@ -96,9 +96,19 @@ object IncrementalDedup {
     * append its previously-unseen buckets, and return
     * `(doc_id, is_dup, dup_of)` — `dup_of` the smallest earlier doc
     * sharing a bucket, null for admitted docs. */
+  /** Everything a stored bucket key's VALUE depends on — stamped into
+    * the store's `_format` marker (Store.ensureStoreFormat) so a build
+    * whose hash identity differs (NFC generation, shingle params, algo)
+    * fails loudly instead of silently missing every stored owner. */
+  private[graft] def storeFormat(algo: String): String =
+    s"lsh-bucket-store-canonv3-k${Dedup.K}-h${Dedup.NumHashes}" +
+      s"-b${Dedup.Bands}-r${Dedup.RowsPerBand}-p${Dedup.P}" +
+      s"-sp$StoreParts-$algo"
+
   def admitBatch(batch: DataFrame, storeDir: String,
                  algo: String = "md5"): DataFrame = {
     val spark = batch.sparkSession
+    graft.sources.Store.ensureStoreFormat(storeDir, storeFormat(algo))
     val bands = batchBands(batch, algo).persist()
     val bmin = bucketMins(bands).persist()
     // batch-bounded from here on
@@ -165,9 +175,11 @@ object IncrementalDedup {
     val storeDir = java.nio.file.Files
       .createTempDirectory("inc_dedup_store").toString
     val parts = (0L until 3L).map { i =>
-      admitBatch(
-        docs.filter(col("doc_id") >= i * width &&
-          col("doc_id") < (i + 1) * width), storeDir, algo)
+      graft.ops.Legs.time(s"d_incremental_admit${if (algo == "md5") "" else "_fast"}",
+        s"batch$i")(
+        admitBatch(
+          docs.filter(col("doc_id") >= i * width &&
+            col("doc_id") < (i + 1) * width), storeDir, algo))
     }
     parts.reduce(_ unionAll _).orderBy("doc_id")
   }

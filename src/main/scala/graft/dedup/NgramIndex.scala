@@ -144,8 +144,10 @@ object NgramIndex {
     val idx = graft.similarity.Ann.scratchDir(dir, "ngram-inc")
     graft.similarity.Ann.withBuildLock(new java.io.File(idx)) {
       graft.similarity.Ann.resetScratch(idx)
-      buildFrom(docs.filter(col("doc_id") % 10 =!= 0), idx)
-      upsert(docs.filter(col("doc_id") % 10 === 0), idx)
+      graft.ops.Legs.time("d_ngram_incremental", "build")(
+        buildFrom(docs.filter(col("doc_id") % 10 =!= 0), idx))
+      graft.ops.Legs.time("d_ngram_incremental", "upsert")(
+        upsert(docs.filter(col("doc_id") % 10 === 0), idx))
     }
     ngramJaccardIndexed(spark, idx)
   }

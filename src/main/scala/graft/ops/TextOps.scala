@@ -940,10 +940,17 @@ object TextOps {
     * TextOpsSpec pins the equality by forcing the fallback. */
   val SelfDedupBroadcastMaxGrams = 4000000L
 
+  /** The window-owner store's hash-identity stamp — see
+    * [[graft.dedup.IncrementalDedup.storeFormat]] for the contract. */
+  private[graft] def selfDedupStoreFormat: String =
+    s"selfdedup-owner-store-canonv3-g$ScrubGram-enc$SelfDedupEncBase" +
+      s"-gp$SelfDedupStoreParts"
+
   private[graft] def selfDedupAdmitBatch(batch: DataFrame, storeDir: String,
                                          maxBroadcastGrams: Long): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
+    graft.sources.Store.ensureStoreFormat(storeDir, selfDedupStoreFormat)
     val toks = encBoundGuard(scrubToksOf(batch))
     val wins = gramWindows(toks)
       .withColumn("k", $"doc_id" * SelfDedupEncBase + $"j").persist()
@@ -1005,9 +1012,10 @@ object TextOps {
       graft.similarity.Ann.resetScratch(storeDir)
     }
     val parts = (0L until 3L).map { i =>
-      selfDedupAdmitBatch(
-        docs.filter($"doc_id" >= i * width && $"doc_id" < (i + 1) * width),
-        storeDir)
+      graft.ops.Legs.time("t_selfdedup_incremental", s"batch$i")(
+        selfDedupAdmitBatch(
+          docs.filter($"doc_id" >= i * width && $"doc_id" < (i + 1) * width),
+          storeDir))
     }
     parts.reduce(_ unionAll _).orderBy($"doc_id")
   }

@@ -9,8 +9,8 @@ import java.util.concurrent.atomic.AtomicLong
   * lucky"; shuffle bytes/records and input bytes are the scale-invariant
   * evidence. Registered once, snapshotted around each measured query. */
 final class MetricsListener extends SparkListener {
-  val shuffleReadB, shuffleWriteB, shuffleWriteRec, inputB, spillB, peakMem =
-    new AtomicLong(0)
+  val shuffleReadB, shuffleWriteB, shuffleWriteRec, inputB, spillB, peakMem,
+    runTimeMs, cpuTimeNs, gcTimeMs = new AtomicLong(0)
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
     val m = t.taskMetrics
     if (m != null) {
@@ -20,6 +20,13 @@ final class MetricsListener extends SparkListener {
       inputB.addAndGet(m.inputMetrics.bytesRead)
       spillB.addAndGet(m.diskBytesSpilled)
       peakMem.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+      // wall-attribution trio (r11 VERDICT item 2): summed task run time
+      // vs cpu time vs GC time separates "the plan did more work" from
+      // "the JVM was digesting another cell's garbage" — the ×50
+      // containment-vs-gram wall gap could not be convicted without it
+      runTimeMs.addAndGet(m.executorRunTime)
+      cpuTimeNs.addAndGet(m.executorCpuTime)
+      gcTimeMs.addAndGet(m.jvmGCTime)
     }
   }
   def snapshot: Map[String, Long] = Map(
@@ -28,10 +35,13 @@ final class MetricsListener extends SparkListener {
     "shuffle_write_records" -> shuffleWriteRec.get,
     "input_bytes" -> inputB.get,
     "disk_spill_bytes" -> spillB.get,
-    "peak_task_memory" -> peakMem.get)
+    "peak_task_memory" -> peakMem.get,
+    "task_run_ms" -> runTimeMs.get,
+    "task_cpu_ms" -> cpuTimeNs.get / 1000000L,
+    "task_gc_ms" -> gcTimeMs.get)
   def reset(): Unit =
-    Seq(shuffleReadB, shuffleWriteB, shuffleWriteRec, inputB, spillB, peakMem)
-      .foreach(_.set(0))
+    Seq(shuffleReadB, shuffleWriteB, shuffleWriteRec, inputB, spillB, peakMem,
+      runTimeMs, cpuTimeNs, gcTimeMs).foreach(_.set(0))
 }
 
 /** The scale rehearsal: measure the 100-TB design claims instead of
@@ -344,27 +354,46 @@ object ScaleBench {
       ()
     }
 
-    case class Cell(sec: Double, rows: Long, metrics: Map[String, Long])
+    case class Cell(sec: Double, rows: Long, metrics: Map[String, Long],
+                    walls: Seq[Double])
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[Int, Cell]]
 
+    // probe runs default to median-of-3 (r11 VERDICT item 3: the r11
+    // in-regime probe showed a ×30 wall ABOVE the ×50 wall for the same
+    // query — single-shot cells inherit cross-cell JVM state, and the
+    // headline linearity claims can't rest on them). Each repeat gets a
+    // full clearPersisted + GC quiesce; the reported cell is the repeat
+    // with the MEDIAN wall (its metrics, not a mix), and every wall is
+    // kept in the artifact so run-to-run spread is visible. The full
+    // (~60-cell) rehearsal stays single-shot — it is an hour already —
+    // unless SPARK_GRAFT_REPEATS overrides.
+    val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt)
+      .getOrElse(if (only.isDefined) 3 else 1)
+
     for (n <- scales; (name, fn) <- measured) {
       val dir = dirs(n)
-      clearPersisted()
-      listener.reset()
-      val t0 = System.nanoTime()
-      val rows =
-        try fn(spark, dir).queryExecution.toRdd.count()
-        catch { case e: Throwable =>
-          System.err.println(s"[scale] $name x$n FAILED: ${e.getMessage}"); -1L
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      drainListenerBus(spark)
-      val cell = Cell(sec, rows, listener.snapshot)
+      val runs = (1 to repeats).map { _ =>
+        clearPersisted()
+        listener.reset()
+        val t0 = System.nanoTime()
+        val rows =
+          try fn(spark, dir).queryExecution.toRdd.count()
+          catch { case e: Throwable =>
+            System.err.println(s"[scale] $name x$n FAILED: ${e.getMessage}"); -1L
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        drainListenerBus(spark)
+        (sec, rows, listener.snapshot)
+      }
+      val sorted = runs.sortBy(_._1)
+      val med = sorted(sorted.length / 2)
+      val cell = Cell(med._1, med._2, med._3, runs.map(_._1))
       results.getOrElseUpdate(name,
         scala.collection.mutable.LinkedHashMap.empty) += n -> cell
       System.err.println(f"[scale] $name%-22s x$n%-3d ${cell.sec}%7.2f s " +
-        f"rows=${cell.rows}%9d shufW=${cell.metrics("shuffle_write_bytes")}%12d")
+        f"rows=${cell.rows}%9d shufW=${cell.metrics("shuffle_write_bytes")}%12d" +
+        (if (repeats > 1) s" walls=${cell.walls.map(w => f"$w%.1f").mkString("/")}" else ""))
     }
 
     // candidate-pair counts for the band-join claim (not a timed query:
@@ -507,7 +536,9 @@ object ScaleBench {
       val base = cells(scales.head)
       val perScale = cells.map { case (n, c) =>
         val m = c.metrics.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
-        s""""x$n": {"sec": ${jnum(c.sec)}, "rows": ${c.rows}, $m}"""
+        val walls = if (c.walls.length > 1)
+          s""", "walls": [${c.walls.map(jnum).mkString(", ")}]""" else ""
+        s""""x$n": {"sec": ${jnum(c.sec)}, "rows": ${c.rows}, $m$walls}"""
       }.mkString(", ")
       val growth = cells.map { case (n, c) =>
         val ideal = n.toDouble / scales.head

@@ -37,6 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** NORMALIZATION POLICY (r12, SURVEY §2.13 "identity vs scoring"):
+    * this tokenizer deliberately takes raw lowercased text, NOT the
+    * NFC-canonical form the dedup/decontamination hash families use.
+    * Identity hashes must be representation-invariant; a SCORER must
+    * see the text the model will train on — a deployment wanting
+    * NFC-invariant retrieval normalizes the corpus once at curation
+    * time (TextOps.nfcNormalize, oracle-gated) so the index, the
+    * scorer, and the served bytes agree, rather than folding a silent
+    * rewrite into term identity here. */
   /** Documents whose prefixes serve as queries (doc_id < this). */
   val HybridQueries = 10
   /** Query length: first distinct tokens of the query document. */

@@ -75,6 +75,45 @@ object Store {
     hooks.toSeq.sortBy(_._1).flatMap { case (_, f) => f(keepLast) }
   }
 
+  /** Hash-format guard for persistent APPEND-mode stores (r11 ADVICE,
+    * medium): the incremental-admission LSH bucket store and the
+    * self-dedup window-owner store accrete batches across process
+    * lifetimes, and their row KEYS are hash values — any change to the
+    * hash identity (the r11 NFC canonicalization, a shingle-param bump,
+    * an algo switch) makes new batches silently stop matching stored
+    * owners: missed near-dups and re-admitted spans with NO error. The
+    * ANN index caches solved this with a fingerprint in their `_built`
+    * marker; append stores get the same contract here: the first write
+    * stamps a `_format` file (underscore-prefixed — invisible to
+    * parquet reads) with every parameter the stored hashes depend on,
+    * and every later open FAILS LOUDLY on mismatch instead of
+    * appending garbage. A store with data but no marker predates the
+    * convention and is refused the same way (its content may be
+    * pre-NFC); rebuilding is the only sound path — the store cannot
+    * tell which generation wrote it. */
+  def ensureStoreFormat(dir: String, format: String): Unit = {
+    val d = new java.io.File(dir)
+    val marker = new java.io.File(d, "_format")
+    if (marker.exists()) {
+      val have = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      require(have == format,
+        s"append store at $dir carries hash format '$have' but this build " +
+          s"writes '$format' — its stored owners would silently stop " +
+          "matching new batches; rebuild the store (or run the matching build)")
+    } else {
+      val hasData = d.exists && Option(d.listFiles).exists(_.exists(k =>
+        !k.getName.startsWith("_") && !k.getName.startsWith(".")))
+      require(!hasData,
+        s"append store at $dir has content but no _format marker (written " +
+          s"by a pre-marker build, possibly pre-NFC hashes) — rebuild it; " +
+          s"this build would append '$format' hashes that cannot match")
+      d.mkdirs()
+      java.nio.file.Files.write(marker.toPath, format.getBytes("UTF-8"))
+      ()
+    }
+  }
+
   /** S1/S2: schema'd CSV scan — header'd, never inference in production. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)

@@ -52,6 +52,40 @@ class IncrementalDedupSpec extends SparkTestBase {
       "replay must not grow the bucket store")
   }
 
+  test("store refuses a hash-format mismatch and a pre-marker store") {
+    // r11 ADVICE (medium): a persistent store written under a different
+    // hash identity (pre-NFC content, another algo, other shingle
+    // params) must FAIL LOUDLY on the next append — silently probing it
+    // misses every stored owner with no error
+    val store = freshStore()
+    IncrementalDedup.admitBatch(docs.limit(20), store)
+    val marker = new java.io.File(store, "_format")
+    assert(marker.exists, "first write must stamp the _format marker")
+    assert(new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      .contains("canonv3"))
+    // same format appends fine
+    IncrementalDedup.admitBatch(docs.limit(20), store)
+    // an algo flip is a different hash identity -> refuse
+    val e1 = intercept[IllegalArgumentException](
+      IncrementalDedup.admitBatch(docs.limit(20), store, algo = "xxh64"))
+    assert(e1.getMessage.contains("hash format"))
+    // a data-bearing store WITHOUT a marker (pre-marker generation) is
+    // refused the same way
+    java.nio.file.Files.delete(marker.toPath)
+    val e2 = intercept[IllegalArgumentException](
+      IncrementalDedup.admitBatch(docs.limit(20), store))
+    assert(e2.getMessage.contains("no _format marker"))
+    // self-dedup owner store: same contract
+    val sStore = java.nio.file.Files.createTempDirectory("sd_store").toString
+    graft.ops.TextOps.selfDedupAdmitBatch(docs.limit(10), sStore)
+    val sMarker = new java.io.File(sStore, "_format")
+    assert(sMarker.exists)
+    java.nio.file.Files.write(sMarker.toPath, "other-format".getBytes("UTF-8"))
+    val e3 = intercept[IllegalArgumentException](
+      graft.ops.TextOps.selfDedupAdmitBatch(docs.limit(10), sStore))
+    assert(e3.getMessage.contains("hash format"))
+  }
+
   test("store probe broadcasts the batch keys and prunes bp partitions") {
     import org.apache.spark.sql.execution.ExplainMode
     val store = freshStore()
@@ -158,8 +192,12 @@ class IncrementalDedupSpec extends SparkTestBase {
     val cleanFlags = asMap(IncrementalDedup.admitBatch(b2, storeA))
     val afterB2 = spark.read.parquet(storeA).collect().toSet
     val delta = (afterB2 -- afterB1).toSeq.sortBy(_.getAs[Long]("owner"))
-    // crash store: batch 1 complete, only half of batch 2's appends landed
+    // crash store: batch 1 complete, only half of batch 2's appends landed.
+    // A real crashed store HAS its _format marker (stamped before any
+    // data on the first admit), so the fabricated one gets it too
     val storeB = freshStore()
+    graft.sources.Store.ensureStoreFormat(storeB,
+      IncrementalDedup.storeFormat("md5"))
     val half = afterB1.toSeq ++ delta.take(delta.size / 2)
     val schema = spark.read.parquet(storeA).schema
     spark.createDataFrame(

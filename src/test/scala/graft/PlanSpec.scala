@@ -283,9 +283,14 @@ class PlanSpec extends SparkTestBase {
       // the only hash exchange is the pair intermediate redistributing by
       // doc_b; the doc_a attach is exchange-free on both sides because the
       // candidate and set tables are co-bucketed
+      // r12: TWO hash exchanges — the heavy doc_b attach redistribution
+      // (the one the layout exists to make unique), plus the NARROW
+      // sort-isolation barrier of the scored rows (Dedup.sortIsolated:
+      // keeps the range-sort sampler from re-executing the attach; no
+      // array column rides it)
       val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-      assert(hashEx == 1,
-        s"expected exactly one hash exchange (doc_b redistribution), got $hashEx:\n${p.take(3000)}")
+      assert(hashEx == 2,
+        s"expected the doc_b attach exchange + the narrow sort barrier, got $hashEx:\n${p.take(3000)}")
 
       // control: the unbucketed pair-attach shuffles more — bucketing
       // removed exchanges, not work (lshJaccardInline: the default entry
@@ -308,9 +313,14 @@ class PlanSpec extends SparkTestBase {
       val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       assert(p.contains("Bucketed: true"),
         s"attach must scan the bucketed tables:\n${p.take(1500)}")
+      // r12: TWO hash exchanges — the heavy doc_b attach redistribution
+      // (the one the layout exists to make unique), plus the NARROW
+      // sort-isolation barrier of the scored rows (Dedup.sortIsolated:
+      // keeps the range-sort sampler from re-executing the attach; no
+      // array column rides it)
       val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-      assert(hashEx == 1,
-        s"expected exactly one hash exchange (doc_b redistribution), got $hashEx:\n${p.take(3000)}")
+      assert(hashEx == 2,
+        s"expected the doc_b attach exchange + the narrow sort barrier, got $hashEx:\n${p.take(3000)}")
 
       // control: the inline attach exchanges the gram table itself
       // (ngramJaccardInline — the DEFAULT entry serves the bucketed
@@ -337,8 +347,8 @@ class PlanSpec extends SparkTestBase {
         assert(p.contains("Bucketed: true"),
           s"$q must serve from the bucketed layout:\n${p.take(1500)}")
         val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-        assert(hashEx == 1,
-          s"$q: expected exactly one hash exchange, got $hashEx:\n${p.take(3000)}")
+        assert(hashEx == 2,
+          s"$q: expected the doc_b attach exchange + the narrow sort barrier, got $hashEx:\n${p.take(3000)}")
       }
     }
   }
@@ -353,9 +363,14 @@ class PlanSpec extends SparkTestBase {
       val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       assert(p.contains("Bucketed: true"),
         s"attach must scan the bucketed tables:\n${p.take(1500)}")
+      // r12: TWO hash exchanges — the heavy doc_b attach redistribution
+      // (the one the layout exists to make unique), plus the NARROW
+      // sort-isolation barrier of the scored rows (Dedup.sortIsolated:
+      // keeps the range-sort sampler from re-executing the attach; no
+      // array column rides it)
       val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-      assert(hashEx == 1,
-        s"expected exactly one hash exchange (doc_b redistribution), got $hashEx:\n${p.take(3000)}")
+      assert(hashEx == 2,
+        s"expected the doc_b attach exchange + the narrow sort barrier, got $hashEx:\n${p.take(3000)}")
     }
   }
 
