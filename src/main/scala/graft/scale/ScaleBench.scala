@@ -112,12 +112,16 @@ object ScaleBench {
       }
     }.toMap
 
-    // corpus-scaled bucket count for the bucketed-attach twins: per-
-    // bucket data stays constant as the corpus grows (write and SMJ
-    // parallelism track the input instead of capping at the oracle-scale
-    // default of 8)
-    val scaleOfDir: Map[String, Int] = dirs.map(_.swap)
-    def bucketsFor(d: String): Int = 8 * scaleOfDir.getOrElse(d, 1)
+    // bucket count for the bucketed-attach twins: the LIBRARY's derived
+    // count (-1 → bucketsForCorpus: 64 MB of source text per bucket,
+    // parallelism floor). r12: the rehearsal previously pinned its own
+    // 8×scale here, which now DIFFERS from what the default entries
+    // derive — and with the bucket count folded into the layout
+    // fingerprint (the r11 ADVICE fix), a twin cell and a default-entry
+    // consumer cell alternating counts would rebuild the shared layout
+    // inside TIMED cells, ping-ponging generations. Measuring the count
+    // production actually serves is also simply the honest cell.
+    def bucketsFor(d: String): Int = -1
 
     // ---- measured queries -------------------------------------------
     // Production twins (xxhash64) for the dedup family; oracle-identity
