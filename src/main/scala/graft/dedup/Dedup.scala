@@ -574,6 +574,10 @@ object Dedup {
     // copies in the shared warehouse; reap dead owners' leftovers (one
     // listdir — cheap, and it holds taken-down rows otherwise)
     graft.sources.Store.sweepDeadProcessTables(spark)
+    // governance sweep: cache entries whose corpus was DELETED outright
+    // (retired dataset, cleaned temp dir) are otherwise immortal — no
+    // later probe ever fingerprints them
+    graft.similarity.Ann.sweepOrphanedEntries()
     val nb = if (nBuckets > 0) nBuckets else bucketsForCorpus(spark, dir)
     val entry = layoutEntry(dir, kind)
     val (setsName, candsName) = bucketedTableNames(dir, kind)
@@ -602,6 +606,10 @@ object Dedup {
         s"$nb\n$setsDdl\n$candsDdl".getBytes("UTF-8"))
       java.nio.file.Files.write(new java.io.File(tmp, "_gen").toPath,
         java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+      // source record for the orphaned-entry sweep (corpus deleted →
+      // layout must not outlive it)
+      java.nio.file.Files.write(new java.io.File(tmp, "_src").toPath,
+        base.getBytes("UTF-8"))
       bucketedBuilds.incrementAndGet()
       bucketedBuildsByEntry.updateWith(entry.getName)(c => Some(c.getOrElse(0L) + 1L))
       ()

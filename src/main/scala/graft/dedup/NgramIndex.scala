@@ -43,6 +43,16 @@ object NgramIndex {
   /** Doc-hash partition count for the gram-set table. */
   val DocBuckets = 16
 
+  /** Everything a stored row's IDENTITY depends on (r12 — the
+    * IncrementalDedup/self-dedup `_format` contract applied to the
+    * third persistent store): gram hash family + NFC generation + gram
+    * width + both partition moduli. [[buildFrom]] RESTAMPS (a full
+    * rebuild owns the whole content); [[upsert]] refuses a mismatch —
+    * appending post-change grams beside pre-change postings silently
+    * corrupts df and candidate recall with no error. */
+  private[graft] def indexFormat: String =
+    s"ngram-index-canonv3-md5p60-n${Dedup.NgramN}-gb$GramBuckets-dp$DocBuckets"
+
   private def withParts(grams: DataFrame): (DataFrame, DataFrame) = {
     val gs = grams.withColumn("dp",
       pmod(col("doc_id"), lit(DocBuckets.toLong)).cast("int"))
@@ -56,6 +66,7 @@ object NgramIndex {
     buildFrom(Tables.documents(spark, dir).select("doc_id", "text"), indexDir)
 
   def buildFrom(docs: DataFrame, indexDir: String): Unit = {
+    graft.sources.Store.restampStoreFormat(indexDir, indexFormat)
     // materialize the gram pass once: both table writes read it, and the
     // tokenize+hash chain is the dominant cost (at 100 TB: checkpoint)
     val (gs, posting) = withParts(Dedup.gramSets(docs).localCheckpoint())
@@ -79,6 +90,7 @@ object NgramIndex {
     * pairs a fresh rebuild would not (NgramIndexSpec plants exactly this
     * shrink-below-n case). */
   def upsert(batch: DataFrame, indexDir: String): Unit = {
+    graft.sources.Store.ensureStoreFormat(indexDir, indexFormat)
     val b = batch.select("doc_id", "text").localCheckpoint()
     val keys = b.select("doc_id")
     val (gs, posting) = withParts(Dedup.gramSets(b).localCheckpoint())

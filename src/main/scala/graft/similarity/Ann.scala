@@ -1225,6 +1225,47 @@ object Ann {
     * marker lands before the rename) has no marker either, but such an
     * entry is unreadable garbage the next ensureFresh rebuilds anyway, so
     * deleting it is a no-op semantically. */
+  /** Reap cache entries whose SOURCE CORPUS no longer exists (r12).
+    *
+    * Takedown hooks and data fingerprints govern entries whose corpus
+    * MUTATES, but an entry whose corpus is DELETED outright — a retired
+    * dataset, a spec's temp directory after OS cleanup — was immortal:
+    * nothing ever probes it again, so no freshness check ever runs, and
+    * the cache root accretes one full index/layout copy per dead corpus
+    * forever. Builds since r12 record their source path in a `_src`
+    * file (`_built`-gated, installed atomically with the entry); this
+    * sweep deletes, under the entry's build lock, every completed entry
+    * whose recorded source is a LOCAL path that no longer exists.
+    * Conservative by construction: entries without `_src` (pre-r12, or
+    * version-pinned roots governed by VersionedStore vacuum) and
+    * non-local sources (a scheme'd URI this process cannot cheaply
+    * probe) are never touched; an entry mid-build has no `_built` and
+    * is skipped. Corpus deletion IS the takedown signal here — the data
+    * of record is gone, so derived copies must not outlive it. Returns
+    * the reaped entry names. Called from the bucketed-pair device (one
+    * listdir per build/serve check — cheap) and available for ops. */
+  private[graft] def sweepOrphanedEntries(): Seq[String] = {
+    val root = new java.io.File(s"$cacheRoot/graft-ann-index")
+    val victims = Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory)
+      .filter { d =>
+        val src = new java.io.File(d, "_src")
+        new java.io.File(d, "_built").exists() && src.exists() && {
+          val path = new String(
+            java.nio.file.Files.readAllBytes(src.toPath), "UTF-8").trim
+          // ABSOLUTE local paths only: a relative source (some callers
+          // pass work-tree-relative corpus dirs) is CWD-dependent and a
+          // sweep from another directory would misjudge it; a scheme'd
+          // URI is a store this process cannot cheaply probe
+          val local = path.startsWith("/") ||
+            (path.startsWith("file:") && !path.contains("://"))
+          local && !new java.io.File(path.stripPrefix("file:")).exists()
+        }
+      }
+    victims.foreach(d => withBuildLock(d)(deleteLocal(d)))
+    victims.map(_.getName).sorted
+  }
+
   private def legacyScratchPid(d: java.io.File): Option[(java.io.File, Long)] = {
     val hasMarker = Seq("_built", "_vpin", "_source")
       .exists(m => new java.io.File(d, m).exists())
@@ -1413,6 +1454,11 @@ object Ann {
           s"${idx.getName}.build-${java.util.UUID.randomUUID().toString.take(8)}")
         try {
           build(tmp.getPath)
+          // record the SOURCE path before the marker: the orphan sweeper
+          // ([[sweepOrphanedEntries]]) reaps entries whose corpus is gone
+          registerBase.foreach(base =>
+            java.nio.file.Files.write(new java.io.File(tmp, "_src").toPath,
+              base.getBytes("UTF-8")))
           java.nio.file.Files.write(new java.io.File(tmp, "_built").toPath,
             want.getBytes("UTF-8"))
           deleteLocal(idx)

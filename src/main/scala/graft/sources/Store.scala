@@ -114,6 +114,19 @@ object Store {
     }
   }
 
+  /** [[ensureStoreFormat]]'s FULL-REBUILD sibling: a writer that
+    * overwrites the store's entire content (NgramIndex.buildFrom) may
+    * legitimately change the hash format — the old rows are gone — so
+    * it RESTAMPS unconditionally instead of refusing; the guard then
+    * protects every later incremental append against the new stamp. */
+  def restampStoreFormat(dir: String, format: String): Unit = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    java.nio.file.Files.write(new java.io.File(d, "_format").toPath,
+      format.getBytes("UTF-8"))
+    ()
+  }
+
   /** S1/S2: schema'd CSV scan — header'd, never inference in production. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)

@@ -140,6 +140,40 @@ class DedupSpec extends SparkTestBase {
     assert(spark.catalog.tableExists(setsN), "serve re-registered the catalog entry")
   }
 
+  test("a deleted corpus's cache entry is reaped; living and relative-source entries survive") {
+    import graft.similarity.Ann
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmr))
+      f.delete(); ()
+    }
+    // entry whose corpus will be DELETED outright
+    val dir = java.nio.file.Files.createTempDirectory("sweep_corpus").toString
+    Tables.documents(spark, sfDir).limit(30)
+      .write.parquet(s"$dir/documents.parquet")
+    Dedup.ngramJaccardBucketedAttach(spark, dir, reuse = true).collect()
+    val doomed = Dedup.layoutEntry(dir, "d4b")
+    assert(doomed.exists, "layout entry installed")
+    // control 1: a living corpus's entry
+    Dedup.ngramJaccardBucketedAttach(spark, sfDir, reuse = true).collect()
+    val living = Dedup.layoutEntry(sfDir, "d4b")
+    assert(living.exists)
+    // control 2: a synthetic entry with a RELATIVE source record — the
+    // sweep must not judge CWD-dependent paths
+    val rel = new java.io.File(s"${Ann.cacheRoot}/graft-ann-index/bkt-spec-relsrc")
+    rel.mkdirs()
+    java.nio.file.Files.write(new java.io.File(rel, "_built").toPath, "x".getBytes)
+    java.nio.file.Files.write(new java.io.File(rel, "_src").toPath,
+      "target/definitely-not-here".getBytes)
+    try {
+      rmr(new java.io.File(dir)) // the corpus of record is gone
+      val reaped = Ann.sweepOrphanedEntries()
+      assert(!doomed.exists, s"entry must not outlive its corpus ($reaped)")
+      assert(living.exists, "living corpus's entry untouched")
+      assert(rel.exists, "relative-source entry untouched")
+      assert(reaped.contains(doomed.getName))
+    } finally rmr(rel)
+  }
+
   test("default near-dup entries fall back to the inline plan when the layout root is unusable") {
     // detection half: a root that cannot be created (its parent is a
     // plain FILE — permission-bit roots don't block the test user, who

@@ -41,6 +41,26 @@ class NgramIndexSpec extends SparkTestBase {
     assert(indexRows(inc) == indexRows(full), "replay must be a no-op")
   }
 
+  test("upsert refuses a hash-format mismatch; a full rebuild restamps") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val idx = tmp("ngram_fmt")
+    NgramIndex.upsert(docs.limit(20), idx)
+    val marker = new java.io.File(idx, "_format")
+    assert(marker.exists, "first write stamps the marker")
+    // a pre-change store (different hash identity) refuses the append -
+    // post-change grams beside pre-change postings silently corrupt df
+    java.nio.file.Files.write(marker.toPath, "other".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](
+      NgramIndex.upsert(docs.limit(20), idx))
+    assert(e.getMessage.contains("hash format"))
+    // a FULL rebuild owns the whole content: restamps instead of refusing
+    NgramIndex.buildFrom(docs.limit(20), idx)
+    assert(new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      == NgramIndex.indexFormat)
+    NgramIndex.upsert(docs.limit(20), idx) // and appends work again
+  }
+
   test("indexed serve equals the inline query") {
     val idx = tmp("ngram_serve")
     NgramIndex.build(spark, sfDir, idx)
