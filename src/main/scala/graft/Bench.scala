@@ -74,8 +74,14 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile), bytes)
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map("%02x".format(_)).mkString
+    // the lifecycle per-leg walls ride the SHORT line too: ~11 keys,
+    // well inside the driver's stdout capture, and the round ledger
+    // then carries them without dereferencing the committed file
+    val legsShort = legs.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"file":"$outFile","md5":"$md5","sf":"$sfDir"}"""
+      s""""n_queries":${results.size},"file":"$outFile","md5":"$md5",""" +
+      s""""legs":$legsShort,"sf":"$sfDir"}"""
     spark.stop()
     // print LAST, after spark.stop(), so no executor-shutdown log lands
     // between the JSON and the end of this JVM's output

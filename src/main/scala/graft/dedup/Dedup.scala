@@ -336,7 +336,10 @@ object Dedup {
     } catch { case _: Exception => false }
 
   /** The layout-free inline attach (`d_lsh_inline`) — the pre-r11
-    * default; catalogless-session fallback and the PlanSpec control. */
+    * default; the PlanSpec control, and the AUTOMATIC fallback target
+    * when the shared layout root is unwritable ([[serveBucketedOrInline]]
+    * — r12: the fallback actually routes, it is no longer a docstring
+    * promise). */
   def lshJaccardInline(spark: SparkSession, dir: String): DataFrame =
     lshJaccardOver(shingleSets(Tables.documents(spark, dir)))
 
@@ -779,7 +782,8 @@ object Dedup {
     * SCALE_PROBE_INREGIME_r10), so the scale-safe layout must be the
     * path users actually call, not an opt-in twin. Results are
     * bit-identical (one scorer, one oracle SQL); [[containmentInline]]
-    * keeps the layout-free form for catalogless sessions and the
+    * keeps the layout-free form — the automatic unwritable-root
+    * fallback target ([[serveBucketedOrInline]]) — and the
     * control measurements. */
   def containment(spark: SparkSession, dir: String): DataFrame =
     serveBucketedOrInline(spark, "d_containment")(
