@@ -492,14 +492,29 @@ object Dedup {
     * corpus still lands ~500 MB per bucket. */
   val MaxDerivedBuckets = 200000
 
+  /** PROCESS-INVARIANT floor on the derived bucket count (r13 ADVICE).
+    * The floor used to track `defaultParallelism`, but the resolved
+    * count is folded into the shared layout's `_built` fingerprint —
+    * two processes with different core counts sharing one
+    * GRAFT_ANN_CACHE_DIR derived DIFFERENT counts for small corpora and
+    * force-rebuilt the shared layout back and forth on every alternation
+    * (the generation ping-pong the ScaleBench comment warns about,
+    * reintroduced cross-process). Everything in the fingerprint must be
+    * a function of (corpus, family constants) ONLY, never of the
+    * resolving process. 32 = the production-posture core count the
+    * measured regimes were calibrated on; small corpora keep 32-way
+    * write/SMJ parallelism on any host, and for large corpora the
+    * byte-derived count dominates the floor anyway. */
+  val LayoutFloorBuckets = 32
+
   /** Corpus-derived bucket count: ceil(bytes / [[BucketTargetBytes]]),
-    * floored at max(8, cluster default parallelism) so small corpora
-    * keep full write/SMJ parallelism, clamped at [[MaxDerivedBuckets]].
-    * Pure derivation split out for the spec. */
-  private[graft] def bucketsForBytes(bytes: Long, parallelism: Int): Int = {
+    * floored at [[LayoutFloorBuckets]] (process-invariant — see there),
+    * clamped at [[MaxDerivedBuckets]]. Pure derivation split out for
+    * the spec. */
+  private[graft] def bucketsForBytes(bytes: Long): Int = {
     val byData = (bytes + BucketTargetBytes - 1) / BucketTargetBytes
     math.min(MaxDerivedBuckets.toLong,
-      math.max(math.max(8, parallelism).toLong, byData)).toInt
+      math.max(LayoutFloorBuckets.toLong, byData)).toInt
   }
 
   /** [[bucketsForBytes]] over the documents table's actual file listing
@@ -513,7 +528,7 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val bytes = fs.getContentSummary(root).getLength
-    bucketsForBytes(bytes, spark.sparkContext.defaultParallelism)
+    bucketsForBytes(bytes)
   }
 
   /** Build counter for the bucketed-pair layouts (spec observability:
@@ -597,39 +612,63 @@ object Dedup {
       spark.sql(s"DROP TABLE IF EXISTS $candsName")
       serveRegistrations.remove(setsName); ()
     }
-    graft.similarity.Ann.ensureFresh(entry, layoutWant(spark, dir, nb),
-      registerBase = None, force = !reuse) { tmp =>
-      val setsDdl = graft.sources.Store.writeBucketedExternal(
-        sets, "doc_id", nb, s"$tmp/sets")
-      // candidates are generated from the MATERIALIZED sets (one scan of
-      // the written files — the gram/shingle hashing never runs twice)
-      val candsDdl = graft.sources.Store.writeBucketedExternal(
-        candsOf(spark.read.parquet(s"$tmp/sets")), "doc_a", nb, s"$tmp/cands")
-      java.nio.file.Files.write(new java.io.File(tmp, "_meta").toPath,
-        s"$nb\n$setsDdl\n$candsDdl".getBytes("UTF-8"))
-      java.nio.file.Files.write(new java.io.File(tmp, "_gen").toPath,
-        java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
-      // source record for the orphaned-entry sweep (corpus deleted →
-      // layout must not outlive it)
-      java.nio.file.Files.write(new java.io.File(tmp, "_src").toPath,
-        base.getBytes("UTF-8"))
-      bucketedBuilds.incrementAndGet()
-      bucketedBuildsByEntry.updateWith(entry.getName)(c => Some(c.getOrElse(0L) + 1L))
-      ()
+    // serve loop (r13 ADVICE): `_gen`/`_meta` are read UNDER the entry's
+    // build lock — after ensureFresh returns, a concurrent forced rebuild
+    // (reuse=false in another process) or the orphan sweep can delete and
+    // re-install the entry, and an unlocked read in that window threw
+    // NoSuchFileException on the serve path. Under the lock the two files
+    // are one installed generation; if the entry vanished since our
+    // freshness check, loop back through ensureFresh instead of failing —
+    // bounded retries, since deletion needs an explicit force or a
+    // corpus takedown, neither of which self-repeats.
+    var forceOnce = !reuse
+    var attempt = 0
+    var out: (DataFrame, DataFrame) = null
+    while (out == null) {
+      attempt += 1
+      graft.similarity.Ann.ensureFresh(entry, layoutWant(spark, dir, nb),
+        registerBase = None, force = forceOnce) { tmp =>
+        val setsDdl = graft.sources.Store.writeBucketedExternal(
+          sets, "doc_id", nb, s"$tmp/sets")
+        // candidates are generated from the MATERIALIZED sets (one scan of
+        // the written files — the gram/shingle hashing never runs twice)
+        val candsDdl = graft.sources.Store.writeBucketedExternal(
+          candsOf(spark.read.parquet(s"$tmp/sets")), "doc_a", nb, s"$tmp/cands")
+        java.nio.file.Files.write(new java.io.File(tmp, "_meta").toPath,
+          s"$nb\n$setsDdl\n$candsDdl".getBytes("UTF-8"))
+        java.nio.file.Files.write(new java.io.File(tmp, "_gen").toPath,
+          java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+        // source record for the orphaned-entry sweep (corpus deleted →
+        // layout must not outlive it)
+        java.nio.file.Files.write(new java.io.File(tmp, "_src").toPath,
+          base.getBytes("UTF-8"))
+        bucketedBuilds.incrementAndGet()
+        bucketedBuildsByEntry.updateWith(entry.getName)(c => Some(c.getOrElse(0L) + 1L))
+        ()
+      }
+      forceOnce = false // a retry must not force-rebuild again
+      try {
+        out = graft.similarity.Ann.withBuildLock(entry) {
+          val gen = readEntryFile(entry, "_gen")
+          val fresh = serveRegistrations.get(setsName).contains(gen) &&
+            spark.catalog.tableExists(setsName) && spark.catalog.tableExists(candsName)
+          if (!fresh) {
+            val meta = readEntryFile(entry, "_meta").split("\n", 3)
+            val (metaNb, setsDdl, candsDdl) = (meta(0).toInt, meta(1), meta(2))
+            graft.sources.Store.registerBucketedExternal(
+              spark, setsName, setsDdl, "doc_id", metaNb, s"${entry.getPath}/sets")
+            graft.sources.Store.registerBucketedExternal(
+              spark, candsName, candsDdl, "doc_a", metaNb, s"${entry.getPath}/cands")
+            serveRegistrations.put(setsName, gen)
+          }
+          (spark.table(setsName), spark.table(candsName))
+        }
+      } catch {
+        case e: java.nio.file.NoSuchFileException =>
+          if (attempt >= 5) throw e
+      }
     }
-    val gen = readEntryFile(entry, "_gen")
-    val fresh = serveRegistrations.get(setsName).contains(gen) &&
-      spark.catalog.tableExists(setsName) && spark.catalog.tableExists(candsName)
-    if (!fresh) {
-      val meta = readEntryFile(entry, "_meta").split("\n", 3)
-      val (metaNb, setsDdl, candsDdl) = (meta(0).toInt, meta(1), meta(2))
-      graft.sources.Store.registerBucketedExternal(
-        spark, setsName, setsDdl, "doc_id", metaNb, s"${entry.getPath}/sets")
-      graft.sources.Store.registerBucketedExternal(
-        spark, candsName, candsDdl, "doc_a", metaNb, s"${entry.getPath}/cands")
-      serveRegistrations.put(setsName, gen)
-    }
-    (spark.table(setsName), spark.table(candsName))
+    out
   }
 
   val lshJaccardSql: String =

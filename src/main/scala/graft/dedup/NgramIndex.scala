@@ -66,7 +66,12 @@ object NgramIndex {
     buildFrom(Tables.documents(spark, dir).select("doc_id", "text"), indexDir)
 
   def buildFrom(docs: DataFrame, indexDir: String): Unit = {
-    graft.sources.Store.restampStoreFormat(indexDir, indexFormat)
+    // invalidate → write both tables → restamp LAST: the marker must
+    // never vouch for content it didn't see land. A rebuild torn between
+    // the two (non-atomic) table overwrites leaves content with NO
+    // marker, so the next upsert refuses loudly via ensureStoreFormat's
+    // pre-marker guard instead of appending beside mixed-format postings.
+    graft.sources.Store.invalidateStoreFormat(indexDir)
     // materialize the gram pass once: both table writes read it, and the
     // tokenize+hash chain is the dominant cost (at 100 TB: checkpoint)
     val (gs, posting) = withParts(Dedup.gramSets(docs).localCheckpoint())
@@ -75,6 +80,7 @@ object NgramIndex {
       .partitionBy("dp").parquet(s"$indexDir/gramsets")
     posting.repartition(col("gb")).write.mode("overwrite")
       .partitionBy("gb").parquet(s"$indexDir/postings")
+    graft.sources.Store.restampStoreFormat(indexDir, indexFormat)
   }
 
   /** Fold a batch of new OR CHANGED documents into the index: keyed

@@ -1246,31 +1246,48 @@ object Ann {
     * listdir per build/serve check — cheap) and available for ops. */
   private[graft] def sweepOrphanedEntries(): Seq[String] = {
     val root = new java.io.File(s"$cacheRoot/graft-ann-index")
-    val victims = Option(root.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(_.isDirectory)
-      .filter { d =>
-        val src = new java.io.File(d, "_src")
-        new java.io.File(d, "_built").exists() && src.exists() && {
-          val path = new String(
-            java.nio.file.Files.readAllBytes(src.toPath), "UTF-8").trim
-          // ABSOLUTE local paths only: a relative source (some callers
-          // pass work-tree-relative corpus dirs) is CWD-dependent and a
-          // sweep from another directory would misjudge it; a scheme'd
-          // URI is a store this process cannot cheaply probe
-          val local = path.startsWith("/") ||
-            (path.startsWith("file:") && !path.contains("://"))
-          local && !new java.io.File(path.stripPrefix("file:")).exists()
-        }
+    // the lock-free pass only NOMINATES; the verdict is re-taken under
+    // the entry's build lock (below) — between scan and delete another
+    // process may recreate the corpus and rebuild the entry, and reaping
+    // that now-valid entry would force a spurious corpus-sized rebuild
+    val candidates = Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory).filter(isOrphanedEntry)
+    candidates.flatMap { d =>
+      withBuildLock(d) {
+        if (isOrphanedEntry(d)) { deleteLocal(d); Some(d.getName) } else None
       }
-    victims.foreach(d => withBuildLock(d)(deleteLocal(d)))
-    victims.map(_.getName).sorted
+    }.sorted
+  }
+
+  /** True iff `d` is a COMPLETED cache entry whose recorded local source
+    * corpus no longer exists — evaluated twice by the sweep: once
+    * lock-free to nominate, once under the build lock to commit. */
+  private def isOrphanedEntry(d: java.io.File): Boolean = {
+    val src = new java.io.File(d, "_src")
+    new java.io.File(d, "_built").exists() && src.exists() && {
+      val path = new String(
+        java.nio.file.Files.readAllBytes(src.toPath), "UTF-8").trim
+      // ABSOLUTE local paths only: a relative source (some callers
+      // pass work-tree-relative corpus dirs) is CWD-dependent and a
+      // sweep from another directory would misjudge it; a scheme'd
+      // URI is a store this process cannot cheaply probe
+      val local = path.startsWith("/") ||
+        (path.startsWith("file:") && !path.contains("://"))
+      local && !new java.io.File(path.stripPrefix("file:")).exists()
+    }
   }
 
   private def legacyScratchPid(d: java.io.File): Option[(java.io.File, Long)] = {
     val hasMarker = Seq("_built", "_vpin", "_source")
       .exists(m => new java.io.File(d, m).exists())
+    // the kind prefix itself contains hyphens (ngram-inc, selfdedup-store),
+    // so the alternation must admit them or the `-p<pid>-` fragment is
+    // unreachable and legacy orphans stay unreapable forever; non-greedy
+    // so the FIRST pid-shaped fragment wins. The marker-absence guard
+    // above still excludes legitimate cached indexes whose sanitized
+    // corpus path happens to embed a `-p<digits>-` fragment.
     if (hasMarker) None
-    else "^[A-Za-z0-9]+-p(\\d+)-".r.findFirstMatchIn(d.getName)
+    else "^[A-Za-z0-9-]+?-p(\\d+)-".r.findFirstMatchIn(d.getName)
       .flatMap(_.group(1).toLongOption).map(d -> _)
   }
 

@@ -127,6 +127,20 @@ object Store {
     ()
   }
 
+  /** Drop the `_format` marker ahead of a full rebuild's content writes.
+    * A rebuilder brackets its (non-atomic, multi-table) overwrites with
+    * invalidate…restamp: a crash anywhere inside the bracket leaves
+    * content WITHOUT a marker, which [[ensureStoreFormat]] refuses
+    * loudly for every format — a stamp must never vouch for rows it
+    * didn't see land. Restamping first (the pre-r13 order) let a torn
+    * rebuild park old- or mixed-format rows under the new stamp, and a
+    * later upsert would append mismatched hashes silently. */
+  def invalidateStoreFormat(dir: String): Unit = {
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(new java.io.File(dir), "_format").toPath)
+    ()
+  }
+
   /** S1/S2: schema'd CSV scan — header'd, never inference in production. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)

@@ -48,6 +48,32 @@ class AnnIndexSpec extends SparkTestBase {
     }
   }
 
+  test("legacy (pre-marker) dead-pid scratch names are reapable") {
+    // the pre-marker upgrade path matches the OLD scratch name shape
+    // `<kind>-p<pid>-…` — and real kinds contain hyphens (ngram-inc,
+    // selfdedup-store), which the r12 regex `^[A-Za-z0-9]+-p(\d+)-`
+    // could never cross, leaving legacy orphans immortal (r13 ADVICE)
+    val parent = new java.io.File(Ann.scratchDir(sfDir, "legacy-probe"))
+      .getParentFile
+    parent.mkdirs()
+    val legacy = new java.io.File(parent, "ngram-inc-p999999999-x")
+    legacy.mkdirs() // NO _scratch marker and no completion marker: legacy
+    val aliveLegacy = new java.io.File(parent,
+      s"ngram-inc-p${ProcessHandle.current().pid()}-y")
+    aliveLegacy.mkdirs() // legacy shape but LIVE pid: must survive
+    try {
+      Ann.scratchDir(sfDir, "legacy-probe2")
+      assert(!legacy.exists(),
+        "hyphenated-kind legacy scratch with a dead pid must be reaped")
+      assert(aliveLegacy.isDirectory,
+        "legacy scratch owned by a live process must survive")
+    } finally {
+      Option(aliveLegacy.listFiles()).foreach(_.foreach(_.delete()))
+      aliveLegacy.delete()
+      ()
+    }
+  }
+
   test("deleteKeys on the corpus invalidates the cached PQ index") {
     val dir = stageEmbeddings()
     val marker = new java.io.File(Ann.cachedIndexDir(dir, "pq"), "_built")

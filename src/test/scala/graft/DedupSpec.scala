@@ -75,15 +75,19 @@ class DedupSpec extends SparkTestBase {
 
   test("bucket count derives from corpus bytes; reuse rebuilds on corpus change") {
     import spark.implicits._
-    // pure derivation: data-driven growth, parallelism floor, upper clamp
-    assert(Dedup.bucketsForBytes(1L, 4) == 8, "small corpus takes the floor")
-    assert(Dedup.bucketsForBytes(1L, 48) == 48, "floor tracks parallelism")
-    assert(Dedup.bucketsForBytes(100L * Dedup.BucketTargetBytes, 4) == 100,
+    // pure derivation: data-driven growth, PROCESS-INVARIANT floor (r13
+    // ADVICE: a parallelism-tracking floor fed the fingerprint, so two
+    // processes with different core counts ping-ponged full rebuilds of
+    // the shared layout), upper clamp
+    assert(Dedup.bucketsForBytes(1L) == Dedup.LayoutFloorBuckets,
+      "small corpus takes the constant floor, independent of parallelism")
+    assert(Dedup.bucketsForBytes(100L * Dedup.BucketTargetBytes) == 100,
       "bucket count grows linearly with corpus bytes")
-    assert(Dedup.bucketsForBytes(Long.MaxValue / 4, 4) == Dedup.MaxDerivedBuckets,
+    assert(Dedup.bucketsForBytes(Long.MaxValue / 4) == Dedup.MaxDerivedBuckets,
       "derived count clamps at the metastore-sanity cap")
     val sfBuckets = Dedup.bucketsForCorpus(spark, sfDir)
-    assert(sfBuckets >= 8, s"corpus listing derivation must run: $sfBuckets")
+    assert(sfBuckets >= Dedup.LayoutFloorBuckets,
+      s"corpus listing derivation must run: $sfBuckets")
 
     // reuse=true freshness (the r10 gap): an IN-PLACE corpus rewrite —
     // append/regeneration, which fires no Store.deleteKeys hook — must

@@ -61,6 +61,28 @@ class NgramIndexSpec extends SparkTestBase {
     NgramIndex.upsert(docs.limit(20), idx) // and appends work again
   }
 
+  test("a torn rebuild leaves NO stamp, so the next upsert refuses loudly") {
+    import spark.implicits._
+    // r13 ADVICE: buildFrom must restamp LAST — a crash anywhere between
+    // its two (non-atomic) table overwrites must leave the store
+    // markerless, never old/mixed content under a fresh stamp that a
+    // later upsert would append beside silently. Simulate the tear at
+    // its widest window: marker invalidated (buildFrom's first step),
+    // content present, crash before the restamp.
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val idx = tmp("ngram_torn")
+    NgramIndex.buildFrom(docs.limit(20), idx)
+    val marker = new java.io.File(idx, "_format")
+    assert(marker.exists, "a completed rebuild stamps the marker LAST")
+    graft.sources.Store.invalidateStoreFormat(idx)
+    val e = intercept[IllegalArgumentException](
+      NgramIndex.upsert(docs.limit(20), idx))
+    assert(e.getMessage.contains("no _format marker"),
+      s"content-without-marker must refuse the append, got: ${e.getMessage}")
+    NgramIndex.buildFrom(docs.limit(20), idx) // rebuild repairs the store
+    NgramIndex.upsert(docs.limit(20), idx)
+  }
+
   test("indexed serve equals the inline query") {
     val idx = tmp("ngram_serve")
     NgramIndex.build(spark, sfDir, idx)
