@@ -42,15 +42,18 @@ object Bench {
         .groupBy("l_returnflag").count().queryExecution.toRdd.count()
     } catch { case _: Throwable => () }
 
-    // Best-of-3 per query: run-to-run variance on this box is ±40%; the
-    // min of three executions is the stable statistic for round-over-round
-    // deltas (best-of-2 let unchanged queries read as 3–6× regressions).
-    // Each run also drains any per-leg wall times the lifecycle queries
-    // recorded (graft.ops.Legs); the published legs are the BEST run's
-    // (same statistic as the total, so legs + lazy-serve remainder are
-    // internally consistent).
+    // MEDIAN-of-3 per query (r13 — the r12 verdict's headline item):
+    // best-of-3 tracked the machine's fast tail, so two runs of ONE tree
+    // could disagree by ~15% on the total — more than any claimed
+    // round-over-round effect, making bench deltas unfalsifiable. The
+    // per-query median discards the one-off stall AND the one-off lucky
+    // run; the probes adopted the same statistic in r12 and reproduce
+    // across independent runs. Each run also drains any per-leg wall
+    // times the lifecycle queries recorded (graft.ops.Legs); the
+    // published legs are the MEDIAN run's (same statistic as the total,
+    // so legs + lazy-serve remainder stay internally consistent).
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> Seq.fill(3)(runOnce(fn)).minBy(_._1)
+      name -> Seq.fill(3)(runOnce(fn)).sortBy(_._1).apply(1)
     }
     val results = runs.map { case (n, (dt, _)) => n -> dt }.toMap
     val legs: Map[String, Double] = runs.flatMap(_._2._2).toMap

@@ -628,6 +628,7 @@ object Dedup {
       attempt += 1
       graft.similarity.Ann.ensureFresh(entry, layoutWant(spark, dir, nb),
         registerBase = None, force = forceOnce) { tmp =>
+       graft.ops.Legs.time(s"layout_$kind", "build") {
         val setsDdl = graft.sources.Store.writeBucketedExternal(
           sets, "doc_id", nb, s"$tmp/sets")
         // candidates are generated from the MATERIALIZED sets (one scan of
@@ -645,6 +646,7 @@ object Dedup {
         bucketedBuilds.incrementAndGet()
         bucketedBuildsByEntry.updateWith(entry.getName)(c => Some(c.getOrElse(0L) + 1L))
         ()
+       }
       }
       forceOnce = false // a retry must not force-rebuild again
       try {

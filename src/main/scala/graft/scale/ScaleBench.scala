@@ -121,7 +121,19 @@ object ScaleBench {
     // consumer cell alternating counts would rebuild the shared layout
     // inside TIMED cells, ping-ponging generations. Measuring the count
     // production actually serves is also simply the honest cell.
-    def bucketsFor(d: String): Int = -1
+    // SPARK_GRAFT_NBUCKETS pins an explicit count FOR PROBES ONLY — the
+    // r13 clamp-regime cell: past the 200k-bucket clamp (~13 TB of
+    // text) per-bucket slices grow linearly with the corpus, and the
+    // documented claim is that the SMJ sorts spill gracefully instead
+    // of OOMing. A deliberately tiny pinned count + small heap emulates
+    // that regime at probe scale. Never pin in the standard rehearsal:
+    // the count is folded into the layout fingerprint, so a pinned
+    // probe rebuilds the shared entry (point GRAFT_ANN_CACHE_DIR at a
+    // probe-private root), and a count differing from the derived one
+    // also measures the wrong compression regime (the r12 `_nb8x`
+    // lesson).
+    def bucketsFor(d: String): Int =
+      sys.env.get("SPARK_GRAFT_NBUCKETS").map(_.toInt).getOrElse(-1)
 
     // ---- measured queries -------------------------------------------
     // Production twins (xxhash64) for the dedup family; oracle-identity
@@ -337,11 +349,18 @@ object ScaleBench {
       }
       ()
     }
-    // pre-build the bucketed attach layouts (untimed, same rationale):
-    // the reuse=true timed cells then measure the SERVE path — pair-gen
-    // over the bucketed posting plus the single-exchange attach
+    // pre-build the bucketed attach layouts (untimed cells, same
+    // rationale): the reuse=true timed cells then measure the SERVE path
+    // — pair-gen over the bucketed posting plus the single-exchange
+    // attach. r13 (VERDICT finding 3): the build walls are RECORDED and
+    // published in a "layout_build" section, so a capacity plan reading
+    // the artifact sees build and serve costs separately instead of
+    // inferring the split from the in-regime probe artifacts.
+    val layoutBuildWalls =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (n <- scales) {
       try {
+        graft.ops.Legs.drain()
         if (measuredNames("d_ngram_bucketed"))
           graft.dedup.Dedup.ngramJaccardBucketedAttach(
             spark, dirs(n), nBuckets = bucketsFor(dirs(n))).queryExecution.toRdd.count()
@@ -351,6 +370,8 @@ object ScaleBench {
         if (measuredNames("d_lsh_bucketed"))
           graft.dedup.Dedup.lshJaccardBucketedAttach(
             spark, dirs(n), nBuckets = bucketsFor(dirs(n))).queryExecution.toRdd.count()
+        graft.ops.Legs.drain().foreach { case (k, v) =>
+          layoutBuildWalls.update(s"x$n.$k", v) }
         clearPersisted()
       } catch { case e: Throwable =>
         System.err.println(s"[scale] bucketed pre-build x$n failed: ${e.getMessage}")
@@ -359,7 +380,7 @@ object ScaleBench {
     }
 
     case class Cell(sec: Double, rows: Long, metrics: Map[String, Long],
-                    walls: Seq[Double])
+                    walls: Seq[Double], legs: Map[String, Double])
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[Int, Cell]]
 
@@ -380,6 +401,7 @@ object ScaleBench {
       val runs = (1 to repeats).map { _ =>
         clearPersisted()
         listener.reset()
+        graft.ops.Legs.drain() // leftover legs must not blame this cell
         val t0 = System.nanoTime()
         val rows =
           try fn(spark, dir).queryExecution.toRdd.count()
@@ -388,11 +410,15 @@ object ScaleBench {
           }
         val sec = (System.nanoTime() - t0) / 1e9
         drainListenerBus(spark)
-        (sec, rows, listener.snapshot)
+        // any leg recorded inside THIS wall (a layout/lifecycle build the
+        // reuse contract was supposed to keep out of the timed cell, or a
+        // lifecycle query's declared phases) is published with the cell —
+        // a rehearsal cell can no longer silently include a build
+        (sec, rows, listener.snapshot, graft.ops.Legs.drain())
       }
       val sorted = runs.sortBy(_._1)
       val med = sorted(sorted.length / 2)
-      val cell = Cell(med._1, med._2, med._3, runs.map(_._1))
+      val cell = Cell(med._1, med._2, med._3, runs.map(_._1), med._4)
       results.getOrElseUpdate(name,
         scala.collection.mutable.LinkedHashMap.empty) += n -> cell
       System.err.println(f"[scale] $name%-22s x$n%-3d ${cell.sec}%7.2f s " +
@@ -535,6 +561,12 @@ object ScaleBench {
       s""""$k": ${jnum(v)}""" }.mkString(", "))
     sb.append("},\n")
     }
+    if (layoutBuildWalls.nonEmpty) {
+      sb.append("  \"layout_build\": {")
+      sb.append(layoutBuildWalls.map { case (k, v) =>
+        s""""$k": ${jnum(v)}""" }.mkString(", "))
+      sb.append("},\n")
+    }
     sb.append("  \"queries\": {\n")
     sb.append(results.map { case (name, cells) =>
       val base = cells(scales.head)
@@ -542,7 +574,11 @@ object ScaleBench {
         val m = c.metrics.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
         val walls = if (c.walls.length > 1)
           s""", "walls": [${c.walls.map(jnum).mkString(", ")}]""" else ""
-        s""""x$n": {"sec": ${jnum(c.sec)}, "rows": ${c.rows}, $m$walls}"""
+        val includesBuild = c.legs.keys.exists(_.endsWith(".build"))
+        val legsJson = if (c.legs.isEmpty) "" else
+          s""", "legs": {${c.legs.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""$k": ${jnum(v)}""" }.mkString(", ")}}"""
+        s""""x$n": {"sec": ${jnum(c.sec)}, "rows": ${c.rows}, "includes_build": $includesBuild, $m$walls$legsJson}"""
       }.mkString(", ")
       val growth = cells.map { case (n, c) =>
         val ideal = n.toDouble / scales.head

@@ -984,8 +984,18 @@ object Ann {
     p.assign(if (afterRounds == 0) p.cents0 else p.cents1)
   }
 
+  /** Leg attribution (r12 verdict finding 4): `s_pq_topk` is the bench's
+    * slowest query and replays codebook TRAINING in-query by oracle
+    * contract, so serve drift could hide inside training drift for
+    * rounds. The eager training pieces — the seed collect and the
+    * Lloyd-round localCheckpoint — are clocked as `s_pq_topk.train`;
+    * encode + ADC scoring + top-k stay ONE fused lazy scan by design
+    * (codes never materialize inline — that fusion is the plan's
+    * virtue), so the attributable split is train | encode+score, and
+    * the pure-serve wall is the indexed twin's (`s_pq_topk_indexed`). */
   def pqTopK(spark: SparkSession, dir: String): DataFrame =
-    pqTopKFrom(spark, Tables.embeddings(spark, dir))
+    graft.ops.Legs.time("s_pq_topk", "train")(
+      pqTopKFrom(spark, Tables.embeddings(spark, dir)))
 
   /** Inline PQ over an arbitrary raw corpus (the version-pinned oracle
     * twin: `pqTopKCachedAt` must equal this over `readAt(v)`). */

@@ -200,6 +200,41 @@ class DedupSpec extends SparkTestBase {
     assert(routed.collect().map(_.toSeq).toSeq == inline, "fallback is bit-identical")
   }
 
+  test("inline fallback stays result-identical under the production posture") {
+    // r12 VERDICT item 7: the unwritable-root fallback serves the INLINE
+    // plans, and the r10 inline hazards lived exactly under the 100-TB
+    // posture (CBO + AQE + 2000 shuffle partitions + bloom pruning +
+    // skew splitting) — so the fallback must be pinned THERE, not only
+    // in the default posture the routing spec runs in
+    val expect = Seq(
+      Dedup.ngramJaccardInline(spark, sfDir),
+      Dedup.containmentInline(spark, sfDir),
+      Dedup.lshJaccardInline(spark, sfDir))
+      .map(_.collect().map(_.toSeq).toSeq)
+    withSessionConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.statistics.histogram.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.shuffle.partitions" -> "2000") {
+      val got = Seq(
+        Dedup.serveBucketedOrInline(spark, "spec-prod-ngram", usable = false)(
+          sys.error("bucketed path must not run"))(
+          Dedup.ngramJaccardInline(spark, sfDir)),
+        Dedup.serveBucketedOrInline(spark, "spec-prod-contain", usable = false)(
+          sys.error("bucketed path must not run"))(
+          Dedup.containmentInline(spark, sfDir)),
+        Dedup.serveBucketedOrInline(spark, "spec-prod-lsh", usable = false)(
+          sys.error("bucketed path must not run"))(
+          Dedup.lshJaccardInline(spark, sfDir)))
+        .map(_.collect().map(_.toSeq).toSeq)
+      assert(got == expect,
+        "fallback inline results must be identical under CBO+AQE+2000-partitions")
+    }
+  }
+
   test("slim-pair bucketed attach is bit-identical to the standard shape") {
     // the ScaleBench experiment twin must never drift semantically: only
     // WHICH side's arrays ride the exchange differs
