@@ -184,6 +184,44 @@ object Retrieval {
     bm25Score(qt, tf, df, dl)
   }
 
+  /** NFC-INVARIANT retrieval, the executable recipe (r12 VERDICT item
+    * 5). The normalization policy above keeps term identity a silent-
+    * rewrite-free function of the text the model trains on; a deployment
+    * that wants canonically-equivalent spellings (composed `é` vs
+    * `e`+combining-acute) to retrieve identically normalizes BOTH sides
+    * with the same codegen `graft_nfc` the T24 curation op uses: the
+    * corpus once at curation time (here applied inline; in production
+    * it's the stored `t_nfc_normalize` output, so the index, the scorer,
+    * and the served bytes all agree), and each incoming query string at
+    * parse time — a Q·1 map, free. Tokenize and scoring are byte-driven
+    * and UNCHANGED; invariance comes entirely from both sides reaching
+    * them in canonical form. RetrievalSpec proves the composed and
+    * decomposed spellings of a query term produce identical ranked
+    * lists, with the un-normalized control retrieving differently. */
+  def bm25TopKNfc(spark: SparkSession, docs: DataFrame,
+                  queries: DataFrame): DataFrame =
+    bm25TopKQueries(spark, docs, queries, canon = true)
+
+  /** [[bm25TopKNfc]]'s core with normalization switchable — the raw form
+    * exists so the spec can show the control (byte-driven terms DO split
+    * canonically-equivalent spellings without the recipe). */
+  private[graft] def bm25TopKQueries(spark: SparkSession, docs: DataFrame,
+                                     queries: DataFrame,
+                                     canon: Boolean): DataFrame = {
+    graft.functions.NormalizeExpressions.register(spark)
+    def nfc(c: org.apache.spark.sql.Column) =
+      if (canon) graft.functions.NormalizeExpressions.nfc(c) else c
+    val (tfP, dlP) = tokenize(
+      docs.select(col("doc_id"), nfc(col("text")).as("text")))
+    val tf = tfP.drop("tp")
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt = queries.select(col("query_id"),
+      explode(array_distinct(slice(
+        split(trim(lower(nfc(col("text")))), "\\s+"), 1, QueryTerms)))
+        .as("term"))
+    bm25Score(qt, tf, df, dlP.drop("dp"))
+  }
+
   /** SNAPSHOT-CONSISTENT BM25 serving over a versioned corpus: the
     * keyword twin of `Ann.pqTopKCachedAt` — a query pinned to
     * `readAt(version)` is answered by a posting index built on exactly

@@ -82,6 +82,39 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("NFC-invariant retrieval: composed and decomposed query spellings " +
+      "retrieve the same ranked list") {
+    import spark.implicits._
+    // the executable recipe for SURVEY's normalization policy (r12
+    // VERDICT item 5): normalize corpus AND query with graft_nfc, and
+    // canonical equivalence stops mattering anywhere downstream
+    val composed = "caf\u00e9"       // e-acute precomposed
+    val decomposed = "cafe\u0301"    // e + combining acute
+    assert(composed != decomposed, "distinct byte forms by construction")
+    val docs = Seq(
+      (1L, s"the $decomposed on the corner serves espresso"),
+      (2L, s"a $composed with milk and sugar"),
+      (3L, "tea house with no coffee at all"),
+      (4L, s"$composed visits another $decomposed in town"))
+      .toDF("doc_id", "text")
+    val qC = Seq((100L, composed)).toDF("query_id", "text")
+    val qD = Seq((100L, decomposed)).toDF("query_id", "text")
+    val a = Retrieval.bm25TopKNfc(spark, docs, qC).collect().map(_.toSeq).toSeq
+    val b = Retrieval.bm25TopKNfc(spark, docs, qD).collect().map(_.toSeq).toSeq
+    assert(a == b, "the two spellings must retrieve identical ranked lists")
+    val ranked = a.map(_(2).asInstanceOf[Long]).toSet
+    assert(ranked == Set(1L, 2L, 4L),
+      s"the canonical index must reach BOTH spellings' documents: $ranked")
+    // control: the raw byte-driven terms split the spellings — without
+    // the recipe each query sees only its own byte form's documents
+    val rawC = Retrieval.bm25TopKQueries(spark, docs, qC, canon = false)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val rawD = Retrieval.bm25TopKQueries(spark, docs, qD, canon = false)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(rawC == Set(2L, 4L) && rawD == Set(1L, 4L),
+      s"un-normalized control must split by byte form: $rawC / $rawD")
+  }
+
   test("keyword candidates always share a query term (core consistency)") {
     import spark.implicits._
     val core = Retrieval.bm25Core(spark, sfDir)
