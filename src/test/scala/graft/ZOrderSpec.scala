@@ -50,8 +50,13 @@ class ZOrderSpec extends SparkTestBase {
     // layout A: sorted by x only — the single-column clustering baseline
     data.repartitionByRange(16, $"x").sortWithinPartitions("x")
       .write.mode("overwrite").parquet(linPath)
-    // layout B: z-ordered on (x, y)
-    ZOrder.writeZOrdered(data, zPath, Seq("x", "y"), numFiles = 16)
+    // layout B: z-ordered on (x, y). 64 files, not 16: range-partitioner
+    // boundaries come from SAMPLING with an RDD-id-dependent seed, so at
+    // 16 files a 4%-wide predicate band straddling one shifted quadrant
+    // boundary doubled the scanned fraction to exactly the n/2 assert
+    // threshold (flaked under parallel suites); finer quadrants keep a
+    // 2-4x margin under any boundary placement
+    ZOrder.writeZOrdered(data, zPath, Seq("x", "y"), numFiles = 64)
 
     /** Rows the parquet scan actually produced (post row-group/page
       * pruning, pre any later filtering) for a selective y-band. */
