@@ -398,7 +398,15 @@ object ScaleBench {
 
     for (n <- scales; (name, fn) <- measured) {
       val dir = dirs(n)
-      val runs = (1 to repeats).map { _ =>
+      // the bucketed SERVE cells get median-of-3 even in the full
+      // rehearsal (r13): they are the cells capacity plans read, their
+      // single-shot walls inherited cross-cell JVM state (the r11 ×30>×50
+      // inversion, and r12's rehearsal walls reading 2.5× the probe's),
+      // and three serve passes cost seconds against the hour — while the
+      // corpus-scan-heavy one-shot cells stay single-shot
+      val cellRepeats =
+        if (repeats > 1 || !name.endsWith("_bucketed")) repeats else 3
+      val runs = (1 to cellRepeats).map { _ =>
         clearPersisted()
         listener.reset()
         graft.ops.Legs.drain() // leftover legs must not blame this cell
