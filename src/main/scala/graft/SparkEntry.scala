@@ -258,6 +258,7 @@ object SparkEntry {
     // log-idf scoring rows-only + spec vs a scalar reference
     "s_bm25_core" -> (graft.similarity.Retrieval.bm25Core _),
     "s_bm25_topk" -> (graft.similarity.Retrieval.bm25TopK _),
+    "s_bm25_nfc" -> (graft.similarity.Retrieval.bm25TopKNfcQuery _),
     // persisted-inverted-index serve twin: results pinned bit-identical
     // to the inline form (PostingIndexSpec), entry times pure serve
     "s_bm25_topk_indexed" -> (graft.similarity.Retrieval.bm25TopKCached _),

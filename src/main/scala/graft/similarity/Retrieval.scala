@@ -202,6 +202,24 @@ object Retrieval {
                   queries: DataFrame): DataFrame =
     bm25TopKQueries(spark, docs, queries, canon = true)
 
+  /** `s_bm25_nfc` — the recipe as a driver-visible query: BM25 over the
+    * NFC-canonicalized corpus with the standard benchmark query set
+    * (first-[[QueryTerms]]-distinct-token prefixes of the first
+    * [[HybridQueries]] docs) passed through the SAME query-side
+    * normalization. The sf corpus plants decomposed suffixes on
+    * doc_id % 7 == 0 and composed twins on % 7 == 1 (the T24 device),
+    * and both classes fall inside the query-id range, so the recipe
+    * does real work here: canonical twins land in one posting. Rows-only
+    * like the rest of the BM25 scores (libm ln); the invariance LAW is
+    * spec-gated (RetrievalSpec), and the integer core stays gated by
+    * `s_bm25_core`. */
+  def bm25TopKNfcQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    bm25TopKNfc(spark, docs,
+      docs.filter(col("doc_id") < HybridQueries)
+        .select(col("doc_id").as("query_id"), col("text")))
+  }
+
   /** [[bm25TopKNfc]]'s core with normalization switchable — the raw form
     * exists so the spec can show the control (byte-driven terms DO split
     * canonically-equivalent spellings without the recipe). */
