@@ -44,6 +44,10 @@ class OpsSpec extends SparkTestBase {
       "a_quantiles_approx", "a_approx_ndv", "a_kmv_overlap", "t_perplexity",
       "t_freq_tokens",
       "t_dsir_weights", "s_bm25_topk", "s_bm25_topk_indexed",
+      // NFC-invariant retrieval recipe: same libm-ln BM25 scores; the
+      // invariance LAW (composed ≡ decomposed ranked lists, raw control
+      // splits) is gated in RetrievalSpec
+      "s_bm25_nfc",
       // eigensolver floats have no cross-engine identity; PcaSpec gates
       // the math against first principles
       "s_pca_project")
