@@ -52,8 +52,22 @@ object Bench {
     // times the lifecycle queries recorded (graft.ops.Legs); the
     // published legs are the MEDIAN run's (same statistic as the total,
     // so legs + lazy-serve remainder stay internally consistent).
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> Seq.fill(3)(runOnce(fn)).sortBy(_._1).apply(1)
+    //
+    // The three repeats run as INTERLEAVED WHOLE-SUITE PASSES, not
+    // back-to-back: a transient machine stall (page-cache eviction,
+    // background compaction, a neighboring process) spans seconds, so
+    // back-to-back repeats of one query all land inside it and the
+    // median keeps the stall — measured as the ±14% per-query wobble
+    // between two consecutive back-to-back-median runs of one tree.
+    // With passes, the same stall hits each query in at most ONE pass,
+    // and its other two runs vote it down. Per-query lifecycle
+    // semantics are order-free (each query stages its own state and
+    // clearPersisted() runs after every execution), and pass 1 doubles
+    // as the global warm-up the per-query cold run used to absorb.
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = Vector.fill(3)(qs.map { case (_, fn) => runOnce(fn) })
+    val runs = qs.zipWithIndex.map { case ((name, _), i) =>
+      name -> passes.map(_(i)).sortBy(_._1).apply(1)
     }
     val results = runs.map { case (n, (dt, _)) => n -> dt }.toMap
     val legs: Map[String, Double] = runs.flatMap(_._2._2).toMap

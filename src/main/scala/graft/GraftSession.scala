@@ -35,6 +35,16 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.extensions", ExtensionsClass)
+    // The JVM-global generated-class cache defaults to 100 entries — a
+    // session cycling through this library's operator surface (183 bench
+    // queries alone, several codegen stages each) evicts and RECOMPILES
+    // continuously: measured +0.2 s median per query (+45 s over the
+    // bench suite) when queries revisit after ~180 other plans. Any
+    // long-lived curation/serving session has the same many-plan shape,
+    // and cached classes are small; 10k entries makes compilation
+    // once-per-plan-shape again. (Static conf: applies at the first
+    // session build in the JVM.)
+    .config("spark.sql.codegen.cache.maxEntries", "10000")
 
   /** Local shape: parallelism = cores, no UI, shuffle partitions = cores
     * (the 200 default is pure overhead in one JVM). */
