@@ -259,6 +259,9 @@ object SparkEntry {
     "s_bm25_core" -> (graft.similarity.Retrieval.bm25Core _),
     "s_bm25_topk" -> (graft.similarity.Retrieval.bm25TopK _),
     "s_bm25_nfc" -> (graft.similarity.Retrieval.bm25TopKNfcQuery _),
+    // the NFC recipe's integer core — candidate generation + counts over
+    // the canonicalized corpus, hash-gated like the raw family's
+    "s_bm25_nfc_core" -> (graft.similarity.Retrieval.bm25NfcCore _),
     // persisted-inverted-index serve twin: results pinned bit-identical
     // to the inline form (PostingIndexSpec), entry times pure serve
     "s_bm25_topk_indexed" -> (graft.similarity.Retrieval.bm25TopKCached _),
@@ -448,6 +451,7 @@ object SparkEntry {
     "t_shard_shuffle" -> DataSelection.shardShuffleSql,
     "w_seasonal_decompose" -> Events.seasonalDecomposeSql,
     "s_bm25_core" -> graft.similarity.Retrieval.bm25CoreSql,
+    "s_bm25_nfc_core" -> graft.similarity.Retrieval.bm25NfcCoreSql,
     "s_hybrid_rrf" -> graft.similarity.Retrieval.hybridRrfSql,
     "j_target_encode" -> Features.looTargetEncodeSql,
     "e_sliding_actives" -> Events.slidingActivesSql,

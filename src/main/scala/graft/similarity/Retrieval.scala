@@ -89,9 +89,27 @@ object Retrieval {
     * shares at least one term (self excluded), the matched-term count,
     * summed term frequencies, summed document frequencies, and the
     * candidate's length — everything BM25 consumes except the log. */
-  def bm25Core(spark: SparkSession, dir: String): DataFrame = {
+  def bm25Core(spark: SparkSession, dir: String): DataFrame =
+    bm25CoreFrom(spark, Tables.documents(spark, dir).select("doc_id", "text"))
+
+  /** `s_bm25_nfc_core` (r13 VERDICT item 4): the SAME integer core over
+    * the NFC-canonicalized corpus — the recipe's candidate generation
+    * and counts, hash-gated end-to-end like the raw family's. The query
+    * side needs no separate normalization here: queries are derived
+    * from the corpus docs AFTER canonicalization, exactly as
+    * [[bm25TopKNfcQuery]]'s query set is the normalized prefix. Scores
+    * stay rows-only (libm ln) in `s_bm25_nfc`; everything BM25 consumes
+    * except the log is exact here and DuckDB replays it via its own
+    * `nfc_normalize`. */
+  def bm25NfcCore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NormalizeExpressions.register(spark)
+    bm25CoreFrom(spark, Tables.documents(spark, dir).select(col("doc_id"),
+      graft.functions.NormalizeExpressions.nfc(col("text")).as("text")))
+  }
+
+  private def bm25CoreFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val (tf, df, dl, qt) = index(spark, dir)
+    val (tf, df, dl, qt) = indexFrom(spark, docs)
     broadcast(qt)
       .join(tf, "term")
       .join(broadcast(df), "term")
@@ -108,6 +126,39 @@ object Retrieval {
   val bm25CoreSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+       |tf AS (
+       |  SELECT doc_id, t[i] AS term, count(*) AS tf
+       |  FROM base, UNNEST(generate_series(1, n)) AS s(i)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |qt AS (
+       |  SELECT DISTINCT doc_id AS query_id, t[i] AS term
+       |  FROM base, UNNEST(generate_series(1, LEAST(n, $QueryTerms))) AS s(i)
+       |  WHERE doc_id < $HybridQueries)
+       |SELECT qt.query_id, tf.doc_id AS doc_id,
+       |  count(*) AS n_terms,
+       |  CAST(sum(tf.tf) AS BIGINT) AS sum_tf,
+       |  CAST(sum(df.df) AS BIGINT) AS sum_df,
+       |  CAST(b.n AS BIGINT) AS dl
+       |FROM qt
+       |JOIN tf USING (term)
+       |JOIN df USING (term)
+       |JOIN base b ON b.doc_id = tf.doc_id
+       |WHERE tf.doc_id <> qt.query_id
+       |GROUP BY qt.query_id, tf.doc_id, b.n
+       |ORDER BY 1, 2""".stripMargin
+
+  /** [[bm25CoreSql]] with DuckDB's `nfc_normalize` canonicalizing the
+    * text before tokenization — the independent replay of
+    * [[bm25NfcCore]] (same device as the T24 `t_nfc_normalize` gate:
+    * ICU NFC on the Spark side, utf8proc NFC in DuckDB, two
+    * implementations agreeing on the byte-level law). */
+  val bm25NfcCoreSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         string_split_regex(trim(lower(nfc_normalize(text))), '\\s+') AS t
        |  FROM documents),
        |base AS (SELECT doc_id, t, len(t) AS n FROM toks),
        |tf AS (
