@@ -544,6 +544,41 @@ object Dedup {
   private[graft] def bucketedBuildsFor(dir: String, kind: String): Long =
     bucketedBuildsByEntry.getOrElse(layoutEntry(dir, kind).getName, 0L)
 
+  /** Governance-sweep gate (r13 VERDICT item 6): the dead-process-table
+    * and orphaned-entry sweeps used to run on EVERY [[bucketedPair]]
+    * call. Both are listdir-cheap at today's cache sizes, but they are
+    * O(cache entries) per query — at a shared cache root with thousands
+    * of entries that's real per-query money at 100 TB, for hygiene that
+    * only needs to happen occasionally. Gate: the FIRST call in a
+    * process always sweeps (fresh processes still reap dead owners'
+    * leftovers and takedown orphans immediately), later calls sweep at
+    * most once per [[SweepIntervalNanos]]. Takedown CORRECTNESS never
+    * rode the sweeps — deleteKeys reaches layouts through the
+    * registered derived-store hooks synchronously; the sweeps are
+    * backstops for processes that died without running their hooks. */
+  private[graft] val SweepIntervalNanos: Long = 60L * 1000L * 1000L * 1000L
+  private val lastSweepAt = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Spec observability: how many times the gated sweep actually ran. */
+  private[graft] val sweepRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Spec hook: model a fresh process (next serve call sweeps). */
+  private[graft] def resetSweepGate(): Unit = lastSweepAt.set(0L)
+  private def sweepIfDue(spark: SparkSession): Unit = {
+    val now = System.nanoTime()
+    val prev = lastSweepAt.get()
+    if ((prev == 0L || now - prev >= SweepIntervalNanos) &&
+        lastSweepAt.compareAndSet(prev, now)) {
+      sweepRuns.incrementAndGet()
+      // migration sweep: pre-r12 processes left pid-suffixed bucketed
+      // copies in the shared warehouse; reap dead owners' leftovers
+      graft.sources.Store.sweepDeadProcessTables(spark)
+      // governance sweep: cache entries whose corpus was DELETED outright
+      // (retired dataset, cleaned temp dir) are otherwise immortal — no
+      // later probe ever fingerprints them
+      graft.similarity.Ann.sweepOrphanedEntries()
+      ()
+    }
+  }
+
   /** The cross-process cache entry holding a (kind, corpus) layout. */
   private[graft] def layoutEntry(dir: String, kind: String): java.io.File =
     new java.io.File(graft.similarity.Ann.cachedIndexDir(dir, s"bkt-$kind"))
@@ -574,6 +609,17 @@ object Dedup {
     * simply re-registered (idempotent DDL) on its owner's next serve. */
   private[graft] def forgetServeRegistrations(): Unit = serveRegistrations.clear()
 
+  /** Spec seam for the serve-path race (r13 VERDICT item 5): invoked in
+    * [[bucketedPair]]'s retry loop exactly in the window the retry
+    * protects — after `ensureFresh` verified the entry and before the
+    * locked `_gen`/`_meta` read. In-JVM callers serialize on this
+    * object's monitor, so the race the retry exists for (a concurrent
+    * forced rebuild in ANOTHER PROCESS deleting the entry mid-serve)
+    * cannot be driven through the public API from a spec;
+    * DedupServeRaceSpec injects the other process's delete here
+    * instead. Production value: no-op. */
+  private[graft] var serveRaceHook: () => Unit = () => ()
+
   private def readEntryFile(entry: java.io.File, name: String): String =
     new String(java.nio.file.Files.readAllBytes(
       new java.io.File(entry, name).toPath), "UTF-8")
@@ -588,14 +634,15 @@ object Dedup {
     // threads, and catalog DDL on one name is not self-concurrent.
     // Builds are the rare path; serve hits pay two small file reads.
     //
-    // migration sweep: pre-r12 processes left pid-suffixed bucketed
-    // copies in the shared warehouse; reap dead owners' leftovers (one
-    // listdir — cheap, and it holds taken-down rows otherwise)
-    graft.sources.Store.sweepDeadProcessTables(spark)
-    // governance sweep: cache entries whose corpus was DELETED outright
-    // (retired dataset, cleaned temp dir) are otherwise immortal — no
-    // later probe ever fingerprints them
-    graft.similarity.Ann.sweepOrphanedEntries()
+    // Serve-path attribution (r13 VERDICT item 3): everything this call
+    // spends OUTSIDE the layout build — gated sweeps, bucket-count
+    // listing, takedown-hook registration, the freshness check + file
+    // lock, `_gen`/`_meta` reads, catalog DDL, retries — lands in a
+    // `layout_<kind>.serve_overhead` leg. This segment runs on every
+    // bucketed query at any scale; it is measured, not inferred.
+    val callT0 = System.nanoTime()
+    var buildSec = 0.0
+    sweepIfDue(spark)
     val nb = if (nBuckets > 0) nBuckets else bucketsForCorpus(spark, dir)
     val entry = layoutEntry(dir, kind)
     val (setsName, candsName) = bucketedTableNames(dir, kind)
@@ -628,6 +675,7 @@ object Dedup {
       attempt += 1
       graft.similarity.Ann.ensureFresh(entry, layoutWant(spark, dir, nb),
         registerBase = None, force = forceOnce) { tmp =>
+       val buildT0 = System.nanoTime()
        graft.ops.Legs.time(s"layout_$kind", "build") {
         val setsDdl = graft.sources.Store.writeBucketedExternal(
           sets, "doc_id", nb, s"$tmp/sets")
@@ -647,8 +695,10 @@ object Dedup {
         bucketedBuildsByEntry.updateWith(entry.getName)(c => Some(c.getOrElse(0L) + 1L))
         ()
        }
+       buildSec += (System.nanoTime() - buildT0) / 1e9
       }
       forceOnce = false // a retry must not force-rebuild again
+      serveRaceHook()
       try {
         out = graft.similarity.Ann.withBuildLock(entry) {
           val gen = readEntryFile(entry, "_gen")
@@ -668,8 +718,19 @@ object Dedup {
       } catch {
         case e: java.nio.file.NoSuchFileException =>
           if (attempt >= 5) throw e
+          // bounded backoff (r13 VERDICT item 5): an immediate re-loop
+          // could exhaust all 5 attempts in milliseconds against a
+          // pathological concurrent force-rebuild loop — each deletion
+          // window is the victim's delete→rename span, so a short
+          // growing sleep makes landing inside 5 consecutive windows
+          // vanishingly unlikely while adding at most 150 ms worst-case
+          // to a path that normally never retries (DedupServeRaceSpec
+          // drives the race).
+          Thread.sleep(10L * attempt)
       }
     }
+    graft.ops.Legs.add(s"layout_$kind", "serve_overhead",
+      (System.nanoTime() - callT0) / 1e9 - buildSec)
     out
   }
 

@@ -38,6 +38,15 @@ object Legs {
     }
   }
 
+  /** Record an externally-measured duration under `query.leg` —
+    * for legs computed as a difference (the bucketed serve-path
+    * overhead is "whole call minus the build leg", which no single
+    * `time` block brackets). Accumulates like [[time]]. */
+  def add(query: String, leg: String, seconds: Double): Unit = {
+    val m = tl.get()
+    m.update(s"$query.$leg", m.getOrElse(s"$query.$leg", 0.0) + seconds)
+  }
+
   /** Return and clear this thread's recorded legs. */
   def drain(): Map[String, Double] = {
     val m = tl.get()
