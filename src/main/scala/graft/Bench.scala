@@ -64,13 +64,58 @@ object Bench {
     // semantics are order-free (each query stages its own state and
     // clearPersisted() runs after every execution), and pass 1 doubles
     // as the global warm-up the per-query cold run used to absorb.
+    // Machine-state calibration probe (r13 VERDICT item 1): the ≤2.3%
+    // consecutive-run band is a WITHIN-SESSION band — the same tree
+    // measured 14% apart across sessions (161.5 s committed vs the
+    // driver's 138.5 s), all machine state. This fixed probe — a
+    // scan + hash-agg + sort over lineitem, the suite's dominant cost
+    // shape — runs once per pass; its median wall is published as
+    // `calib_sec`, and `total_per_calib` (= total / calib_sec) is the
+    // statistic that survives a machine-state change: both numerator
+    // and denominator carry the same state multiplier
+    // (tools/probe_calibration.scala demonstrates raw totals moving
+    // ~2x under CPU contention while the ratio moves a few percent).
+    // Cross-session comparisons must use the ratio or touched-cell
+    // medians/legs, never raw totals.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+               org.apache.spark.sql.functions.avg("l_extendedprice"),
+               org.apache.spark.sql.functions.count("*"))
+          .orderBy("l_returnflag", "l_linestatus")
+          .queryExecution.toRdd.count()
+      } catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      clearPersisted()
+      dt
+    }
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    val passes = Vector.fill(3)(qs.map { case (_, fn) => runOnce(fn) })
+    val calibWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passes = Vector.fill(3) {
+      calibWalls += calibOnce()
+      qs.map { case (_, fn) => runOnce(fn) }
+    }
+    val calib = calibWalls.sorted.apply(calibWalls.length / 2)
     val runs = qs.zipWithIndex.map { case ((name, _), i) =>
       name -> passes.map(_(i)).sortBy(_._1).apply(1)
     }
     val results = runs.map { case (n, (dt, _)) => n -> dt }.toMap
-    val legs: Map[String, Double] = runs.flatMap(_._2._2).toMap
+    // serve_overhead legs (the per-call lock/DDL/sweep segment of the
+    // bucketed serve path) are recorded by EVERY query that serves a
+    // layout; publishing them under the bare layout key would collide
+    // across queries. Keep them for the bucketed attach cells — the
+    // attribution target (r13 VERDICT item 3) — prefixed by the query,
+    // and drop the rest (their per-cell split lives in SCALE's legs).
+    val legs: Map[String, Double] = runs.flatMap { case (qname, (_, ls)) =>
+      ls.flatMap { case (k, v) =>
+        if (!k.endsWith(".serve_overhead")) Some(k -> v)
+        else if (qname.contains("_bucketed")) Some(s"$qname.$k" -> v)
+        else None
+      }
+    }.toMap
     // The driver captures only the LAST ~2 KB of stdout; a name-keyed map
     // over 160+ queries can NEVER fit (names alone ≈ 3.3 KB — r07 and r08
     // both recorded "parsed": null). So the printed line is SHORT — total
@@ -81,7 +126,10 @@ object Bench {
       .setScale(digits, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+    val calibJson = s""""calib_sec":${fmt(calib, 3)},"calib_walls":[${
+      calibWalls.map(fmt(_, 3)).mkString(",")}],"total_per_calib":${
+      fmt(if (calib > 0) total / calib else 0.0, 1)},"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec",$calibJson"queries":${
       results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     },"legs":${
       legs.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v, 3) }
@@ -97,7 +145,7 @@ object Bench {
     val legsShort = legs.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"file":"$outFile","md5":"$md5",""" +
+      s""""n_queries":${results.size},$calibJson"file":"$outFile","md5":"$md5",""" +
       s""""legs":$legsShort,"sf":"$sfDir"}"""
     spark.stop()
     // print LAST, after spark.stop(), so no executor-shutdown log lands

@@ -369,23 +369,47 @@ object ScaleBench {
         graft.dedup.Dedup.lshJaccardBucketedAttach(
           spark, dirs(n), nBuckets = bucketsFor(dirs(n))).queryExecution.toRdd.count()
     }
+    // warm-build statistic (r13 VERDICT item 2): the warm walls get the
+    // SAME interleaved median-of-3 discipline the serve cells got — the
+    // r13 artifacts showed single-shot build walls scattering 2–6×
+    // across probes (×50 d4b warm recorded 51.8 s in one artifact and
+    // 15.1 s in another against a 15.4 s BUILDWARM steady state), which
+    // a capacity plan could misread. Three full forced-build passes,
+    // each pass interleaving the families (a transient stall lands in
+    // at most one pass per family), per-family MEDIAN published plus
+    // the walls array. Cost: the forced rebuilds are minutes at ×50 —
+    // SPARK_GRAFT_WARM_BUILDS=0 opts out for probe runs that only need
+    // serve cells (r13 ADVICE).
+    val warmBuildPasses =
+      if (sys.env.get("SPARK_GRAFT_WARM_BUILDS").contains("0")) 0 else 3
+    val layoutBuildWallArrays =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    def buildLegs(): Map[String, Double] =
+      graft.ops.Legs.drain().filter(_._1.endsWith(".build"))
     for (n <- scales) {
       try {
         graft.ops.Legs.drain()
         buildLayouts(n)
-        graft.ops.Legs.drain().foreach { case (k, v) =>
+        buildLegs().foreach { case (k, v) =>
           layoutBuildWalls.update(s"x$n.$k", v) }
-        // a SECOND forced build of each layout, published as `.warm`:
-        // the interleaved-build probe (SCALE_PROBE_BUILDWARM_r13) showed
-        // the single-shot cold wall carries a 3–6× JIT/codegen/
-        // page-cache premium that varies run to run and reads as
-        // super-linear build growth across scales; the steady-state
-        // wall is the capacity-planning number, so the artifact carries
-        // BOTH (`<leg>` = cold/first, `<leg>.warm` = repeat).
-        buildLayouts(n)
-        graft.ops.Legs.drain().foreach { case (k, v) =>
-          layoutBuildWalls.update(s"x$n.$k.warm", v) }
+        // measure the warm builds under the SAME cache state as the
+        // BUILDWARM probe they are calibrated against: the lsh build
+        // persists band rows that would otherwise stay cached across
+        // passes (r13 ADVICE)
         clearPersisted()
+        val passes = (1 to warmBuildPasses).map { _ =>
+          buildLayouts(n)
+          val legs = buildLegs()
+          clearPersisted()
+          legs
+        }
+        passes.flatMap(_.keys).distinct.foreach { k =>
+          val walls = passes.flatMap(_.get(k)).sorted
+          if (walls.nonEmpty) {
+            layoutBuildWalls.update(s"x$n.$k.warm", walls(walls.length / 2))
+            layoutBuildWallArrays.update(s"x$n.$k.warm_walls", walls)
+          }
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[scale] bucketed pre-build x$n failed: ${e.getMessage}")
       }
@@ -589,8 +613,10 @@ object ScaleBench {
     }
     if (layoutBuildWalls.nonEmpty) {
       sb.append("  \"layout_build\": {")
-      sb.append(layoutBuildWalls.map { case (k, v) =>
-        s""""$k": ${jnum(v)}""" }.mkString(", "))
+      sb.append((layoutBuildWalls.map { case (k, v) =>
+        s""""$k": ${jnum(v)}""" } ++
+        layoutBuildWallArrays.map { case (k, ws) =>
+          s""""$k": [${ws.map(jnum).mkString(", ")}]""" }).mkString(", "))
       sb.append("},\n")
     }
     sb.append("  \"queries\": {\n")
