@@ -73,8 +73,9 @@ object Bench {
     // `calib_sec`, and `total_per_calib` (= total / calib_sec) is the
     // statistic that survives a machine-state change: both numerator
     // and denominator carry the same state multiplier
-    // (tools/probe_calibration.scala demonstrates raw totals moving
-    // ~2x under CPU contention while the ratio moves a few percent).
+    // (tools/probe_calibration.scala, CALIB_r14.json: under a busy-spin
+    // thread per core the full-suite raw total shifts 2.18x while the
+    // ratio shifts 14.3% — an ~8x reduction in state sensitivity).
     // Cross-session comparisons must use the ratio or touched-cell
     // medians/legs, never raw totals.
     def calibOnce(): Double = {

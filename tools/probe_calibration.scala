@@ -32,9 +32,15 @@ def calibOnce(): Double = {
   clearPersisted()
   dt
 }
-// the TPC-H core: scan/agg/join-heavy, the suite's dominant cost shapes
-val qs = graft.SparkEntry.queries.toSeq
-  .filter(_._1.matches("q\\d+.*")).sortBy(_._1)
+// the FULL suite: total_per_calib is defined over the whole bench, so
+// the demonstration measures exactly the published statistic (one
+// caveat vs Bench proper: spark-shell's pre-existing session keeps its
+// static confs, so the 10k codegen-class cache doesn't apply here and
+// absolute walls sit ~30% above Bench's — irrelevant to the ratio,
+// which compares two states inside THIS session). NOTE: keep this a
+// single statement — the REPL's leading-dot continuation binds to the
+// previous result, not the val.
+val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)
 def runState(label: String): (Double, Double, Map[String, Double]) = {
   // same statistic as Bench: per-query median over 3 interleaved passes,
   // calibration probe once per pass
