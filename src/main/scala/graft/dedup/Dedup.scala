@@ -616,7 +616,7 @@ object Dedup {
     * object's monitor, so the race the retry exists for (a concurrent
     * forced rebuild in ANOTHER PROCESS deleting the entry mid-serve)
     * cannot be driven through the public API from a spec;
-    * DedupServeRaceSpec injects the other process's delete here
+    * DedupServePathSpec injects the other process's delete here
     * instead. Production value: no-op. */
   private[graft] var serveRaceHook: () => Unit = () => ()
 
@@ -724,7 +724,7 @@ object Dedup {
           // window is the victim's delete→rename span, so a short
           // growing sleep makes landing inside 5 consecutive windows
           // vanishingly unlikely while adding at most 150 ms worst-case
-          // to a path that normally never retries (DedupServeRaceSpec
+          // to a path that normally never retries (DedupServePathSpec
           // drives the race).
           Thread.sleep(10L * attempt)
       }
