@@ -325,6 +325,32 @@ object ScaleBench {
         .groupBy("l_returnflag").count().queryExecution.toRdd.count()
     } catch { case _: Throwable => () }
 
+    // machine-state calibration (r14 — Bench's calib_sec device): the
+    // fixed scan+hash-agg+sort probe over the BASE lineitem, three walls
+    // up front and one at the end, published in meta. Scale artifacts
+    // from different sessions compare via cell/calib ratios, never raw
+    // seconds: SCALE_PROBE_INREGIME_r14 measured 1.5-2x wall drift at
+    // IDENTICAL shuffle bytes between two same-tree runs an hour apart
+    // (off-CPU stall — GC pressure + evicted page cache). The trailing
+    // wall also exposes within-run state decay.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        spark.read.parquet(s"$baseDir/lineitem.parquet")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+               org.apache.spark.sql.functions.avg("l_extendedprice"),
+               org.apache.spark.sql.functions.count("*"))
+          .orderBy("l_returnflag", "l_linestatus")
+          .queryExecution.toRdd.count()
+      } catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      clearPersisted()
+      dt
+    }
+    val calibWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to 3).foreach(_ => calibWalls += calibOnce())
+
     // SPARK_GRAFT_ONLY=a,b,c runs a targeted probe: just the named
     // queries, skipping the censuses (band-join, cross-copy, capped
     // recall, chain) — the fast loop for verifying one family's growth
@@ -577,9 +603,14 @@ object ScaleBench {
     }
 
     // ---- JSON out ---------------------------------------------------
+    calibWalls += calibOnce() // trailing wall: within-run state decay
+    val calibSec = calibWalls.take(3).sorted.apply(1)
     val sb = new StringBuilder
     sb.append("{\n  \"meta\": {\"base\": \"").append(baseDir)
       .append("\", \"cpus\": ").append(cpus)
+      .append(", \"calib_sec\": ").append(jnum(calibSec))
+      .append(", \"calib_walls\": [")
+      .append(calibWalls.map(jnum).mkString(", ")).append("]")
       // heap decides spill at fixed data: record it so runs are comparable
       .append(", \"heap_gb\": ")
       .append(Runtime.getRuntime.maxMemory / (1024L * 1024 * 1024))
