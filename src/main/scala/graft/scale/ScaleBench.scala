@@ -348,8 +348,15 @@ object ScaleBench {
       clearPersisted()
       dt
     }
-    val calibWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
-    (1 to 3).foreach(_ => calibWalls += calibOnce())
+    // labeled walls: SCALE_r14b showed the up-front median misreading
+    // the state the CELLS later ran under (start walls 1.41/0.62/0.61 s
+    // vs a trailing 0.32 s — the box recovered mid-run while the cells
+    // median-matched the earlier rehearsal within 8%), so walls are
+    // taken before EACH scale's cell block too and published labeled;
+    // normalize a scale's cells by its own adjacent wall.
+    val calibWalls =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    (1 to 3).foreach(i => calibWalls += (s"start$i" -> calibOnce()))
 
     // SPARK_GRAFT_ONLY=a,b,c runs a targeted probe: just the named
     // queries, skipping the censuses (band-join, cross-copy, capped
@@ -459,7 +466,11 @@ object ScaleBench {
     val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt)
       .getOrElse(if (only.isDefined) 3 else 1)
 
+    var calibbedScale = -1
     for (n <- scales; (name, fn) <- measured) {
+      if (n != calibbedScale) {
+        calibWalls += (s"x$n" -> calibOnce()); calibbedScale = n
+      }
       val dir = dirs(n)
       // the bucketed SERVE cells get median-of-3 even in the full
       // rehearsal (r13): they are the cells capacity plans read, their
@@ -603,14 +614,18 @@ object ScaleBench {
     }
 
     // ---- JSON out ---------------------------------------------------
-    calibWalls += calibOnce() // trailing wall: within-run state decay
-    val calibSec = calibWalls.take(3).sorted.apply(1)
+    calibWalls += ("end" -> calibOnce()) // trailing wall: state decay
+    val calibSec = {
+      val ws = calibWalls.map(_._2).sorted
+      ws(ws.length / 2)
+    }
     val sb = new StringBuilder
     sb.append("{\n  \"meta\": {\"base\": \"").append(baseDir)
       .append("\", \"cpus\": ").append(cpus)
       .append(", \"calib_sec\": ").append(jnum(calibSec))
-      .append(", \"calib_walls\": [")
-      .append(calibWalls.map(jnum).mkString(", ")).append("]")
+      .append(", \"calib_walls\": {")
+      .append(calibWalls.map { case (l, w) => s""""$l": ${jnum(w)}""" }
+        .mkString(", ")).append("}")
       // heap decides spill at fixed data: record it so runs are comparable
       .append(", \"heap_gb\": ")
       .append(Runtime.getRuntime.maxMemory / (1024L * 1024 * 1024))
