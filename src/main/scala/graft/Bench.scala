@@ -1,10 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Two-class calibration classifier (r14 VERDICT finding 2): a query is
+    * SHUFFLE-CLASS when it writes more shuffle bytes than it reads input
+    * bytes — exchange/sort/join dominated — and SCAN-CLASS otherwise.
+    * The split exists because machine-state contention taxes the two
+    * shapes differently (CALIB_r14: a 2.18× busy-spin state shift read
+    * as 14.3% through the single scan+agg probe, and the residual was
+    * exactly the shuffle/GC-heavy queries inflating more than the
+    * probe). Normalizing each class by a probe of its own shape cuts
+    * that residual; tools/probe_calibration.scala measures by how much.
+    * The rule must be a property of the PLAN, not the session: task
+    * input/shuffle bytes are bit-identical across machine states
+    * (SCALE_PROBE_INREGIME_r14), so the classification is stable.
+    * Public because the calibration probe replays the exact rule. */
+  def shuffleHeavy(metrics: Map[String, Long]): Boolean =
+    metrics.getOrElse("shuffle_write_bytes", 0L) >
+      metrics.getOrElse("input_bytes", 0L)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt, appName = "graft-bench")
+    val listener = new graft.scale.MetricsListener
+    spark.sparkContext.addSparkListener(listener)
 
     // Free any cached/persisted intermediates a query left behind (the
     // dedup family persists its shingle table) so run 2 measures the same
@@ -21,8 +41,9 @@ object Bench {
     }
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Map[String, Double]) = {
+        : (Double, Map[String, Double], Map[String, Long]) = {
       graft.ops.Legs.drain() // clear any leftover from a failed prior run
+      listener.reset()
       val t0 = System.nanoTime()
       // toRdd.count() executes the FULL physical plan (a plain .count()
       // lets the optimizer drop final sorts and projections)
@@ -31,8 +52,13 @@ object Bench {
         System.err.println(s"[bench] failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      // task metrics settle AFTER the wall is taken (the bus drain is not
+      // measured); they exist to classify the query for the two-class
+      // normalized total, never to time it
+      graft.scale.MetricsListener.drainBus(spark)
+      val metrics = listener.snapshot
       clearPersisted()
-      (dt, graft.ops.Legs.drain())
+      (dt, graft.ops.Legs.drain(), metrics)
     }
 
     // JVM/codegen warm-up: one untimed scan+agg so the first timed query
@@ -64,53 +90,101 @@ object Bench {
     // semantics are order-free (each query stages its own state and
     // clearPersisted() runs after every execution), and pass 1 doubles
     // as the global warm-up the per-query cold run used to absorb.
-    // Machine-state calibration probe (r13 VERDICT item 1): the ≤2.3%
-    // consecutive-run band is a WITHIN-SESSION band — the same tree
-    // measured 14% apart across sessions (161.5 s committed vs the
-    // driver's 138.5 s), all machine state. This fixed probe — a
-    // scan + hash-agg + sort over lineitem, the suite's dominant cost
-    // shape — runs once per pass; its median wall is published as
-    // `calib_sec`, and `total_per_calib` (= total / calib_sec) is the
-    // statistic that survives a machine-state change: both numerator
-    // and denominator carry the same state multiplier
-    // (tools/probe_calibration.scala, CALIB_r14.json: under a busy-spin
-    // thread per core the full-suite raw total shifts 2.18x while the
-    // ratio shifts 14.3% — an ~8x reduction in state sensitivity).
-    // Cross-session comparisons must use the ratio or touched-cell
-    // medians/legs, never raw totals.
-    def calibOnce(): Double = {
+    //
+    // Machine-state calibration probes (r13 item 1, widened r15 per the
+    // r14 verdict's finding 2): raw totals are comparable only WITHIN a
+    // session — the same tree measured 14% apart across sessions — so
+    // the bench publishes state-normalized statistics. TWO fixed probes
+    // run once per pass:
+    //  - SCAN probe: scan + hash-agg + sort over lineitem (the suite's
+    //    dominant cost shape) → `calib_sec`; `total_per_calib` =
+    //    total / calib_sec is the r14 single-class statistic (CALIB_r14:
+    //    a 2.18× busy-spin raw shift reads as 14.3% through it).
+    //  - SHUFFLE probe: a two-sided repartition sort-merge self-join of
+    //    lineitem on l_orderkey + aggregation → `calib_shuffle_sec`.
+    //    Contention taxes exchange/sort/join harder than scans (the
+    //    measured CALIB_r14 residual), so shuffle-class queries (see
+    //    [[shuffleHeavy]]) normalize by this probe instead:
+    //    `total_per_calib2` = scan_class_sec / calib_sec +
+    //    shuffle_class_sec / calib_shuffle_sec. CALIB_r15 re-runs the
+    //    busy-spin experiment and reports both residuals.
+    // A FAILED probe publishes `calib_error` and a null wall instead of
+    // its elapsed-to-failure time (r14 ADVICE: a near-zero denominator
+    // would make the trusted statistic silently garbage).
+    var calibError: Option[String] = None
+    def timedProbe(label: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try {
-        spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .groupBy("l_returnflag", "l_linestatus")
-          .agg(org.apache.spark.sql.functions.sum("l_quantity"),
-               org.apache.spark.sql.functions.avg("l_extendedprice"),
-               org.apache.spark.sql.functions.count("*"))
-          .orderBy("l_returnflag", "l_linestatus")
-          .queryExecution.toRdd.count()
-      } catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val dt =
+        try { body; (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          calibError = calibError.orElse(Some(
+            s"$label: ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(160)))
+          System.err.println(s"[bench] CALIBRATION PROBE FAILED ($label): $e")
+          Double.NaN
+        }
       clearPersisted()
       dt
     }
+    def calibScanOnce(): Double = timedProbe("scan") {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+             org.apache.spark.sql.functions.avg("l_extendedprice"),
+             org.apache.spark.sql.functions.count("*"))
+        .orderBy("l_returnflag", "l_linestatus")
+        .queryExecution.toRdd.count()
+      ()
+    }
+    def calibShuffleOnce(): Double = timedProbe("shuffle") {
+      import org.apache.spark.sql.functions._
+      val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val r = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      // both sides repartitioned + merge-hinted: the probe must pay two
+      // exchanges, two sorts, and a fan-out join even if stats would
+      // broadcast one side — that is the shape being calibrated
+      l.repartition(64, col("l_orderkey")).hint("merge")
+        .join(r.repartition(64, col("l_orderkey")), "l_orderkey")
+        .groupBy(pmod(col("l_partkey"), lit(97)).as("g"))
+        .agg(sum(col("l_quantity") * col("l_suppkey")), count("*"))
+        .orderBy(col("g"))
+        .queryExecution.toRdd.count()
+      ()
+    }
+    // NaN-safe median that averages the middle pair on even counts (an
+    // upper-middle pick biases 2-sample medians high — r14 ADVICE)
+    def med(ws: Seq[Double]): Double = {
+      val ok = ws.filterNot(d => d.isNaN || d.isInfinite).sorted
+      if (ok.isEmpty) Double.NaN
+      else if (ok.length % 2 == 1) ok(ok.length / 2)
+      else (ok(ok.length / 2 - 1) + ok(ok.length / 2)) / 2.0
+    }
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     val calibWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calibShufWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passes = Vector.fill(3) {
-      calibWalls += calibOnce()
+      calibWalls += calibScanOnce()
+      calibShufWalls += calibShuffleOnce()
       qs.map { case (_, fn) => runOnce(fn) }
     }
-    val calib = calibWalls.sorted.apply(calibWalls.length / 2)
+    val calib = med(calibWalls.toSeq)
+    val calibShuf = med(calibShufWalls.toSeq)
     val runs = qs.zipWithIndex.map { case ((name, _), i) =>
       name -> passes.map(_(i)).sortBy(_._1).apply(1)
     }
-    val results = runs.map { case (n, (dt, _)) => n -> dt }.toMap
+    val results = runs.map { case (n, (dt, _, _)) => n -> dt }.toMap
+    // class from the MEDIAN run's task metrics (plan property — the bytes
+    // reproduce bit-for-bit across sessions, so the class is stable)
+    val classes = runs.map { case (n, (_, _, m)) => n -> shuffleHeavy(m) }.toMap
     // serve_overhead legs (the per-call lock/DDL/sweep segment of the
     // bucketed serve path) are recorded by EVERY query that serves a
     // layout; publishing them under the bare layout key would collide
     // across queries. Keep them for the bucketed attach cells — the
     // attribution target (r13 VERDICT item 3) — prefixed by the query,
     // and drop the rest (their per-cell split lives in SCALE's legs).
-    val legs: Map[String, Double] = runs.flatMap { case (qname, (_, ls)) =>
+    val legs: Map[String, Double] = runs.flatMap { case (qname, (_, ls, _)) =>
       ls.flatMap { case (k, v) =>
         if (!k.endsWith(".serve_overhead")) Some(k -> v)
         else if (qname.contains("_bucketed")) Some(s"$qname.$k" -> v)
@@ -123,16 +197,30 @@ object Bench {
     // + query count + a pointer to the committed file, with the file's md5
     // tying the two together — and the full-precision per-query map lives
     // only in BENCH.json.
-    def fmt(v: Double, digits: Int) = BigDecimal(v)
-      .setScale(digits, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt(v: Double, digits: Int) =
+      if (v.isNaN || v.isInfinite) "null"
+      else BigDecimal(v)
+        .setScale(digits, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val shufClassSec = results.collect { case (n, dt) if classes(n) => dt }.sum
+    val scanClassSec = total - shufClassSec
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    val calibErrJson = calibError.fold("")(e =>
+      "\"calib_error\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\",")
     val calibJson = s""""calib_sec":${fmt(calib, 3)},"calib_walls":[${
-      calibWalls.map(fmt(_, 3)).mkString(",")}],"total_per_calib":${
-      fmt(if (calib > 0) total / calib else 0.0, 1)},"""
+      calibWalls.map(fmt(_, 3)).mkString(",")
+    }],"calib_shuffle_sec":${fmt(calibShuf, 3)},"calib_shuffle_walls":[${
+      calibShufWalls.map(fmt(_, 3)).mkString(",")
+    }],$calibErrJson"total_per_calib":${
+      fmt(total / calib, 1)},"total_per_calib2":${
+      fmt(scanClassSec / calib + shufClassSec / calibShuf, 1)
+    },"scan_class_sec":${fmt(scanClassSec, 1)},"shuffle_class_sec":${
+      fmt(shufClassSec, 1)},"n_shuffle_class":${classes.count(_._2)},"""
+    val shufClassJson = classes.toSeq.filter(_._2).map(_._1).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":$total,"unit":"sec",$calibJson"queries":${
       results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    },"legs":${
+    },"shuffle_class":$shufClassJson,"legs":${
       legs.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v, 3) }
         .mkString("{", ",", "}")
     },"sf":"$sfDir"}"""

@@ -568,14 +568,29 @@ object Dedup {
     if ((prev == 0L || now - prev >= SweepIntervalNanos) &&
         lastSweepAt.compareAndSet(prev, now)) {
       sweepRuns.incrementAndGet()
-      // migration sweep: pre-r12 processes left pid-suffixed bucketed
-      // copies in the shared warehouse; reap dead owners' leftovers
-      graft.sources.Store.sweepDeadProcessTables(spark)
-      // governance sweep: cache entries whose corpus was DELETED outright
-      // (retired dataset, cleaned temp dir) are otherwise immortal — no
-      // later probe ever fingerprints them
-      graft.similarity.Ann.sweepOrphanedEntries()
-      ()
+      // the sweeps are HYGIENE BACKSTOPS that never carry correctness
+      // (takedown reaches layouts synchronously via the registered
+      // hooks, and Store.deleteKeys reaps dead owners itself) — so a
+      // sweep failure must neither fail the serve call it happened to
+      // ride on nor, having advanced the gate above, silently skip the
+      // OTHER sweep for the full interval (r14 ADVICE)
+      try {
+        // migration sweep: pre-r12 processes left pid-suffixed bucketed
+        // copies in the shared warehouse; reap dead owners' leftovers
+        graft.sources.Store.sweepDeadProcessTables(spark)
+        ()
+      } catch { case e: Throwable =>
+        System.err.println(s"[dedup] dead-process sweep failed (non-fatal): ${e.getMessage}")
+      }
+      try {
+        // governance sweep: cache entries whose corpus was DELETED outright
+        // (retired dataset, cleaned temp dir) are otherwise immortal — no
+        // later probe ever fingerprints them
+        graft.similarity.Ann.sweepOrphanedEntries()
+        ()
+      } catch { case e: Throwable =>
+        System.err.println(s"[dedup] orphaned-entry sweep failed (non-fatal): ${e.getMessage}")
+      }
     }
   }
 
@@ -725,7 +740,14 @@ object Dedup {
           // growing sleep makes landing inside 5 consecutive windows
           // vanishingly unlikely while adding at most 150 ms worst-case
           // to a path that normally never retries (DedupServePathSpec
-          // drives the race).
+          // drives the race). DOCUMENTED TRADEOFF (r14 ADVICE): the
+          // sleep runs inside this object's monitor, so other threads'
+          // serves stall behind it for up to ~150 ms while ONE caller
+          // races a foreign rebuild. Accepted as bounded: releasing the
+          // monitor mid-call would let a second in-JVM caller interleave
+          // with the retry's ensureFresh and re-open the serialization
+          // the monitor exists for, to shave a worst case that needs a
+          // concurrent cross-process force-rebuild to occur at all.
           Thread.sleep(10L * attempt)
       }
     }

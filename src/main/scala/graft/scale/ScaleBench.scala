@@ -44,6 +44,22 @@ final class MetricsListener extends SparkListener {
       runTimeMs, cpuTimeNs, gcTimeMs).foreach(_.set(0))
 }
 
+object MetricsListener {
+  /** Drain the async listener bus so a metrics snapshot sees every task
+    * of the query that just ran. `listenerBus` is `private[spark]` at the
+    * source level but public in bytecode — reflection reaches it; if the
+    * internals ever move, a half-second settle keeps the numbers sane.
+    * Shared by every main that snapshots task metrics (Bench for the
+    * two-class calibration split, ScaleBench/SeasonScaleBench for cells). */
+  def drainBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      ()
+    } catch { case _: Throwable => Thread.sleep(500) }
+}
+
 /** The scale rehearsal: measure the 100-TB design claims instead of
   * arguing them (VERDICT r4 "Next round" item 1).
   *
@@ -74,16 +90,19 @@ object ScaleBench {
   private def jnum(d: Double): String =
     if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
 
-  /** Drain the async listener bus so a metrics snapshot sees every task
-    * of the query that just ran. `listenerBus` is `private[spark]` at the
-    * source level but public in bytecode — reflection reaches it; if the
-    * internals ever move, a half-second settle keeps the numbers sane. */
+  /** NaN-safe median that AVERAGES the middle pair on even counts: the
+    * upper-middle pick biased 2-sample "medians" high whenever one pass
+    * of a 3-pass family failed (r14 ADVICE). NaN entries (failed probe
+    * walls) are excluded rather than sorted to an end. */
+  private def med(ws: Seq[Double]): Double = {
+    val ok = ws.filterNot(d => d.isNaN || d.isInfinite).sorted
+    if (ok.isEmpty) Double.NaN
+    else if (ok.length % 2 == 1) ok(ok.length / 2)
+    else (ok(ok.length / 2 - 1) + ok(ok.length / 2)) / 2.0
+  }
+
   private def drainListenerBus(spark: SparkSession): Unit =
-    try {
-      val sc = spark.sparkContext
-      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
-    } catch { case _: Throwable => Thread.sleep(500) }
+    MetricsListener.drainBus(spark)
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -332,19 +351,30 @@ object ScaleBench {
     // seconds: SCALE_PROBE_INREGIME_r14 measured 1.5-2x wall drift at
     // IDENTICAL shuffle bytes between two same-tree runs an hour apart
     // (off-CPU stall — GC pressure + evicted page cache). The trailing
-    // wall also exposes within-run state decay.
+    // wall also exposes within-run state decay. A FAILED probe records a
+    // null wall + calib_error instead of its elapsed-to-failure time
+    // (r14 ADVICE: a near-zero denominator silently corrupts every
+    // normalized ratio downstream).
+    var calibError: Option[String] = None
     def calibOnce(): Double = {
       val t0 = System.nanoTime()
-      try {
-        spark.read.parquet(s"$baseDir/lineitem.parquet")
-          .groupBy("l_returnflag", "l_linestatus")
-          .agg(org.apache.spark.sql.functions.sum("l_quantity"),
-               org.apache.spark.sql.functions.avg("l_extendedprice"),
-               org.apache.spark.sql.functions.count("*"))
-          .orderBy("l_returnflag", "l_linestatus")
-          .queryExecution.toRdd.count()
-      } catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val dt =
+        try {
+          spark.read.parquet(s"$baseDir/lineitem.parquet")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+                 org.apache.spark.sql.functions.avg("l_extendedprice"),
+                 org.apache.spark.sql.functions.count("*"))
+            .orderBy("l_returnflag", "l_linestatus")
+            .queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          calibError = calibError.orElse(Some(
+            s"${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(160)))
+          System.err.println(s"[scale] CALIBRATION PROBE FAILED: $e")
+          Double.NaN
+        }
       clearPersisted()
       dt
     }
@@ -439,7 +469,9 @@ object ScaleBench {
         passes.flatMap(_.keys).distinct.foreach { k =>
           val walls = passes.flatMap(_.get(k)).sorted
           if (walls.nonEmpty) {
-            layoutBuildWalls.update(s"x$n.$k.warm", walls(walls.length / 2))
+            // med() averages the middle pair when a pass failed and only
+            // two walls survive (r14 ADVICE: the upper pick biased high)
+            layoutBuildWalls.update(s"x$n.$k.warm", med(walls))
             layoutBuildWallArrays.update(s"x$n.$k.warm_walls", walls)
           }
         }
@@ -615,9 +647,16 @@ object ScaleBench {
 
     // ---- JSON out ---------------------------------------------------
     calibWalls += ("end" -> calibOnce()) // trailing wall: state decay
-    val calibSec = {
-      val ws = calibWalls.map(_._2).sorted
-      ws(ws.length / 2)
+    val calibSec = med(calibWalls.map(_._2).toSeq)
+    // each scale's cells normalize by the wall taken ADJACENT to them
+    // (the labeled x<N> wall) — SCALE_r14b showed the box recovering
+    // MID-RUN, so the up-front median can misread the state a later
+    // scale's cells actually ran under; fall back to the run median only
+    // if that scale's own probe failed
+    val scaleWall: Map[String, Double] = calibWalls.toMap
+    def wallFor(n: Int): Double = {
+      val w = scaleWall.getOrElse(s"x$n", Double.NaN)
+      if (w.isNaN) calibSec else w
     }
     val sb = new StringBuilder
     sb.append("{\n  \"meta\": {\"base\": \"").append(baseDir)
@@ -626,6 +665,9 @@ object ScaleBench {
       .append(", \"calib_walls\": {")
       .append(calibWalls.map { case (l, w) => s""""$l": ${jnum(w)}""" }
         .mkString(", ")).append("}")
+      .append(calibError.fold("")(e =>
+        ", \"calib_error\": \"" +
+          e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""))
       // heap decides spill at fixed data: record it so runs are comparable
       .append(", \"heap_gb\": ")
       .append(Runtime.getRuntime.maxMemory / (1024L * 1024 * 1024))
@@ -676,7 +718,12 @@ object ScaleBench {
         val legsJson = if (c.legs.isEmpty) "" else
           s""", "legs": {${c.legs.toSeq.sortBy(_._1)
             .map { case (k, v) => s""""$k": ${jnum(v)}""" }.mkString(", ")}}"""
-        s""""x$n": {"sec": ${jnum(c.sec)}, "rows": ${c.rows}, "includes_build": $includesBuild, $m$walls$legsJson}"""
+        // sec_per_calib (r14 VERDICT finding 3): the cell pre-divided by
+        // its scale-adjacent calibration wall — cross-session rehearsal
+        // comparison is a column read, not a manual division against the
+        // labeled wall map
+        s""""x$n": {"sec": ${jnum(c.sec)}, "sec_per_calib": ${
+          jnum(c.sec / wallFor(n))}, "rows": ${c.rows}, "includes_build": $includesBuild, $m$walls$legsJson}"""
       }.mkString(", ")
       val growth = cells.map { case (n, c) =>
         val ideal = n.toDouble / scales.head

@@ -1,7 +1,37 @@
 package graft.scale
 
 import graft.nfl.{Normalize, SeasonBench, SeasonJob}
-import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+
+/** Per-STAGE peak task memory (r14 VERDICT item 5): the season cells'
+  * whole-run `peak_task_memory` is a single max that cannot say WHERE
+  * the ×30 growth lives — the kernel's per-play state (claimed constant)
+  * or the AQE-coalesced sort/agg stages around it (claimed to carry the
+  * growth). Tracking the max per stage and publishing the top stages BY
+  * NAME turns that attribution into a measurement: the stage names carry
+  * the callsite of the action/exchange they serve, so a reader sees
+  * which plan segment owns the peak at each scale. */
+final class StagePeakListener extends SparkListener {
+  private val peaks = scala.collection.concurrent.TrieMap.empty[Int, Long]
+  private val names = scala.collection.concurrent.TrieMap.empty[Int, String]
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      peaks.updateWith(t.stageId)(p =>
+        Some(math.max(p.getOrElse(0L), m.peakExecutionMemory)))
+      ()
+    }
+  }
+  override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+    names.update(s.stageInfo.stageId, s.stageInfo.name); ()
+  }
+  /** Top-k stages by peak task memory, as (stage name, peak bytes). */
+  def top(k: Int): Seq[(String, Long)] =
+    peaks.toSeq.sortBy(-_._2).take(k).map { case (id, p) =>
+      (names.getOrElse(id, s"stage-$id"), p)
+    }
+  def reset(): Unit = { peaks.clear(); names.clear() }
+}
 
 /** Season-kernel scale rehearsal (round-7 verdict item 7): SCALE_r7
   * measured the §2.13 families at ×10/×50 but the NFL frame-EPPA kernel
@@ -15,13 +45,17 @@ import org.apache.spark.sql.functions._
   *    (F,T,T,J) tensor, so per-play work is constant). Measured r8:
   *    sec_per_play flat 1.13/0.90/0.95 at ×1/×10/×30 — holds;
   *  - peak task memory / spill: the KERNEL's per-play state is bounded,
-  *    but the surrounding sort/agg stages run at the FIXED local 32
-  *    shuffle partitions, so their data-per-partition — and with it
-  *    peak task memory, and past the page-cache point spill — grows
-  *    with copies (measured r8: 67→268→470 MB, spill 0/0/2.7 GB at
-  *    ×30). That is the partition-sizing knob a cluster scales with
-  *    input (AQE), not an algorithmic bound; the flat per-play cost at
-  *    constant frames/s is the kernel evidence.
+  *    but the surrounding sort/agg stages carry more rows per partition
+  *    as the input grows (fixed 32 partitions locally; AQE-coalesced
+  *    under the production posture), so their peak grows with copies.
+  *    Two instruments pin that attribution (r14 VERDICT item 5):
+  *    per-stage peak memory (`stage_peaks` — the growth must live in
+  *    named sort/agg/exchange stages, never the kernel's own stage) and
+  *    an optional ×N CONTROL CELL with AQE partition coalescing pinned
+  *    OFF (`SPARK_GRAFT_SEASON_CONTROL=<copies>`): if the growth is the
+  *    coalescer packing more rows per partition, the control's peak
+  *    falls back toward the ×1 level at the cost of more, smaller
+  *    tasks — same answers either way.
   *
   * One timed run per cell (the season job is minutes-long; the ±20%
   * box variance noted in SEASON_r7 applies — the claims checked here are
@@ -43,6 +77,11 @@ object SeasonScaleBench {
     // r8 ATTRIBUTED the ×30 cell's spill to the fixed partitioning, this
     // knob exists to MEASURE that claim (r9 verdict item 4)
     val posture = sys.env.getOrElse("SPARK_GRAFT_SEASON_POSTURE", "local")
+    // optional pinned-coalesce control cell: copies count to re-run with
+    // spark.sql.adaptive.coalescePartitions.enabled=false (runtime conf,
+    // same session — only meaningful under the production posture)
+    val controlCopies = sys.env.get("SPARK_GRAFT_SEASON_CONTROL")
+      .map(_.trim.toInt)
     val spark =
       if (posture == "production") {
         val s = graft.GraftSession.production(
@@ -55,15 +94,18 @@ object SeasonScaleBench {
       } else graft.GraftSession.local(cpus, appName = "graft-season-scale")
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
+    val stagePeaks = new StagePeakListener
+    spark.sparkContext.addSparkListener(stagePeaks)
 
     // warm-up: one-copy season primes codegen + model broadcast
     val (t1, g1, p1, s1) = SeasonBench.replicate(spark, 1)
     val warmDir = java.nio.file.Files.createTempDirectory("graft-sscale-warm").toString
     SeasonJob.run(Normalize(t1, g1, p1), s1, warmDir)
 
-    case class Cell(copies: Int, plays: Long, rawRows: Long, frames: Long,
-                    sec: Double, metrics: Map[String, Long])
-    val cells = copiesList.map { copies =>
+    case class Cell(label: String, copies: Int, plays: Long, rawRows: Long,
+                    frames: Long, sec: Double, metrics: Map[String, Long],
+                    stages: Seq[(String, Long)])
+    def runCell(copies: Int, label: String): Cell = {
       val (tracking, games, plays, preState) = SeasonBench.replicate(spark, copies)
       val rawRows = tracking.count()
       val nPlays = plays.select("gameId", "playId").distinct().count()
@@ -72,31 +114,59 @@ object SeasonScaleBench {
       spark.catalog.clearCache()
       System.gc()
       listener.reset()
+      stagePeaks.reset()
       val t0 = System.nanoTime()
       val frames = SeasonJob.run(Normalize(tracking, games, plays), preState, outDir)
       val sec = (System.nanoTime() - t0) / 1e9
-      try { val bus = spark.sparkContext.getClass.getMethod("listenerBus")
-        .invoke(spark.sparkContext)
-        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
-      } catch { case _: Throwable => Thread.sleep(500) }
-      val cell = Cell(copies, nPlays, rawRows, frames, sec, listener.snapshot)
+      MetricsListener.drainBus(spark)
+      val cell = Cell(label, copies, nPlays, rawRows, frames, sec,
+        listener.snapshot, stagePeaks.top(6))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
-      System.err.println(f"[season-scale] copies=$copies%-4d plays=$nPlays%-6d " +
+      System.err.println(f"[season-scale] $label copies=$copies%-4d plays=$nPlays%-6d " +
         f"${sec}%8.1f s  ${frames / sec}%6.2f frames/s  " +
         f"peakMem=${cell.metrics("peak_task_memory")}%12d  " +
         f"spill=${cell.metrics("disk_spill_bytes")}%d")
+      cell.stages.foreach { case (n, p) =>
+        System.err.println(f"[season-scale]   stage peak ${p}%12d  $n") }
       cell
+    }
+
+    val cells = copiesList.map(c => runCell(c, "std"))
+    // pinned-coalesce control (r14 VERDICT item 5): same cell, AQE
+    // partition coalescing off — a RUNTIME conf, flipped and restored
+    // around the one control run
+    val control = controlCopies.map { c =>
+      val key = "spark.sql.adaptive.coalescePartitions.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try runCell(c, "coalesce_off")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
 
     val base = cells.head
     def jnum(d: Double) = if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
-    val body = cells.map { c =>
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def cellJson(c: Cell): String = {
       val m = c.metrics.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
-      s""""x${c.plays / base.plays}": {"copies": ${c.copies}, "plays": ${c.plays}, "raw_rows": ${c.rawRows}, "frames": ${c.frames}, "sec": ${jnum(c.sec)}, "frames_per_sec": ${jnum(c.frames / c.sec)}, "sec_per_play": ${jnum(c.sec / c.plays)}, $m, "growth": {"plays_ratio": ${jnum(c.plays.toDouble / base.plays)}, "time_ratio": ${jnum(c.sec / base.sec)}, "peak_mem_ratio": ${jnum(c.metrics("peak_task_memory").toDouble / math.max(1L, base.metrics("peak_task_memory")))}}}"""
-    }.mkString(",\n  ")
+      val stages = c.stages.map { case (n, p) =>
+        s"""{"stage": ${jstr(n)}, "peak_task_memory": $p}""" }.mkString("[", ", ", "]")
+      s"""{"copies": ${c.copies}, "plays": ${c.plays}, "raw_rows": ${c.rawRows}, "frames": ${c.frames}, "sec": ${jnum(c.sec)}, "frames_per_sec": ${jnum(c.frames / c.sec)}, "sec_per_play": ${jnum(c.sec / c.plays)}, $m, "stage_peaks": $stages, "growth": {"plays_ratio": ${jnum(c.plays.toDouble / base.plays)}, "time_ratio": ${jnum(c.sec / base.sec)}, "peak_mem_ratio": ${jnum(c.metrics("peak_task_memory").toDouble / math.max(1L, base.metrics("peak_task_memory")))}}}"""
+    }
+    val body = cells.map(c => s""""x${c.plays / base.plays}": ${cellJson(c)}""")
+      .mkString(",\n  ")
+    val controlBody = control.fold("")(c =>
+      s""",\n  "x${c.plays / base.plays}_coalesce_off": ${cellJson(c)}""")
     val json = s"""{
-  "meta": {"cpus": $cpus, "heap_gb": ${Runtime.getRuntime.maxMemory / (1024L * 1024 * 1024)}, "posture": "$posture", "note": "disjoint game copies: plays are the exact scale knob, per-play group size constant; claims = linear wall, SUB-LINEAR peak task memory (r9 production posture: 2.6x at x30 — the growth lives in the sort/agg stages around the kernel, whose AQE-coalesced partitions carry more rows as the input grows; the kernel's own per-play state is constant), zero spill"},
-  $body
+  "meta": {"cpus": $cpus, "heap_gb": ${Runtime.getRuntime.maxMemory / (1024L * 1024 * 1024)}, "posture": "$posture", "note": "disjoint game copies: plays are the exact scale knob, per-play group size constant; claims = linear wall, SUB-LINEAR peak task memory (r9 production posture: 2.6x at x30; r14: 1.6x — the growth lives in the sort/agg stages around the kernel, whose AQE-coalesced partitions carry more rows as the input grows; the kernel's own per-play state is constant), zero spill. stage_peaks names the top stages by per-stage peak task memory so the attribution is read off the stage names; the optional *_coalesce_off control re-runs one cell with AQE partition coalescing pinned off — if the growth is the coalescer packing rows, its peak falls back toward x1"},
+  $body$controlBody
 }
 """
     val w = new java.io.PrintWriter(outFile)

@@ -984,18 +984,36 @@ object Ann {
     p.assign(if (afterRounds == 0) p.cents0 else p.cents1)
   }
 
-  /** Leg attribution (r12 verdict finding 4): `s_pq_topk` is the bench's
-    * slowest query and replays codebook TRAINING in-query by oracle
-    * contract, so serve drift could hide inside training drift for
-    * rounds. The eager training pieces — the seed collect and the
-    * Lloyd-round localCheckpoint — are clocked as `s_pq_topk.train`;
-    * encode + ADC scoring + top-k stay ONE fused lazy scan by design
-    * (codes never materialize inline — that fusion is the plan's
-    * virtue), so the attributable split is train | encode+score, and
-    * the pure-serve wall is the indexed twin's (`s_pq_topk_indexed`). */
-  def pqTopK(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Legs.time("s_pq_topk", "train")(
-      pqTopKFrom(spark, Tables.embeddings(spark, dir)))
+  /** Leg attribution (r12 verdict finding 4, widened r15 per the r14
+    * verdict's item 6): `s_pq_topk` is the bench's slowest query and
+    * replays codebook TRAINING in-query by oracle contract, so serve
+    * drift could hide inside training drift for rounds. The eager
+    * training pieces — the seed collect and the Lloyd-round
+    * localCheckpoint — are clocked as `s_pq_topk.train`; the code
+    * assignment + aggregation is clocked as `s_pq_topk.encode` via the
+    * codes table's own eager localCheckpoint (the PQ index the
+    * production path persists anyway — n rows × one small code array,
+    * and the assignment ran exactly once in the fused plan too, so the
+    * checkpoint re-stages rather than adds work); what remains in the
+    * query wall after train + encode is the ADC scoring + top-k SERVE
+    * segment, whose pure form is the indexed twin's wall
+    * (`s_pq_topk_indexed`). Only this bench entry materializes the
+    * split — [[pqTopKFrom]] (the version-pinned oracle twin's unit)
+    * stays one fused lazy scan. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val parts = graft.ops.Legs.time("s_pq_topk", "train")(
+      pqParts(spark, dir))
+    // forcing the lazy cents1 runs the Lloyd round (seed collect already
+    // happened inside pqParts) — both are training
+    val cents1 = graft.ops.Legs.time("s_pq_topk", "train")(parts.cents1)
+    val codes = graft.ops.Legs.time("s_pq_topk", "encode")(
+      parts.assign(cents1)
+        .groupBy(col("vec_id"))
+        .agg(expr(s"transform(array_sort(collect_list(struct(m, cell))), p -> p.cell)")
+          .as("code"))
+        .localCheckpoint())
+    pqScore(parts.emb, parts.coords, cents1, codes)
+  }
 
   /** Inline PQ over an arbitrary raw corpus (the version-pinned oracle
     * twin: `pqTopKCachedAt` must equal this over `readAt(v)`). */

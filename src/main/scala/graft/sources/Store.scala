@@ -478,6 +478,17 @@ object Store {
     // caches, bucketed candidate tables): fire their invalidation hooks so
     // the next serve rebuilds from the post-delete base
     invalidateDerived(path)
+    // reap DEAD owners' pid-suffixed leftovers here too (r14 ADVICE): the
+    // serve-path sweep is gated to once per process per minute, which
+    // could extend on-disk retention of a dead process's derived copies
+    // past the takedown — and takedown is exactly the moment
+    // bytes-on-disk must go. Live processes are reached via their own
+    // registered hooks; this listdir-cheap sweep covers owners that died
+    // without running theirs. Hygiene backstop: never fails the takedown.
+    try { sweepDeadProcessTables(spark); () }
+    catch { case e: Throwable =>
+      System.err.println(s"[store] takedown dead-process sweep failed (non-fatal): ${e.getMessage}")
+    }
     nDeleted
   }
 

@@ -1,26 +1,37 @@
-// Probe behind CALIB_r14.json (r13 VERDICT item 1): the committed bench
-// total and the driver's same-tree total disagreed 14% across sessions —
-// machine state, not code. Bench now publishes `calib_sec` (a fixed
-// scan+hash-agg+sort probe) and `total_per_calib`; this probe
-// DEMONSTRATES the normalized statistic surviving a machine-state change
-// the raw total does not: it runs a TPC-H mini-suite + the calibration
-// probe twice in one JVM — first idle, then under heavy CPU contention
-// (busy-spin threads on every core) — and reports raw vs normalized
-// agreement.
+// Probe behind CALIB_r15.json (r13 VERDICT item 1; two-class refinement
+// r14 VERDICT finding 2): raw bench totals are comparable only within a
+// session — machine state shifted the same tree's total 2.18x under a
+// busy-spin thread per core while `total_per_calib` (total / the fixed
+// scan+agg+sort probe's wall) shifted 14.3% (CALIB_r14). The residual
+// was workload heterogeneity: contention taxes shuffle/GC-heavy queries
+// HARDER than the scan-shaped probe. Bench now runs a SECOND fixed probe
+// (a two-sided repartition sort-merge self-join of lineitem) and
+// publishes `total_per_calib2`: scan-class queries normalize by the scan
+// probe, shuffle-class queries (Bench.shuffleHeavy: shuffle_write_bytes >
+// input_bytes, a plan property — task bytes are bit-identical across
+// machine states) by the shuffle probe. This probe DEMONSTRATES both
+// statistics under the same induced state shift — full suite twice in
+// one JVM, idle then under a busy-spin thread per core — and reports the
+// raw, one-class, and two-class shifts.
 //
 //   /opt/spark/bin/spark-shell --master local[32] --driver-memory 16g \
 //     --driver-class-path target/scala-2.13/classes \
 //     -I tools/probe_calibration.scala
 val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "CALIB_r14.json")
+val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "CALIB_r15.json")
 val spark2 = graft.GraftSession.local(32, appName = "probe-calibration")
+val listener = new graft.scale.MetricsListener
+spark2.sparkContext.addSparkListener(listener)
 
 def clearPersisted(): Unit = {
   spark2.catalog.clearCache()
   spark2.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   System.gc(); Thread.sleep(50)
 }
-def calibOnce(): Double = {
+// the two fixed probes, SAME shapes as Bench.calibScanOnce /
+// calibShuffleOnce (keep in sync by hand — the probe demonstrates the
+// published statistic, so the denominators must be the published ones)
+def calibScanOnce(): Double = {
   import org.apache.spark.sql.functions._
   val t0 = System.nanoTime()
   spark2.read.parquet(s"$sfDir/lineitem.parquet")
@@ -32,40 +43,61 @@ def calibOnce(): Double = {
   clearPersisted()
   dt
 }
-// the FULL suite: total_per_calib is defined over the whole bench, so
-// the demonstration measures exactly the published statistic (one
-// caveat vs Bench proper: spark-shell's pre-existing session keeps its
-// static confs, so the 10k codegen-class cache doesn't apply here and
-// absolute walls sit ~30% above Bench's — irrelevant to the ratio,
-// which compares two states inside THIS session). NOTE: keep this a
-// single statement — the REPL's leading-dot continuation binds to the
-// previous result, not the val.
+def calibShuffleOnce(): Double = {
+  import org.apache.spark.sql.functions._
+  val t0 = System.nanoTime()
+  val l = spark2.read.parquet(s"$sfDir/lineitem.parquet").select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+  val r = spark2.read.parquet(s"$sfDir/lineitem.parquet").select(col("l_orderkey"), col("l_suppkey"))
+  l.repartition(64, col("l_orderkey")).hint("merge").join(r.repartition(64, col("l_orderkey")), "l_orderkey").groupBy(pmod(col("l_partkey"), lit(97)).as("g")).agg(sum(col("l_quantity") * col("l_suppkey")), count("*")).orderBy(col("g")).queryExecution.toRdd.count()
+  val dt = (System.nanoTime() - t0) / 1e9
+  clearPersisted()
+  dt
+}
+// the FULL suite: the statistics are defined over the whole bench, so
+// the demonstration measures exactly the published numbers (one caveat
+// vs Bench proper: spark-shell's pre-existing session keeps its static
+// confs, so the 10k codegen-class cache doesn't apply here and absolute
+// walls sit ~30% above Bench's — irrelevant to the ratio, which compares
+// two states inside THIS session). NOTE: keep chained expressions single
+// statements — the REPL's leading-dot continuation binds to the previous
+// result, not the val.
 val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)
-def runState(label: String): (Double, Double, Map[String, Double]) = {
+def med3(ws: Seq[Double]): Double = { val s = ws.sorted; if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0 }
+def runState(label: String): (Map[String, Double], Double, Double, Map[String, Map[String, Long]]) = {
   // same statistic as Bench: per-query median over 3 interleaved passes,
-  // calibration probe once per pass
-  val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+  // each calibration probe once per pass; task metrics snapshotted per
+  // run (outside the wall) for the class rule
+  val scans = scala.collection.mutable.ArrayBuffer.empty[Double]
+  val shufs = scala.collection.mutable.ArrayBuffer.empty[Double]
   val passes = Vector.fill(3) {
-    calibs += calibOnce()
+    scans += calibScanOnce()
+    shufs += calibShuffleOnce()
     qs.map { case (_, fn) =>
+      listener.reset()
       val t0 = System.nanoTime()
       try fn(spark2, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable => System.err.println(s"[calib] $label: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
+      graft.scale.MetricsListener.drainBus(spark2)
+      val m = listener.snapshot
       clearPersisted()
-      dt
+      (dt, m)
     }
   }
-  val med = qs.zipWithIndex.map { case ((n, _), i) =>
-    n -> passes.map(_(i)).sorted.apply(1) }.toMap
-  val calib = calibs.sorted.apply(1)
-  val total = med.values.sum
-  System.err.println(f"[calib] $label: total=$total%.2f s calib=$calib%.3f s ratio=${total / calib}%.1f")
-  (total, calib, med)
+  val medRuns = qs.zipWithIndex.map { case ((n, _), i) => n -> passes.map(_(i)).sortBy(_._1).apply(1) }
+  val med = medRuns.map { case (n, (dt, _)) => n -> dt }.toMap
+  val metrics = medRuns.map { case (n, (_, m)) => n -> m }.toMap
+  val cScan = med3(scans.toSeq)
+  val cShuf = med3(shufs.toSeq)
+  System.err.println(f"[calib] $label: total=${med.values.sum}%.2f s calib_scan=$cScan%.3f calib_shuffle=$cShuf%.3f")
+  (med, cScan, cShuf, metrics)
 }
 
 // state A: the box as-is
-val (totalA, calibA, medA) = runState("idle")
+val (medA, scanA, shufA, metricsA) = runState("idle")
+// the class is a property of the PLAN (task bytes reproduce bit-for-bit
+// across machine states), fixed from the idle run and applied to both
+val shuffleClass: Set[String] = metricsA.collect { case (n, m) if graft.Bench.shuffleHeavy(m) => n }.toSet
 
 // state B: heavy CPU contention — one busy-spin daemon per core steals
 // ~half of every Spark task's cycles, the strongest machine-state shift
@@ -76,25 +108,33 @@ val spinners = (1 to Runtime.getRuntime.availableProcessors).map { i =>
     s"calib-load-$i")
   t.setDaemon(true); t.start(); t
 }
-val (totalB, calibB, medB) = runState("loaded")
+val (medB, scanB, shufB, metricsB) = runState("loaded")
 loadOn = false
 spinners.foreach(_.join(1000))
 
 def f3(d: Double) = f"$d%.3f"
-val normA = totalA / calibA
-val normB = totalB / calibB
+def stats(med: Map[String, Double], cScan: Double, cShuf: Double): (Double, Double, Double, Double, Double) = {
+  val total = med.values.sum
+  val shufSec = med.collect { case (n, dt) if shuffleClass(n) => dt }.sum
+  val scanSec = total - shufSec
+  (total, scanSec, shufSec, total / cScan, scanSec / cScan + shufSec / cShuf)
+}
+val (totalA, scanSecA, shufSecA, norm1A, norm2A) = stats(medA, scanA, shufA)
+val (totalB, scanSecB, shufSecB, norm1B, norm2B) = stats(medB, scanB, shufB)
 val json = s"""{
-  "note": "raw bench totals are comparable only within a session; total_per_calib survives a machine-state change. State A = idle box, state B = busy-spin thread per core (the induced state shift). Statistic = per-query median over 3 interleaved passes, calib = median-of-3 of the fixed scan+agg+sort probe (Bench.scala's calib_sec).",
+  "note": "raw bench totals are comparable only within a session; the normalized statistics survive a machine-state change. State A = idle box, state B = busy-spin thread per core (the induced state shift). Statistic = per-query median over 3 interleaved passes; calib walls = median-of-3 of each fixed probe (Bench's calib_sec = scan+hash-agg+sort, calib_shuffle_sec = two-sided repartition merge self-join). total_per_calib normalizes everything by the scan probe (the r14 statistic); total_per_calib2 normalizes the shuffle class (Bench.shuffleHeavy: shuffle_write_bytes > input_bytes, fixed from the idle run's plans) by the shuffle probe. The two-class residual below the one-class residual = the r14 finding-2 fix measured.",
   "queries": ${qs.length},
+  "n_shuffle_class": ${shuffleClass.size},
   "sf": "$sfDir",
-  "idle":   {"total_sec": ${f3(totalA)}, "calib_sec": ${f3(calibA)}, "total_per_calib": ${f3(normA)}},
-  "loaded": {"total_sec": ${f3(totalB)}, "calib_sec": ${f3(calibB)}, "total_per_calib": ${f3(normB)}},
+  "idle":   {"total_sec": ${f3(totalA)}, "calib_sec": ${f3(scanA)}, "calib_shuffle_sec": ${f3(shufA)}, "scan_class_sec": ${f3(scanSecA)}, "shuffle_class_sec": ${f3(shufSecA)}, "total_per_calib": ${f3(norm1A)}, "total_per_calib2": ${f3(norm2A)}},
+  "loaded": {"total_sec": ${f3(totalB)}, "calib_sec": ${f3(scanB)}, "calib_shuffle_sec": ${f3(shufB)}, "scan_class_sec": ${f3(scanSecB)}, "shuffle_class_sec": ${f3(shufSecB)}, "total_per_calib": ${f3(norm1B)}, "total_per_calib2": ${f3(norm2B)}},
   "raw_total_shift": ${f3(totalB / totalA)},
-  "normalized_shift": ${f3(normB / normA)}
+  "normalized_shift_one_class": ${f3(norm1B / norm1A)},
+  "normalized_shift_two_class": ${f3(norm2B / norm2A)}
 }
 """
 val w = new java.io.PrintWriter(outFile)
 try w.write(json) finally w.close()
-System.err.println(s"[calib] wrote $outFile  raw_shift=${f3(totalB / totalA)} normalized_shift=${f3(normB / normA)}")
+System.err.println(s"[calib] wrote $outFile  raw=${f3(totalB / totalA)} one_class=${f3(norm1B / norm1A)} two_class=${f3(norm2B / norm2A)}")
 spark2.stop()
 sys.exit(0)
