@@ -2,17 +2,29 @@
 // r14 VERDICT finding 2): raw bench totals are comparable only within a
 // session — machine state shifted the same tree's total 2.18x under a
 // busy-spin thread per core while `total_per_calib` (total / the fixed
-// scan+agg+sort probe's wall) shifted 14.3% (CALIB_r14). The residual
-// was workload heterogeneity: contention taxes shuffle/GC-heavy queries
-// HARDER than the scan-shaped probe. Bench now runs a SECOND fixed probe
-// (a two-sided repartition sort-merge self-join of lineitem) and
-// publishes `total_per_calib2`: scan-class queries normalize by the scan
-// probe, shuffle-class queries (Bench.shuffleHeavy: shuffle_write_bytes >
-// input_bytes, a plan property — task bytes are bit-identical across
-// machine states) by the shuffle probe. This probe DEMONSTRATES both
-// statistics under the same induced state shift — full suite twice in
-// one JVM, idle then under a busy-spin thread per core — and reports the
-// raw, one-class, and two-class shifts.
+// scan+agg+sort probe's wall) shifted 14.3% (CALIB_r14). The r14
+// residual was workload heterogeneity: that session's contention taxed
+// shuffle/GC-heavy queries HARDER than the scan-shaped probe. Bench now
+// runs a SECOND fixed probe (a two-sided repartition sort-merge
+// self-join of lineitem) and publishes `total_per_calib2`: scan-class
+// queries normalize by the scan probe, shuffle-class queries
+// (Bench.shuffleHeavy: shuffle_write_bytes > input_bytes, a plan
+// property — task bytes are bit-identical across machine states) by the
+// shuffle probe.
+//
+// This probe DEMONSTRATES the statistics under TWO induced state
+// shifts, full suite per state in one JVM:
+//  - cpu_spin: one busy-spin daemon per core (CPU steal — the r14
+//    shift);
+//  - alloc_churn: allocation-churn daemons forcing constant young-gen
+//    GC (the off-CPU-stall anatomy the r14 in-regime probe measured in
+//    the wild: task_gc_ms 2-4.7x at identical shuffle bytes).
+// Each state reports the raw shift, both normalized shifts, and the
+// PER-CLASS inflation factors — when the class inflations agree, the
+// one-class statistic already suffices and two-class adds nothing; when
+// they diverge, only the two-class statistic stays flat. The exhibit
+// measures which regime each induced state lands in instead of
+// asserting it.
 //
 //   /opt/spark/bin/spark-shell --master local[32] --driver-memory 16g \
 //     --driver-class-path target/scala-2.13/classes \
@@ -57,10 +69,10 @@ def calibShuffleOnce(): Double = {
 // the demonstration measures exactly the published numbers (one caveat
 // vs Bench proper: spark-shell's pre-existing session keeps its static
 // confs, so the 10k codegen-class cache doesn't apply here and absolute
-// walls sit ~30% above Bench's — irrelevant to the ratio, which compares
-// two states inside THIS session). NOTE: keep chained expressions single
-// statements — the REPL's leading-dot continuation binds to the previous
-// result, not the val.
+// walls sit ~30-45% above Bench's — irrelevant to the ratios, which
+// compare states inside THIS session). NOTE: keep chained expressions
+// single statements — the REPL's leading-dot continuation binds to the
+// previous result, not the val.
 val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)
 def med3(ws: Seq[Double]): Double = { val s = ws.sorted; if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0 }
 def runState(label: String): (Map[String, Double], Double, Double, Map[String, Map[String, Long]]) = {
@@ -96,21 +108,39 @@ def runState(label: String): (Map[String, Double], Double, Double, Map[String, M
 // state A: the box as-is
 val (medA, scanA, shufA, metricsA) = runState("idle")
 // the class is a property of the PLAN (task bytes reproduce bit-for-bit
-// across machine states), fixed from the idle run and applied to both
+// across machine states), fixed from the idle run and applied everywhere
 val shuffleClass: Set[String] = metricsA.collect { case (n, m) if graft.Bench.shuffleHeavy(m) => n }.toSet
 
-// state B: heavy CPU contention — one busy-spin daemon per core steals
-// ~half of every Spark task's cycles, the strongest machine-state shift
-// we can induce deterministically
+// state B: CPU contention — one busy-spin daemon per core steals ~half
+// of every Spark task's cycles (the r14 induced shift)
 @volatile var loadOn = true
 val spinners = (1 to Runtime.getRuntime.availableProcessors).map { i =>
   val t = new Thread(() => { var x = 0L; while (loadOn) { x += 1 }; () },
     s"calib-load-$i")
   t.setDaemon(true); t.start(); t
 }
-val (medB, scanB, shufB, metricsB) = runState("loaded")
+val (medB, scanB, shufB, metricsB) = runState("cpu_spin")
 loadOn = false
 spinners.foreach(_.join(1000))
+Thread.sleep(2000)
+
+// state C: allocation churn — 8 daemons each cycling 1 MiB arrays
+// through a small ring force constant young-gen collections on the heap
+// Spark's tasks share (local mode = one JVM), modeling the measured
+// in-the-wild drift (gc_ms 2-4.7x, cpu_ms ~flat). CPU steal is bounded
+// (8 threads on 32 cores); the induced tax is GC/allocation stall.
+@volatile var churnOn = true
+val churners = (1 to 8).map { i =>
+  val t = new Thread(() => {
+    val ring = new Array[Array[Byte]](64)
+    var j = 0
+    while (churnOn) { ring(j % 64) = new Array[Byte](1 << 20); j += 1 }
+  }, s"calib-churn-$i")
+  t.setDaemon(true); t.start(); t
+}
+val (medC, scanC, shufC, metricsC) = runState("alloc_churn")
+churnOn = false
+churners.foreach(_.join(1000))
 
 def f3(d: Double) = f"$d%.3f"
 def stats(med: Map[String, Double], cScan: Double, cShuf: Double): (Double, Double, Double, Double, Double) = {
@@ -121,20 +151,29 @@ def stats(med: Map[String, Double], cScan: Double, cShuf: Double): (Double, Doub
 }
 val (totalA, scanSecA, shufSecA, norm1A, norm2A) = stats(medA, scanA, shufA)
 val (totalB, scanSecB, shufSecB, norm1B, norm2B) = stats(medB, scanB, shufB)
+val (totalC, scanSecC, shufSecC, norm1C, norm2C) = stats(medC, scanC, shufC)
+def stateJson(total: Double, cScan: Double, cShuf: Double, scanSec: Double, shufSec: Double, n1: Double, n2: Double): String =
+  s"""{"total_sec": ${f3(total)}, "calib_sec": ${f3(cScan)}, "calib_shuffle_sec": ${f3(cShuf)}, "scan_class_sec": ${f3(scanSec)}, "shuffle_class_sec": ${f3(shufSec)}, "total_per_calib": ${f3(n1)}, "total_per_calib2": ${f3(n2)}}"""
+def shiftJson(total: Double, scanSec: Double, shufSec: Double, n1: Double, n2: Double): String =
+  s"""{"raw_total_shift": ${f3(total / totalA)}, "scan_class_shift": ${f3(scanSec / scanSecA)}, "shuffle_class_shift": ${f3(shufSec / shufSecA)}, "normalized_shift_one_class": ${f3(n1 / norm1A)}, "normalized_shift_two_class": ${f3(n2 / norm2A)}}"""
 val json = s"""{
-  "note": "raw bench totals are comparable only within a session; the normalized statistics survive a machine-state change. State A = idle box, state B = busy-spin thread per core (the induced state shift). Statistic = per-query median over 3 interleaved passes; calib walls = median-of-3 of each fixed probe (Bench's calib_sec = scan+hash-agg+sort, calib_shuffle_sec = two-sided repartition merge self-join). total_per_calib normalizes everything by the scan probe (the r14 statistic); total_per_calib2 normalizes the shuffle class (Bench.shuffleHeavy: shuffle_write_bytes > input_bytes, fixed from the idle run's plans) by the shuffle probe. The two-class residual below the one-class residual = the r14 finding-2 fix measured.",
+  "note": "raw bench totals are comparable only within a session; the normalized statistics survive a machine-state change. Statistic = per-query median over 3 interleaved passes; calib walls = median-of-3 of each fixed probe (Bench's calib_sec = scan+hash-agg+sort, calib_shuffle_sec = two-sided repartition merge self-join). total_per_calib normalizes everything by the scan probe (the r14 one-class statistic); total_per_calib2 normalizes the shuffle class (Bench.shuffleHeavy: shuffle_write_bytes > input_bytes, fixed from the idle run's plans) by the shuffle probe. Reading rule: compare the per-class shifts first - when scan_class_shift and shuffle_class_shift agree, the one-class residual is already small and the two statistics coincide; when they diverge (the r14 residual's anatomy), only the two-class statistic tracks both query populations. Two induced states: cpu_spin = one busy-spin thread per core (CPU steal), alloc_churn = 8 allocation-churn threads (constant young-gen GC on the shared heap - the off-CPU-stall signature the r14 in-regime probe measured in the wild).",
   "queries": ${qs.length},
   "n_shuffle_class": ${shuffleClass.size},
   "sf": "$sfDir",
-  "idle":   {"total_sec": ${f3(totalA)}, "calib_sec": ${f3(scanA)}, "calib_shuffle_sec": ${f3(shufA)}, "scan_class_sec": ${f3(scanSecA)}, "shuffle_class_sec": ${f3(shufSecA)}, "total_per_calib": ${f3(norm1A)}, "total_per_calib2": ${f3(norm2A)}},
-  "loaded": {"total_sec": ${f3(totalB)}, "calib_sec": ${f3(scanB)}, "calib_shuffle_sec": ${f3(shufB)}, "scan_class_sec": ${f3(scanSecB)}, "shuffle_class_sec": ${f3(shufSecB)}, "total_per_calib": ${f3(norm1B)}, "total_per_calib2": ${f3(norm2B)}},
-  "raw_total_shift": ${f3(totalB / totalA)},
-  "normalized_shift_one_class": ${f3(norm1B / norm1A)},
-  "normalized_shift_two_class": ${f3(norm2B / norm2A)}
+  "idle": ${stateJson(totalA, scanA, shufA, scanSecA, shufSecA, norm1A, norm2A)},
+  "cpu_spin": ${stateJson(totalB, scanB, shufB, scanSecB, shufSecB, norm1B, norm2B)},
+  "alloc_churn": ${stateJson(totalC, scanC, shufC, scanSecC, shufSecC, norm1C, norm2C)},
+  "shifts_vs_idle": {
+    "cpu_spin": ${shiftJson(totalB, scanSecB, shufSecB, norm1B, norm2B)},
+    "alloc_churn": ${shiftJson(totalC, scanSecC, shufSecC, norm1C, norm2C)}
+  }
 }
 """
-val w = new java.io.PrintWriter(outFile)
+// explicit UTF-8: the default-charset PrintWriter mangles any non-ASCII
+// in the note to '?' under a POSIX locale
+val w = new java.io.PrintWriter(outFile, "UTF-8")
 try w.write(json) finally w.close()
-System.err.println(s"[calib] wrote $outFile  raw=${f3(totalB / totalA)} one_class=${f3(norm1B / norm1A)} two_class=${f3(norm2B / norm2A)}")
+System.err.println(s"[calib] wrote $outFile  cpu_spin raw=${f3(totalB / totalA)} n1=${f3(norm1B / norm1A)} n2=${f3(norm2B / norm2A)}  alloc_churn raw=${f3(totalC / totalA)} n1=${f3(norm1C / norm1A)} n2=${f3(norm2C / norm2A)}")
 spark2.stop()
 sys.exit(0)
