@@ -23,7 +23,16 @@ final class StagePeakListener extends SparkListener {
     }
   }
   override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-    names.update(s.stageInfo.stageId, s.stageInfo.name); ()
+    // SQL jobs are submitted from a pooled execution thread, so the
+    // stage's CALLSITE is a useless internal frame; the RDD OPERATION
+    // SCOPES (Exchange, Sort, WholeStageCodegen, MapGroups, ...) are the
+    // plan segments a reader can attribute memory to
+    val ops = s.stageInfo.rddInfos
+      .flatMap(r => Option(r.scope)).flatten.map(_.name)
+      .distinct.take(8)
+    val label =
+      if (ops.nonEmpty) ops.mkString("+") else s.stageInfo.name
+    names.update(s.stageInfo.stageId, label); ()
   }
   /** Top-k stages by peak task memory, as (stage name, peak bytes). */
   def top(k: Int): Seq[(String, Long)] =
