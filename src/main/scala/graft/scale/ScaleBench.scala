@@ -501,7 +501,16 @@ object ScaleBench {
     var calibbedScale = -1
     for (n <- scales; (name, fn) <- measured) {
       if (n != calibbedScale) {
-        calibWalls += (s"x$n" -> calibOnce()); calibbedScale = n
+        // the per-scale wall is itself a MEDIAN-of-3 (r15 finding: the
+        // SCALE_r15/SCALE_r15b pair measured a single adjacent wall as
+        // the dominant noise source — 1.58 vs 0.47 s at x1 while the
+        // cells themselves agreed to ~6% — so one short probe wall must
+        // not be the denominator of a whole scale's sec_per_calib
+        // column); the individual walls stay published as x<N>-p1..p3
+        val ws = Seq.fill(3)(calibOnce())
+        ws.zipWithIndex.foreach { case (w, i) =>
+          calibWalls += (s"x$n-p${i + 1}" -> w) }
+        calibWalls += (s"x$n" -> med(ws)); calibbedScale = n
       }
       val dir = dirs(n)
       // the bucketed SERVE cells get median-of-3 even in the full
@@ -647,7 +656,10 @@ object ScaleBench {
 
     // ---- JSON out ---------------------------------------------------
     calibWalls += ("end" -> calibOnce()) // trailing wall: state decay
-    val calibSec = med(calibWalls.map(_._2).toSeq)
+    // the x<N>-p* raw walls are excluded: their median is already in the
+    // x<N> entry, and counting both would double-weight the per-scale walls
+    val calibSec = med(
+      calibWalls.filterNot(_._1.contains("-p")).map(_._2).toSeq)
     // each scale's cells normalize by the wall taken ADJACENT to them
     // (the labeled x<N> wall) — SCALE_r14b showed the box recovering
     // MID-RUN, so the up-front median can misread the state a later
