@@ -510,7 +510,8 @@ object ScaleBench {
         val ws = Seq.fill(3)(calibOnce())
         ws.zipWithIndex.foreach { case (w, i) =>
           calibWalls += (s"x$n-p${i + 1}" -> w) }
-        calibWalls += (s"x$n" -> med(ws)); calibbedScale = n
+        // qualified: the cell loop below binds a local `med` (median run)
+        calibWalls += (s"x$n" -> ScaleBench.med(ws)); calibbedScale = n
       }
       val dir = dirs(n)
       // the bucketed SERVE cells get median-of-3 even in the full
