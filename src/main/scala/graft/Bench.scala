@@ -13,8 +13,15 @@ object Bench {
     * that residual; tools/probe_calibration.scala measures by how much.
     * The rule must be a property of the PLAN, not the session: task
     * input/shuffle bytes are bit-identical across machine states
-    * (SCALE_PROBE_INREGIME_r14), so the classification is stable.
-    * Public because the calibration probe replays the exact rule. */
+    * (SCALE_PROBE_INREGIME_r14), so the classification is stable — with
+    * one measured caveat (r15 ADVICE): a query at the boundary can still
+    * flip when CACHED reads deflate input_bytes (the shingle-persisting
+    * dedup family), which is why the bench no longer applies this rule
+    * per session. Membership is PINNED ([[BenchCalib.pinned]], derived
+    * once from an idle run at sf0.1 with the byte pair committed beside
+    * each class); this predicate remains the derivation rule and the
+    * flip DETECTOR — a session whose measured bytes disagree with the
+    * pinned class is reported in `class_flips`, not reclassified. */
   def shuffleHeavy(metrics: Map[String, Long]): Boolean =
     metrics.getOrElse("shuffle_write_bytes", 0L) >
       metrics.getOrElse("input_bytes", 0L)
@@ -162,12 +169,21 @@ object Bench {
       else (ok(ok.length / 2 - 1) + ok(ok.length / 2)) / 2.0
     }
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    // TWO probe walls per pass (start + end, 6 walls each probe): the r15
+    // builder/driver session pair showed the 3-wall probe medians moving
+    // OPPOSITE to the suite at near-idle states (0.316 vs 0.362 s while
+    // the suite went the other way), amplifying a 9% raw gap into ~21%
+    // normalized — short-wall sampling noise, so double the sample at a
+    // cost of ~5 s per run
     val calibWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val calibShufWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passes = Vector.fill(3) {
       calibWalls += calibScanOnce()
       calibShufWalls += calibShuffleOnce()
-      qs.map { case (_, fn) => runOnce(fn) }
+      val pass = qs.map { case (_, fn) => runOnce(fn) }
+      calibWalls += calibScanOnce()
+      calibShufWalls += calibShuffleOnce()
+      pass
     }
     val calib = med(calibWalls.toSeq)
     val calibShuf = med(calibShufWalls.toSeq)
@@ -175,9 +191,26 @@ object Bench {
       name -> passes.map(_(i)).sortBy(_._1).apply(1)
     }
     val results = runs.map { case (n, (dt, _, _)) => n -> dt }.toMap
-    // class from the MEDIAN run's task metrics (plan property — the bytes
-    // reproduce bit-for-bit across sessions, so the class is stable)
-    val classes = runs.map { case (n, (_, _, m)) => n -> shuffleHeavy(m) }.toMap
+    // class membership is PINNED (BenchCalib, r15 VERDICT finding 2): the
+    // per-session predicate let boundary queries flip populations between
+    // sessions (118 vs 117 across the r15 artifacts), making the
+    // two-class statistic subtly non-comparable. The session's measured
+    // bytes still run the predicate — as a FLIP DETECTOR: disagreements
+    // are published (with the byte pairs) instead of moving the statistic.
+    // A query not in the pinned file (should be impossible — BenchCalibSpec
+    // fails first) falls back to the session measurement and is reported.
+    val sessionClass = runs.map { case (n, (_, _, m)) =>
+      n -> shuffleHeavy(m) }.toMap
+    val classes = runs.map { case (n, _) =>
+      n -> BenchCalib.pinned.get(n).map(_.shuffle).getOrElse(sessionClass(n))
+    }.toMap
+    val unpinned = runs.map(_._1).filterNot(BenchCalib.pinned.contains).sorted
+    val flips = runs.collect {
+      case (n, (_, _, m)) if BenchCalib.pinned.contains(n) &&
+          BenchCalib.pinned(n).shuffle != sessionClass(n) =>
+        (n, m.getOrElse("shuffle_write_bytes", 0L),
+          m.getOrElse("input_bytes", 0L))
+    }.sortBy(_._1)
     // serve_overhead legs (the per-call lock/DDL/sweep segment of the
     // bucketed serve path) are recorded by EVERY query that serves a
     // layout; publishing them under the bare layout key would collide
@@ -205,22 +238,57 @@ object Bench {
     val shufClassSec = results.collect { case (n, dt) if classes(n) => dt }.sum
     val scanClassSec = total - shufClassSec
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    val calibErrJson = calibError.fold("")(e =>
-      "\"calib_error\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\",")
+    // JSON string escaping incl. control chars (r15 ADVICE: Spark
+    // exception messages often carry newlines inside the first 160 chars,
+    // so quote-and-backslash-only escaping emitted invalid BENCH.json on
+    // exactly the fail-loudly path that exists to be machine-readable)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val calibErrJson = calibError.fold("")(e => s""""calib_error":${jstr(e)},""")
+    // headline cross-session comparators (r15 VERDICT finding 1): the
+    // per-class numerator over its own probe, plus the DAMPENED
+    // adjusted-seconds form — CALIB_r15 measured the scan probe
+    // over-reacting to contention (probe 2.37× vs class 1.86×) and the
+    // shuffle probe under-reacting (1.77× vs 1.91×), so the raw quotients
+    // overshoot; probe_shift^lambda with the BenchCalib pre-registered
+    // exponents is the measured correction (derivation in BenchCalib's
+    // scaladoc; CALIB_r16 validates on fresh induced-state sessions)
+    val scanShift = calib / BenchCalib.RefScanWall
+    val shufShift = calibShuf / BenchCalib.RefShuffleWall
+    val scanAdj = scanClassSec / math.pow(scanShift, BenchCalib.LambdaScan)
+    val shufAdj = shufClassSec / math.pow(shufShift, BenchCalib.LambdaShuffle)
     val calibJson = s""""calib_sec":${fmt(calib, 3)},"calib_walls":[${
       calibWalls.map(fmt(_, 3)).mkString(",")
     }],"calib_shuffle_sec":${fmt(calibShuf, 3)},"calib_shuffle_walls":[${
       calibShufWalls.map(fmt(_, 3)).mkString(",")
-    }],$calibErrJson"total_per_calib":${
+    }],$calibErrJson"total_sec_adj":${fmt(scanAdj + shufAdj, 1)
+    },"scan_class_sec_adj":${fmt(scanAdj, 1)
+    },"shuffle_class_sec_adj":${fmt(shufAdj, 1)
+    },"scan_class_per_calib":${fmt(scanClassSec / calib, 1)
+    },"shuffle_class_per_calib":${fmt(shufClassSec / calibShuf, 1)
+    },"scan_shift":${fmt(scanShift, 3)},"shuffle_shift":${fmt(shufShift, 3)
+    },"total_per_calib":${
       fmt(total / calib, 1)},"total_per_calib2":${
       fmt(scanClassSec / calib + shufClassSec / calibShuf, 1)
     },"scan_class_sec":${fmt(scanClassSec, 1)},"shuffle_class_sec":${
-      fmt(shufClassSec, 1)},"n_shuffle_class":${classes.count(_._2)},"""
+      fmt(shufClassSec, 1)},"n_shuffle_class":${classes.count(_._2)
+    },"n_class_flips":${flips.length},"""
     val shufClassJson = classes.toSeq.filter(_._2).map(_._1).sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // flips carry the session byte pair so a boundary disagreement with
+    // the pinned class is diagnosable from the artifact (r15 ADVICE)
+    val flipsJson = flips.map { case (n, sw, ib) =>
+      s"""{"query":${jstr(n)},"shuffle_write_bytes":$sw,"input_bytes":$ib,"pinned":"${
+        if (BenchCalib.pinned(n).shuffle) "shuffle" else "scan"}"}"""
+    }.mkString("[", ",", "]")
+    val unpinnedJson = unpinned.map(jstr).mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":$total,"unit":"sec",$calibJson"queries":${
       results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    },"shuffle_class":$shufClassJson,"legs":${
+    },"shuffle_class":$shufClassJson,"class_flips":$flipsJson,"class_unpinned":$unpinnedJson,"legs":${
       legs.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v, 3) }
         .mkString("{", ",", "}")
     },"sf":"$sfDir"}"""

@@ -1,36 +1,34 @@
-// Probe behind CALIB_r15.json (r13 VERDICT item 1; two-class refinement
-// r14 VERDICT finding 2): raw bench totals are comparable only within a
-// session — machine state shifted the same tree's total 2.18x under a
-// busy-spin thread per core while `total_per_calib` (total / the fixed
-// scan+agg+sort probe's wall) shifted 14.3% (CALIB_r14). The r14
-// residual was workload heterogeneity: that session's contention taxed
-// shuffle/GC-heavy queries HARDER than the scan-shaped probe. Bench now
-// runs a SECOND fixed probe (a two-sided repartition sort-merge
-// self-join of lineitem) and publishes `total_per_calib2`: scan-class
-// queries normalize by the scan probe, shuffle-class queries
-// (Bench.shuffleHeavy: shuffle_write_bytes > input_bytes, a plan
-// property — task bytes are bit-identical across machine states) by the
-// shuffle probe.
+// Probe behind CALIB_r16.json (r15 VERDICT finding 1 + next-round item 1;
+// history: CALIB_r14 one-class, CALIB_r15 two-class): raw bench totals are
+// comparable only within a session, so Bench publishes probe-normalized
+// statistics. CALIB_r15 measured that the fixed probes do NOT move 1:1
+// with their query class — the scan probe OVER-reacts to contention
+// (probe 2.37x vs scan-class 1.86x under cpu_spin; 1.80x vs 1.35x under
+// alloc_churn) and the shuffle probe UNDER-reacts (1.77x vs 1.91x;
+// 1.27x vs 1.41x) — so the r15 normalized totals overshot (the
+// builder/driver session pair's 9% raw gap read as ~21% normalized).
 //
-// This probe DEMONSTRATES the statistics under TWO induced state
-// shifts, full suite per state in one JVM:
-//  - cpu_spin: one busy-spin daemon per core (CPU steal — the r14
-//    shift);
-//  - alloc_churn: allocation-churn daemons forcing constant young-gen
-//    GC (the off-CPU-stall anatomy the r14 in-regime probe measured in
-//    the wild: task_gc_ms 2-4.7x at identical shuffle bytes).
-// Each state reports the raw shift, both normalized shifts, and the
-// PER-CLASS inflation factors — when the class inflations agree, the
-// one-class statistic already suffices and two-class adds nothing; when
-// they diverge, only the two-class statistic stays flat. The exhibit
-// measures which regime each induced state lands in instead of
-// asserting it.
+// The r16 correction, PRE-REGISTERED in graft.BenchCalib before this
+// probe runs: dampen each class's denominator to probe_shift^lambda with
+// lambda fitted on CALIB_r15's two induced states (equal-|log-residual|:
+// lambda_scan = 0.633, lambda_shuffle = 1.226; in-sample residuals
+// +7.8%/-7.2% scan, -5.0%/+5.3% shuffle). This probe VALIDATES the fit on
+// FRESH sessions of the same two induced states and reports per-class
+// residuals, undamped and damped — the claim is damped residuals <= 10%
+// in both states. Class membership is the PINNED committed list
+// (BenchCalib.shuffleClass — the same set Bench cites, r15 finding 2),
+// so n_shuffle_class can no longer drift between the artifacts.
+//
+//  - cpu_spin: one busy-spin daemon per core (CPU steal — the r14 shift);
+//  - alloc_churn: allocation-churn daemons forcing constant young-gen GC
+//    (the off-CPU-stall anatomy the r14 in-regime probe measured in the
+//    wild: task_gc_ms 2-4.7x at identical shuffle bytes).
 //
 //   /opt/spark/bin/spark-shell --master local[32] --driver-memory 16g \
 //     --driver-class-path target/scala-2.13/classes \
 //     -I tools/probe_calibration.scala
 val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "CALIB_r15.json")
+val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "CALIB_r16.json")
 val spark2 = graft.GraftSession.local(32, appName = "probe-calibration")
 val listener = new graft.scale.MetricsListener
 spark2.sparkContext.addSparkListener(listener)
@@ -74,52 +72,50 @@ def calibShuffleOnce(): Double = {
 // single statements — the REPL's leading-dot continuation binds to the
 // previous result, not the val.
 val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)
-def med3(ws: Seq[Double]): Double = { val s = ws.sorted; if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0 }
-def runState(label: String): (Map[String, Double], Double, Double, Map[String, Map[String, Long]]) = {
+// class membership: the PINNED committed list — the same set Bench reads
+val shuffleClass: Set[String] = graft.BenchCalib.shuffleClass
+def medw(ws: Seq[Double]): Double = { val s = ws.sorted; if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0 }
+def runState(label: String): (Map[String, Double], Double, Double) = {
   // same statistic as Bench: per-query median over 3 interleaved passes,
-  // each calibration probe once per pass; task metrics snapshotted per
-  // run (outside the wall) for the class rule
+  // each calibration probe at the START and END of every pass (6 walls —
+  // the r16 Bench sampling; the 3-wall medians were themselves the
+  // dominant noise at near-idle states)
   val scans = scala.collection.mutable.ArrayBuffer.empty[Double]
   val shufs = scala.collection.mutable.ArrayBuffer.empty[Double]
   val passes = Vector.fill(3) {
     scans += calibScanOnce()
     shufs += calibShuffleOnce()
-    qs.map { case (_, fn) =>
-      listener.reset()
+    val pass = qs.map { case (_, fn) =>
       val t0 = System.nanoTime()
       try fn(spark2, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable => System.err.println(s"[calib] $label: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
-      graft.scale.MetricsListener.drainBus(spark2)
-      val m = listener.snapshot
       clearPersisted()
-      (dt, m)
+      dt
     }
+    scans += calibScanOnce()
+    shufs += calibShuffleOnce()
+    pass
   }
-  val medRuns = qs.zipWithIndex.map { case ((n, _), i) => n -> passes.map(_(i)).sortBy(_._1).apply(1) }
-  val med = medRuns.map { case (n, (dt, _)) => n -> dt }.toMap
-  val metrics = medRuns.map { case (n, (_, m)) => n -> m }.toMap
-  val cScan = med3(scans.toSeq)
-  val cShuf = med3(shufs.toSeq)
+  val med = qs.zipWithIndex.map { case ((n, _), i) => n -> passes.map(_(i)).sorted.apply(1) }.toMap
+  val cScan = medw(scans.toSeq)
+  val cShuf = medw(shufs.toSeq)
   System.err.println(f"[calib] $label: total=${med.values.sum}%.2f s calib_scan=$cScan%.3f calib_shuffle=$cShuf%.3f")
-  (med, cScan, cShuf, metrics)
+  (med, cScan, cShuf)
 }
 
 // state A: the box as-is
-val (medA, scanA, shufA, metricsA) = runState("idle")
-// the class is a property of the PLAN (task bytes reproduce bit-for-bit
-// across machine states), fixed from the idle run and applied everywhere
-val shuffleClass: Set[String] = metricsA.collect { case (n, m) if graft.Bench.shuffleHeavy(m) => n }.toSet
+val (medA, scanA, shufA) = runState("idle")
 
 // state B: CPU contention — one busy-spin daemon per core steals ~half
-// of every Spark task's cycles (the r14 induced shift)
+// of every Spark task's cycles (the r14/r15 induced shift)
 @volatile var loadOn = true
 val spinners = (1 to Runtime.getRuntime.availableProcessors).map { i =>
   val t = new Thread(() => { var x = 0L; while (loadOn) { x += 1 }; () },
     s"calib-load-$i")
   t.setDaemon(true); t.start(); t
 }
-val (medB, scanB, shufB, metricsB) = runState("cpu_spin")
+val (medB, scanB, shufB) = runState("cpu_spin")
 loadOn = false
 spinners.foreach(_.join(1000))
 Thread.sleep(2000)
@@ -138,35 +134,45 @@ val churners = (1 to 8).map { i =>
   }, s"calib-churn-$i")
   t.setDaemon(true); t.start(); t
 }
-val (medC, scanC, shufC, metricsC) = runState("alloc_churn")
+val (medC, scanC, shufC) = runState("alloc_churn")
 churnOn = false
 churners.foreach(_.join(1000))
 
+val LS = graft.BenchCalib.LambdaScan
+val LH = graft.BenchCalib.LambdaShuffle
 def f3(d: Double) = f"$d%.3f"
-def stats(med: Map[String, Double], cScan: Double, cShuf: Double): (Double, Double, Double, Double, Double) = {
+case class St(total: Double, scanSec: Double, shufSec: Double, cScan: Double, cShuf: Double)
+def mk(med: Map[String, Double], cScan: Double, cShuf: Double): St = {
   val total = med.values.sum
   val shufSec = med.collect { case (n, dt) if shuffleClass(n) => dt }.sum
-  val scanSec = total - shufSec
-  (total, scanSec, shufSec, total / cScan, scanSec / cScan + shufSec / cShuf)
+  St(total, total - shufSec, shufSec, cScan, cShuf)
 }
-val (totalA, scanSecA, shufSecA, norm1A, norm2A) = stats(medA, scanA, shufA)
-val (totalB, scanSecB, shufSecB, norm1B, norm2B) = stats(medB, scanB, shufB)
-val (totalC, scanSecC, shufSecC, norm1C, norm2C) = stats(medC, scanC, shufC)
-def stateJson(total: Double, cScan: Double, cShuf: Double, scanSec: Double, shufSec: Double, n1: Double, n2: Double): String =
-  s"""{"total_sec": ${f3(total)}, "calib_sec": ${f3(cScan)}, "calib_shuffle_sec": ${f3(cShuf)}, "scan_class_sec": ${f3(scanSec)}, "shuffle_class_sec": ${f3(shufSec)}, "total_per_calib": ${f3(n1)}, "total_per_calib2": ${f3(n2)}}"""
-def shiftJson(total: Double, scanSec: Double, shufSec: Double, n1: Double, n2: Double): String =
-  s"""{"raw_total_shift": ${f3(total / totalA)}, "scan_class_shift": ${f3(scanSec / scanSecA)}, "shuffle_class_shift": ${f3(shufSec / shufSecA)}, "normalized_shift_one_class": ${f3(n1 / norm1A)}, "normalized_shift_two_class": ${f3(n2 / norm2A)}}"""
+val A = mk(medA, scanA, shufA)
+val B = mk(medB, scanB, shufB)
+val C = mk(medC, scanC, shufC)
+def stateJson(s: St): String =
+  s"""{"total_sec": ${f3(s.total)}, "calib_sec": ${f3(s.cScan)}, "calib_shuffle_sec": ${f3(s.cShuf)}, "scan_class_sec": ${f3(s.scanSec)}, "shuffle_class_sec": ${f3(s.shufSec)}, "scan_class_per_calib": ${f3(s.scanSec / s.cScan)}, "shuffle_class_per_calib": ${f3(s.shufSec / s.cShuf)}, "total_per_calib": ${f3(s.total / s.cScan)}, "total_per_calib2": ${f3(s.scanSec / s.cScan + s.shufSec / s.cShuf)}}"""
+def shiftJson(s: St): String = {
+  val pScan = s.cScan / A.cScan   // fresh-session probe shift vs this run's idle
+  val pShuf = s.cShuf / A.cShuf
+  val clsScan = s.scanSec / A.scanSec
+  val clsShuf = s.shufSec / A.shufSec
+  val dampedTotal = (s.scanSec / math.pow(pScan, LS) + s.shufSec / math.pow(pShuf, LH)) / (A.scanSec + A.shufSec)
+  s"""{"raw_total_shift": ${f3(s.total / A.total)}, "scan_probe_shift": ${f3(pScan)}, "shuffle_probe_shift": ${f3(pShuf)}, "scan_class_shift": ${f3(clsScan)}, "shuffle_class_shift": ${f3(clsShuf)}, "residual_scan_raw": ${f3(clsScan / pScan)}, "residual_shuffle_raw": ${f3(clsShuf / pShuf)}, "residual_scan_damped": ${f3(clsScan / math.pow(pScan, LS))}, "residual_shuffle_damped": ${f3(clsShuf / math.pow(pShuf, LH))}, "normalized_shift_one_class": ${f3((s.total / s.cScan) / (A.total / A.cScan))}, "normalized_shift_two_class": ${f3((s.scanSec / s.cScan + s.shufSec / s.cShuf) / (A.scanSec / A.cScan + A.shufSec / A.cShuf))}, "normalized_shift_damped": ${f3(dampedTotal)}}"""
+}
 val json = s"""{
-  "note": "raw bench totals are comparable only within a session; the normalized statistics survive a machine-state change. Statistic = per-query median over 3 interleaved passes; calib walls = median-of-3 of each fixed probe (Bench's calib_sec = scan+hash-agg+sort, calib_shuffle_sec = two-sided repartition merge self-join). total_per_calib normalizes everything by the scan probe (the r14 one-class statistic); total_per_calib2 normalizes the shuffle class (Bench.shuffleHeavy: shuffle_write_bytes > input_bytes, fixed from the idle run's plans) by the shuffle probe. Reading rule: compare the per-class shifts first - when scan_class_shift and shuffle_class_shift agree, the one-class residual is already small and the two statistics coincide; when they diverge (the r14 residual's anatomy), only the two-class statistic tracks both query populations. Two induced states: cpu_spin = one busy-spin thread per core (CPU steal), alloc_churn = 8 allocation-churn threads (constant young-gen GC on the shared heap - the off-CPU-stall signature the r14 in-regime probe measured in the wild).",
+  "note": "CALIB_r16: validates the PRE-REGISTERED dampening exponents (BenchCalib: lambda_scan=$LS, lambda_shuffle=$LH, fitted on CALIB_r15's two induced states) on FRESH sessions of the same states. Statistic = per-query median over 3 interleaved passes; probe walls = median-of-6 (start+end of each pass). Class membership = the PINNED committed list (bench_classes.tsv) — the same set Bench cites. Reading rule: residual_<class>_damped is the per-class residual after dampening (claim: <= 10% in both induced states); residual_<class>_raw shows the undamped overshoot for comparison; normalized_shift_damped is the headline total statistic (Bench's total_sec_adj) under the induced state. Induced states: cpu_spin = one busy-spin thread per core (CPU steal), alloc_churn = 8 allocation-churn threads (constant young-gen GC on the shared heap — the off-CPU-stall signature measured in the wild).",
   "queries": ${qs.length},
   "n_shuffle_class": ${shuffleClass.size},
+  "lambda_scan": $LS,
+  "lambda_shuffle": $LH,
   "sf": "$sfDir",
-  "idle": ${stateJson(totalA, scanA, shufA, scanSecA, shufSecA, norm1A, norm2A)},
-  "cpu_spin": ${stateJson(totalB, scanB, shufB, scanSecB, shufSecB, norm1B, norm2B)},
-  "alloc_churn": ${stateJson(totalC, scanC, shufC, scanSecC, shufSecC, norm1C, norm2C)},
+  "idle": ${stateJson(A)},
+  "cpu_spin": ${stateJson(B)},
+  "alloc_churn": ${stateJson(C)},
   "shifts_vs_idle": {
-    "cpu_spin": ${shiftJson(totalB, scanSecB, shufSecB, norm1B, norm2B)},
-    "alloc_churn": ${shiftJson(totalC, scanSecC, shufSecC, norm1C, norm2C)}
+    "cpu_spin": ${shiftJson(B)},
+    "alloc_churn": ${shiftJson(C)}
   }
 }
 """
@@ -174,6 +180,10 @@ val json = s"""{
 // in the note to '?' under a POSIX locale
 val w = new java.io.PrintWriter(outFile, "UTF-8")
 try w.write(json) finally w.close()
-System.err.println(s"[calib] wrote $outFile  cpu_spin raw=${f3(totalB / totalA)} n1=${f3(norm1B / norm1A)} n2=${f3(norm2B / norm2A)}  alloc_churn raw=${f3(totalC / totalA)} n1=${f3(norm1C / norm1A)} n2=${f3(norm2C / norm2A)}")
+def resid(s: St) = {
+  val pScan = s.cScan / A.cScan; val pShuf = s.cShuf / A.cShuf
+  (f"${(s.scanSec / A.scanSec) / math.pow(pScan, LS)}%.3f", f"${(s.shufSec / A.shufSec) / math.pow(pShuf, LH)}%.3f")
+}
+System.err.println(s"[calib] wrote $outFile  cpu_spin damped(scan,shuf)=${resid(B)}  alloc_churn damped=${resid(C)}")
 spark2.stop()
 sys.exit(0)
