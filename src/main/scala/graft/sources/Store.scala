@@ -443,7 +443,7 @@ object Store {
     * Returns the number of rows deleted. Idempotent: re-running the
     * same key list deletes 0 and rewrites nothing. */
   def deleteKeys(spark: SparkSession, path: String, keyCol: String,
-                 keys: Seq[Any], partitionCols: Seq[String]): Long = {
+                 keys: Seq[Any], partitionCols: Seq[String]): Long = try {
     val base = spark.read.parquet(path)
     val keyLits = keys.map(lit)
     val touched = base.filter(col(keyCol).isin(keyLits: _*))
@@ -478,18 +478,22 @@ object Store {
     // caches, bucketed candidate tables): fire their invalidation hooks so
     // the next serve rebuilds from the post-delete base
     invalidateDerived(path)
+    nDeleted
+  } finally {
     // reap DEAD owners' pid-suffixed leftovers here too (r14 ADVICE): the
     // serve-path sweep is gated to once per process per minute, which
     // could extend on-disk retention of a dead process's derived copies
     // past the takedown — and takedown is exactly the moment
     // bytes-on-disk must go. Live processes are reached via their own
     // registered hooks; this listdir-cheap sweep covers owners that died
-    // without running theirs. Hygiene backstop: never fails the takedown.
+    // without running theirs. In a `finally` (r15 ADVICE) so it runs on
+    // EVERY takedown call — including the idempotent 0-row re-run after a
+    // crash between the rewrite and the sweep, which the early return
+    // used to skip. Hygiene backstop: never fails the takedown.
     try { sweepDeadProcessTables(spark); () }
     catch { case e: Throwable =>
       System.err.println(s"[store] takedown dead-process sweep failed (non-fatal): ${e.getMessage}")
     }
-    nDeleted
   }
 
   /** Small-file compaction: rewrite a parquet directory into

@@ -295,6 +295,26 @@ class StoreSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == 100 - doomed.length)
   }
 
+  test("a 0-row takedown re-run still reaps dead owners' leftovers") {
+    import spark.implicits._
+    val out = tmp()
+    val base = (1 to 10).map(k => (k.toLong, k % 2)).toDF("key", "part")
+    Store.writePartitioned(base, out, Seq("part"))
+    // plant a dead owner's pid-suffixed leftover, modeling a crash
+    // between a prior takedown's rewrite and its sweep
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    wh.mkdirs()
+    val dead = new java.io.File(wh, "graft_test_sets_zerorow_p999999998")
+    dead.mkdirs()
+    new java.io.File(dead, "part-0.parquet").createNewFile()
+    // the idempotent re-run touches no rows — the takedown-time backstop
+    // must run anyway (r15 ADVICE: the early return used to skip it)
+    assert(Store.deleteKeys(spark, out, "key", Seq(999L), Seq("part")) == 0L)
+    assert(!dead.exists(), "0-row takedown must still sweep dead owners")
+    assert(spark.read.parquet(out).count() == 10)
+  }
+
   test("targeted delete handles nested partition directories") {
     import spark.implicits._
     val out = tmp()
