@@ -90,6 +90,31 @@ object ScaleBench {
   private def jnum(d: Double): String =
     if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
 
+  /** JSON string escaping incl. control chars (r15 ADVICE: Spark
+    * exception messages carry newlines, which the quote/backslash-only
+    * escaping let straight into the calib_error field — corrupting the
+    * artifact exactly when the fail-loudly path fires). */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Diagnostic CONTROL cells: alternate shapes measured for comparison
+    * against a standard cell (the `_slim` pair experiment moves gs_b
+    * instead of gs_a; `d_dup_clusters_dist` forces the distributed
+    * min-label path the driver fast path would never take at this size).
+    * They are excluded from the "every growth ratio below ideal" claim —
+    * their ×1 walls are sub-second, so the ratio divides by noise
+    * (SCALE_r15's only over-ideal cell was a slim control at 52.3 vs
+    * ideal 50 with a 0.29 s base wall) — and flagged in the artifact so
+    * the exclusion is readable, not tribal knowledge (r15 VERDICT
+    * finding / next-round item 5). */
+  val ControlCells: Set[String] = Set(
+    "d_ngram_bucketed_slim", "d_containment_bucketed_slim",
+    "d_dup_clusters_dist")
+
   /** NaN-safe median that AVERAGES the middle pair on even counts: the
     * upper-middle pick biased 2-sample "medians" high whenever one pass
     * of a 3-pass family failed (r14 ADVICE). NaN entries (failed probe
@@ -678,9 +703,7 @@ object ScaleBench {
       .append(", \"calib_walls\": {")
       .append(calibWalls.map { case (l, w) => s""""$l": ${jnum(w)}""" }
         .mkString(", ")).append("}")
-      .append(calibError.fold("")(e =>
-        ", \"calib_error\": \"" +
-          e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""))
+      .append(calibError.fold("")(e => s""", "calib_error": ${jstr(e)}"""))
       // heap decides spill at fixed data: record it so runs are comparable
       .append(", \"heap_gb\": ")
       .append(Runtime.getRuntime.maxMemory / (1024L * 1024 * 1024))
@@ -688,7 +711,11 @@ object ScaleBench {
       .append("], \"note\": \"x10/x50 = sf1/sf5-equivalent row counts; ")
       .append("disjoint-shard scale model (ScaleData scaladoc): true dup ")
       .append("pairs grow exactly linearly, so super-linear growth in any ")
-      .append("measured quantity is an algorithmic artifact\"},\n")
+      .append("measured quantity is an algorithmic artifact. Cells flagged ")
+      .append("control=true are diagnostic comparisons (_slim pair ")
+      .append("experiment, forced distributed clustering) excluded from ")
+      .append("the every-growth-ratio-below-ideal claim: their x1 walls ")
+      .append("are sub-second, so the ratio divides by noise\"},\n")
     if (only.isDefined)
       sb.append("  \"probe_only\": [")
         .append(measured.map(q => s""""${q._1}"""").mkString(", "))
@@ -742,10 +769,12 @@ object ScaleBench {
         val ideal = n.toDouble / scales.head
         s""""x$n": {"time_ratio": ${jnum(c.sec / base.sec)}, "ideal": ${jnum(ideal)}, "rows_ratio": ${jnum(c.rows.toDouble / base.rows)}, "shuffle_write_ratio": ${jnum(c.metrics("shuffle_write_bytes").toDouble / math.max(1L, base.metrics("shuffle_write_bytes")))}}"""
       }.mkString(", ")
-      s"""    "$name": {$perScale, "growth": {$growth}}"""
+      s"""    "$name": {"control": ${ControlCells(name)}, $perScale, "growth": {$growth}}"""
     }.mkString(",\n"))
     sb.append("\n  }\n}\n")
-    val w = new java.io.PrintWriter(outFile)
+    // explicit UTF-8 (r15 ADVICE): the default-charset PrintWriter mangles
+    // non-ASCII in the note to '?' under a POSIX locale
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.write(sb.toString) finally w.close()
     System.err.println(s"[scale] wrote $outFile")
     spark.stop()

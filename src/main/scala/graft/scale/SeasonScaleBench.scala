@@ -178,7 +178,10 @@ object SeasonScaleBench {
   $body$controlBody
 }
 """
-    val w = new java.io.PrintWriter(outFile)
+    // explicit UTF-8 (r15 ADVICE): the default-charset PrintWriter mangled
+    // the committed SEASON_SCALE_r15.json's note ('1.6x ? the growth')
+    // under the POSIX locale
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.write(json) finally w.close()
     System.err.println(s"[season-scale] wrote $outFile")
     spark.stop()
