@@ -53,6 +53,22 @@ package graft
   * — the claim is ≤10% in both states; if a fresh session misses that
   * band, the artifact says so (the undampened per-class shifts are
   * published alongside either way).
+  *
+  * == r16 validation OUTCOME (CALIB_r16.json) ==
+  * The fit did NOT transfer. Under a fresh cpu_spin the scan probe —
+  * which over-reacted 1.27× relative to its class in r15 — slightly
+  * UNDER-reacted (probe 1.538× vs class 1.601×), so the raw residual was
+  * already +4.1% and dampening overshot it to +21.9% (shuffle: dampening
+  * helped, +6.7% vs +15.2% raw); and the identical induced alloc_churn
+  * load that shifted r15's session 1.382× shifted the r16 session 1.000×
+  * while the probe walls scattered 1.147×/0.857× — probe sampling noise
+  * at a no-shift state. Measured conclusion: the probe-vs-class response
+  * ratio is itself session state, so no fixed exponent holds per-class
+  * residuals inside 10%; any probe-normalized cross-session statistic
+  * from these sub-second probes carries ~±20%. The dampened fields stay
+  * published under these pre-registered constants (changing them
+  * per-session would destroy comparability — the whole point of
+  * pre-registration), and the README reading rule carries the ±20% band.
   */
 object BenchCalib {
 
