@@ -1059,17 +1059,34 @@ object Dedup {
   }
 
   /** Candidate half of [[ngramJaccardOver]]: distinct (doc_a, doc_b)
-    * pairs sharing a rare gram (df ∈ [2, NgramMaxDf]). */
+    * pairs sharing a rare gram (df ∈ [2, NgramMaxDf]).
+    *
+    * r17 (optimization): the rare-posting SELF-JOIN is gone. The df
+    * pre-aggregate stays (it bounds per-gram state BEFORE any list is
+    * collected — a stop gram at corpus scale must never materialize its
+    * posting list in one buffer); the surviving postings then collapse to
+    * one df-capped doc list per gram and the ≤ C(NgramMaxDf, 2) ordered
+    * pairs expand IN-ROW (guide §2.4). Because the join-back's output is
+    * already hash-partitioned by `h`, the collect_list aggregate needs NO
+    * further exchange — the posting rows cross the wire once, where the
+    * self-join shape sorted and joined them a second time and fanned the
+    * pair rows through a join operator. Same distinct pair set:
+    * per-doc gram sets are distinct, so (doc_id, h) rows are unique and
+    * the sorted doc list enumerates exactly the doc_a < doc_b pairs. */
   private[graft] def ngramPairsOver(posting: DataFrame): DataFrame = {
     val rareGrams = posting.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= NgramMaxDf)
       .select(col("h"))
-    val rarePosting = posting.join(rareGrams, "h")
-    rarePosting.select(col("h"), col("doc_id").as("doc_a"))
-      .join(rarePosting.select(col("h"), col("doc_id").as("doc_b")), "h")
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    posting.join(rareGrams, "h")
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ds) - 2), " +
+          "i -> transform(sequence(i + 1, size(ds) - 1), " +
+          "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
   }
 
   /** Verify half of [[ngramJaccardOver]]: exact Jaccard from the attached

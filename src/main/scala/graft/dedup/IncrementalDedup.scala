@@ -113,16 +113,24 @@ object IncrementalDedup {
     val bmin = bucketMins(bands).persist()
     // batch-bounded from here on
     val storedHits = probeHits(spark, storeDir, bmin).persist()
-    val priorRej = bands
-      .join(storedHits, keyCols)
-      .filter(col("owner") < col("doc_id"))
-      .select(col("doc_id"), col("owner").as("earlier"))
-    val intraRej = bands
-      .join(bmin, keyCols)
-      .filter(col("doc_id") > col("batch_owner"))
-      .select(col("doc_id"), col("batch_owner").as("earlier"))
-    val dupOf = priorRej.unionAll(intraRej)
-      .groupBy("doc_id").agg(min(col("earlier")).as("dup_of"))
+    // ONE owner table, ONE join over the band fan-out (r17 — the device
+    // selfDedupAdmitBatch already used, guide §2.4): the earliest occupant
+    // of a bucket as of this batch is least(store owner, batch minimum);
+    // the prior/intra split needed two joins of the band rows plus a
+    // union. A doc is rejected iff that minimum is strictly smaller than
+    // it, and since own_min = min(all candidates) the per-doc min over
+    // buckets is unchanged. (`owner < doc_id` still guards replays, where
+    // a store owner can equal the probing doc.)
+    val ownAll = bmin
+      .join(storedHits.select(keyNames.map(col) :+ col("owner"): _*),
+        keyNames, "left_outer")
+      .select(keyCols.map(col) :+
+        least(coalesce(col("owner"), lit(Long.MaxValue)), col("batch_owner"))
+          .as("own_min"): _*)
+    val dupOf = bands
+      .join(ownAll, keyCols)
+      .filter(col("own_min") < col("doc_id"))
+      .groupBy("doc_id").agg(min(col("own_min")).as("dup_of"))
     val flags = batch.select(col("doc_id"))
       .join(dupOf, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),

@@ -56,6 +56,13 @@ object Graph {
     val n = deg.count()
     val base = 1000000000L / n
     val jump = (15L * base) / 100L
+    // r17 (optimization): iterations stay LAZY — at PrIters = 3 the fused
+    // plan is shallow (the edgesDeg localCheckpoint above already caps
+    // lineage at one RDD scan per iteration), so the per-iteration eager
+    // localCheckpoint bought nothing and cost one full materialization
+    // job per round (guide §1.2: don't pay for passes you don't need;
+    // a long-iteration caller would re-add a checkpoint every ~8 rounds,
+    // the Bpe.train cadence).
     var ranks = deg.select($"src".as("node"), lit(base).as("r"))
     for (_ <- 1 to PrIters) {
       ranks = edgesDeg
@@ -64,7 +71,6 @@ object Graph {
         .groupBy($"dst")
         .agg((lit(jump) + expr("85 * sum(contrib) div 100")).as("r"))
         .select($"dst".as("node"), $"r")
-        .localCheckpoint()
     }
     ranks
       .select(when($"node" % 2 === 0, lit("customer")).otherwise(lit("part")).as("kind"),
@@ -108,6 +114,7 @@ object Graph {
     // step and the seed could never appear in its own ranking
     val seedJump = spark.range(1)
       .select(lit(seed).as("node"), lit(jumpAtSeed).as("r"))
+    // lazy iterations — see copurchaseRank's r17 note
     var ranks = deg.select($"src".as("node"))
       .filter($"node" === seed).select($"node", lit(1000000000L).as("r"))
     for (_ <- 1 to PrIters) {
@@ -117,7 +124,6 @@ object Graph {
         .unionByName(seedJump)
         .groupBy($"node")
         .agg(sum($"r").as("r"))
-        .localCheckpoint()
     }
     ranks
       .select(when($"node" % 2 === 0, lit("customer")).otherwise(lit("part")).as("kind"),

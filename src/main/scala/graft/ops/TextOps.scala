@@ -318,19 +318,33 @@ object TextOps {
     * uniformly at any corpus size. */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r17 (optimization): every statistic here is a function of ONE
+    // document's own tokens, so none of it needs an aggregation — the old
+    // shape exploded tokens AND bigrams through three doc-keyed hash
+    // aggregates plus a join (4 exchanges for per-row-computable values).
+    // Now: distinct-token count via array_distinct, and the top bigram
+    // multiplicity as the longest equal-run of the SORTED in-row bigram
+    // array (max run length of a sorted multiset = max multiplicity) —
+    // all whole-stage-resident expression work, zero shuffles before the
+    // deterministic output sort (guide §2.4 "remove shuffles outright").
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", split(trim(lower($"text")), "\\s+").as("t"))
       .filter(size($"t") >= 2)
-    val tokenStats = toks.select($"doc_id", explode($"t").as("tok"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), countDistinct($"tok").as("n_distinct"))
-    val bigramStats = toks
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max($"c").as("top_bigram_n"), sum($"c").as("n_bigrams"))
-    tokenStats.join(bigramStats, "doc_id")
+    toks
+      .withColumn("bgs", expr(
+        "array_sort(transform(sequence(0, size(t) - 2), " +
+          "i -> concat(t[i], ' ', t[i + 1])))"))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        size(array_distinct($"t")).cast("long").as("n_distinct"),
+        expr(
+          """aggregate(bgs,
+            |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+            |  (a, x) -> named_struct('prev', x,
+            |    'run', IF(a.prev <=> x, a.run + 1L, 1L),
+            |    'best', greatest(a.best, IF(a.prev <=> x, a.run + 1L, 1L))),
+            |  a -> a.best)""".stripMargin).as("top_bigram_n"),
+        (size($"t") - 1).cast("long").as("n_bigrams"))
       .select($"doc_id", $"n_tokens",
         floor($"n_distinct" * 10000 / $"n_tokens").cast("long").as("distinct_bp"),
         floor($"top_bigram_n" * 10000 / $"n_bigrams").cast("long").as("top_bigram_bp"))
@@ -673,14 +687,24 @@ object TextOps {
   /** Shared reconstruction tail: collapse the flagged windows `dupWin`
     * (doc_id, j) to per-doc covered-index arrays and rebuild each doc's
     * kept text as the gap slices between covered indices — one in-row
-    * merge pass, O(n) per doc (see the scale note on [[spanScrub]]). */
+    * merge pass, O(n) per doc (see the scale note on [[spanScrub]]).
+    *
+    * r17 (optimization): ONE doc-keyed aggregation over the WINDOW-level
+    * rows, with the covered-index expansion done in-row AFTER the
+    * aggregate. The previous shape exploded every flagged window into
+    * [[ScrubGram]] (doc_id, idx) token rows and pushed that 8× fan-out
+    * through a `distinct` exchange plus a second doc-keyed aggregation,
+    * then joined TWO aggregates back onto `toks` (guide §2.3 "project
+    * before the exchange" / §2.4 "remove shuffles outright"). Window
+    * starts per doc are unique (each window matches at most one owner/df
+    * row), so `collect_list(j)` + in-row
+    * `array_distinct(flatten(sequence(j, j+G−1)))` reproduces the exact
+    * covered set; n_covered = size(cov). Plan effect: 3 exchanges + an
+    * 8×-wider shuffle → 1 window-level exchange + 1 join. */
   private def scrubReconstruct(toks: DataFrame, dupWin: DataFrame,
                                winCountCol: String): DataFrame = {
     val s = toks.sparkSession
     import s.implicits._
-    val covered = dupWin
-      .select($"doc_id", explode(sequence($"j", $"j" + (ScrubGram - 1))).as("idx"))
-      .distinct()
     // Reconstruction stays IN-ROW: collapse a doc's covered indices to one
     // SORTED array (doc-keyed, ≤ n elements) and rebuild the kept text as
     // the gap slices between consecutive covered indices — one merge pass,
@@ -689,12 +713,14 @@ object TextOps {
     // rows (~64× more), and probing `array_contains(cov, i)` per token is
     // O(n·|cov|) — a straggler-task generator on a heavily-duplicated
     // 20k-token doc (~4·10⁸ comparisons in one row expression).
-    val covAgg = covered.groupBy($"doc_id")
-      .agg(array_sort(collect_list($"idx")).as("cov"), count(lit(1)).as("n_covered"))
-    val winAgg = dupWin.groupBy($"doc_id").agg(count(lit(1)).as(winCountCol))
+    val winAgg = dupWin.groupBy($"doc_id")
+      .agg(count(lit(1)).as(winCountCol), collect_list($"j").as("js"))
+      .withColumn("cov", expr(s"array_sort(array_distinct(flatten(" +
+        s"transform(js, j -> sequence(j, j + ${ScrubGram - 1})))))"))
+      .withColumn("n_covered", size($"cov").cast("long"))
+      .drop("js")
     toks.select($"doc_id", $"t", $"n")
       .join(winAgg, Seq("doc_id"), "left")
-      .join(covAgg, Seq("doc_id"), "left")
       .withColumn("cov", coalesce($"cov", expr("CAST(array() AS ARRAY<INT>)")))
       .select($"doc_id",
         $"n".cast("long").as("n_tokens"),
@@ -957,13 +983,19 @@ object TextOps {
     val bmin = wins.groupBy($"g").agg(min($"k").as("bown"))
       .withColumn("gp", pmod($"g", lit(SelfDedupStoreParts.toLong)).cast("int"))
       .persist()
-    val gps = bmin.select("gp").distinct().collect().map(_.getInt(0)).toSeq
+    // ONE job answers both driver-side questions (r17, guide §1.2: fewer
+    // passes): the touched-gp list for the partition-selective store
+    // filter AND the batch's distinct-gram count for the broadcast gate —
+    // previously a distinct().collect() plus a separate count() over the
+    // same persisted frame.
+    val gpCounts = bmin.groupBy($"gp").agg(count(lit(1)).as("n")).collect()
+    val gps = gpCounts.map(_.getInt(0)).toSeq
+    val nGrams = gpCounts.map(_.getLong(1)).sum
     // the partition-selective gp filter holds on BOTH routes; only the
-    // probe join's build side is gated (bmin is already materialized, so
-    // count() is a cached pass, not a recompute)
+    // probe join's build side is gated
     val storeSide = selfStoreAt(spark, storeDir).filter($"gp".isInCollection(gps))
     val probe =
-      if (bmin.count() <= maxBroadcastGrams) broadcast(bmin.select($"g"))
+      if (nGrams <= maxBroadcastGrams) broadcast(bmin.select($"g"))
       else bmin.select($"g")
     val hits = storeSide.join(probe, Seq("g"))
       .select($"g", $"own").persist()

@@ -205,25 +205,29 @@ object Windows {
     val ev = Tables.events(spark, dir)
       .select($"user_id", to_date($"ts").as("day"), $"ts", $"event_id",
         micros($"value").as("v_u"))
-    val perDay = ev
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"user_id", $"day")
-          .orderBy($"ts".desc, $"event_id".desc)))
-      .filter($"rn" === 1)
-      .select($"user_id", $"day", $"v_u")
-    val grid = ev.groupBy($"user_id")
-      .agg(min($"day").as("d0"), max($"day").as("d1"))
-      .select($"user_id",
-        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
-    grid.join(perDay, Seq("user_id", "day"), "left")
-      .select($"user_id", $"day", $"v_u",
-        last($"v_u", ignoreNulls = true).over(
-          Window.partitionBy($"user_id").orderBy($"day")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("filled_u"))
-      .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
-        ($"filled_u" / lit(1e6)).as("value"),
-        $"v_u".isNotNull.cast("int").as("is_observed"))
+    // r17 (optimization): the per-day close is a map-side-combinable
+    // max_by aggregation instead of a (user, day) row_number window
+    // (Exchange + Sort → one partial-agg exchange, guide §2.3), and the
+    // grid + LOCF collapse into ONE lead() window over the OBSERVATION
+    // rows followed by an in-row date explode: an observation owns every
+    // grid day up to (not incl.) the next observation, which IS the
+    // last-observation-carried-forward rule — grid edges are observations
+    // by construction, so the generated days cover [min, max] exactly.
+    // The old shape built the grid from a second corpus aggregate, joined
+    // it back on (user, day), and ran the fill window over GRID-sized
+    // rows; 4 exchanges → 2, and the window now sorts observations, not
+    // grid days.
+    val perDay = ev.groupBy($"user_id", $"day")
+      .agg(max_by($"v_u", struct($"ts", $"event_id")).as("v_u"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    perDay
+      .withColumn("next_day", lead($"day", 1).over(w))
+      .withColumn("gday", explode(sequence(
+        $"day", coalesce(date_sub($"next_day", 1), $"day"),
+        expr("interval 1 day"))))
+      .select($"user_id", date_format($"gday", "yyyy-MM-dd").as("day"),
+        ($"v_u" / lit(1e6)).as("value"),
+        ($"gday" === $"day").cast("int").as("is_observed"))
       .orderBy($"user_id", $"day")
   }
 
@@ -276,32 +280,33 @@ object Windows {
     val ev = Tables.events(spark, dir)
       .select($"user_id", to_date($"ts").as("day"), $"ts", $"event_id",
         micros($"value").as("v_u"))
-    val perDay = ev
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"user_id", $"day")
-          .orderBy($"ts".desc, $"event_id".desc)))
-      .filter($"rn" === 1)
-      .select($"user_id", $"day", $"v_u")
-    val grid = ev.groupBy($"user_id")
-      .agg(min($"day").as("d0"), max($"day").as("d1"))
-      .select($"user_id",
-        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    // r17 (optimization): same restructure as [[resampleLocf]] — max_by
+    // per-day close, then ONE lead() window over observations carrying
+    // BOTH neighbors (next day + next value), then the in-row date
+    // explode. Each generated gap day d in [day, next_day) interpolates
+    // against (day, v_u) → (d_n, v_n): exactly the old v_p/d_p/v_n/d_n
+    // frame values, because the prior observation at-or-before a gap day
+    // is this block's start and the next observation after it is d_n.
+    // The grid join and the two-direction window over grid-sized rows
+    // are gone; the arithmetic is unchanged (exact-integer micros, the
+    // long·int product stays far inside 2⁵³).
+    val perDay = ev.groupBy($"user_id", $"day")
+      .agg(max_by($"v_u", struct($"ts", $"event_id")).as("v_u"))
     val w = Window.partitionBy($"user_id").orderBy($"day")
-    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    grid.join(perDay, Seq("user_id", "day"), "left")
-      .withColumn("v_p", last($"v_u", ignoreNulls = true).over(back))
-      .withColumn("d_p", last(when($"v_u".isNotNull, $"day"), ignoreNulls = true).over(back))
-      .withColumn("v_n", first($"v_u", ignoreNulls = true).over(fwd))
-      .withColumn("d_n", first(when($"v_u".isNotNull, $"day"), ignoreNulls = true).over(fwd))
+    perDay
+      .withColumn("d_n", lead($"day", 1).over(w))
+      .withColumn("v_n", lead($"v_u", 1).over(w))
+      .withColumn("gday", explode(sequence(
+        $"day", coalesce(date_sub($"d_n", 1), $"day"),
+        expr("interval 1 day"))))
       .withColumn("filled_u",
-        when($"v_u".isNotNull, $"v_u")
-          .otherwise($"v_p" + floor(
-            (($"v_n" - $"v_p") * datediff($"day", $"d_p")) /
-              datediff($"d_n", $"d_p"))))
-      .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
+        when($"gday" === $"day", $"v_u")
+          .otherwise($"v_u" + floor(
+            (($"v_n" - $"v_u") * datediff($"gday", $"day")) /
+              datediff($"d_n", $"day"))))
+      .select($"user_id", date_format($"gday", "yyyy-MM-dd").as("day"),
         ($"filled_u" / lit(1e6)).as("value"),
-        $"v_u".isNotNull.cast("int").as("is_observed"))
+        ($"gday" === $"day").cast("int").as("is_observed"))
       .orderBy($"user_id", $"day")
   }
 

@@ -590,14 +590,25 @@ object Ann {
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
     var assigned: DataFrame = null
     for (round <- 1 to KmeansRounds) {
-      val centsDf = cents.toDF("cell", "centroid")
-      assigned = emb.crossJoin(broadcast(centsDf))
-        .withColumn("dist",
-          intDot(col("centroid"), col("centroid")) - intDot(col("q"), col("centroid")) * 2)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("q"), col("cell"), col("dist"))
+      // r17 (optimization): the model is ALREADY driver-held (k·d values —
+      // that is the k-means|| topology), so the argmin is one map-side
+      // `least` over k (dist, cell) structs instead of a broadcast
+      // crossJoin fanning n·k rows through a row_number window (Exchange +
+      // Sort per round — guide §2.4: the shuffle was never fundamental).
+      // dist is the same exact-integer `‖c‖² − 2·v·c` (intDot is the
+      // strict left-to-right codegen fold; all values integer-valued
+      // doubles < 2^53), and struct ordering on (dist, cell) reproduces
+      // the (dist ASC, cell ASC) tie-break bit-for-bit.
+      val scoredCells = cents.map { case (cell, cvec) =>
+        val cLit = array(cvec.map(v => lit(v)): _*)
+        struct((intDot(cLit, cLit) - intDot(col("q"), cLit) * 2).as("dist"),
+          lit(cell).as("cell"))
+      }
+      assigned = emb
+        .withColumn("best",
+          if (scoredCells.size == 1) scoredCells.head else least(scoredCells: _*))
+        .select(col("vec_id"), col("q"),
+          col("best.cell").as("cell"), col("best.dist").as("dist"))
       if (round < KmeansRounds) {
         // model update: k·d rows to the driver, floor-mean per coordinate
         val rows = assigned
@@ -700,7 +711,13 @@ object Ann {
   /** The SemDeDup keep-rule tail shared by the k-means cells
     * ([[semanticDedupOver]]) and the LSH cells ([[semanticDedupScaled]]):
     * `rows` = (vec_id, cell, d, p, n2) → (vec_id, cell, d, keep). */
-  private def semanticPrune(rows: DataFrame): DataFrame = {
+  private def semanticPrune(rows0: DataFrame): DataFrame = {
+    // rows feeds THREE consumers (both sides of the within-cell pair join
+    // and the final keep-flag join) — persist so the upstream
+    // assignment + centroid attach runs once per action instead of three
+    // times (r17; at 100 TB: checkpoint). Bench/Verify clear persisted
+    // frames after each query.
+    val rows = rows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = rows.select(col("cell"), col("vec_id").as("va"), col("p").as("pa"),
       col("n2").as("na"), col("d").as("da"))
     val r = rows.select(col("cell").as("cell_r"), col("vec_id").as("vb"),
@@ -898,39 +915,109 @@ object Ann {
     * summed exactly as doubles < 2^53), so codebooks, codes, and ADC
     * scores are bit-identical cross-engine — the oracle replays training
     * in SQL and must hash-match. */
-  /** Shared PQ training pieces: quantized vectors, per-subspace coords,
-    * the seed codebook, and the exact-integer argmin assignment. */
-  private final case class PqParts(emb: DataFrame, coords: DataFrame,
-      cents0: DataFrame, assign: DataFrame => DataFrame) {
-    /** Codebook after one Lloyd round: floor-mean per (m, cell, coord).
-      * Materialized (localCheckpoint): it feeds BOTH the encoding
-      * assignment and the LUT build, and it is model-sized (M·K·SubDim
-      * rows) at any corpus scale — cutting its lineage halves the
-      * optimizer's work in every downstream plan instead of replaying
-      * the training subtree twice. */
-    lazy val cents1: DataFrame = assign(cents0).join(coords, Seq("vec_id", "m"))
-      .groupBy(col("m"), col("cell"), col("j"))
-      .agg(floor(sum(col("x")) / count(lit(1))).as("cx"))
-      .localCheckpoint()
+  /** The PQ codebook collected driver-side as [m][cell][j] → cx. This is
+    * MODEL-sized (PqM·PqK·SubDim = 1024 values) at ANY corpus scale — the
+    * k-means model-to-driver device, never data. Every value is an
+    * integer-valued double (quantized coords / floor-means), so embedding
+    * it as a SQL literal is exact and the in-row assignment below computes
+    * bit-identical distances to the old broadcast-join form. A (m, cell)
+    * that lost all members in training is absent from the long-format
+    * table and lands here as NaN: NaN distances never win the argmin
+    * (Spark orders NaN above every double), exactly as the absent row
+    * never joined before. */
+  private type PqCodebook = Array[Array[Array[Double]]]
+
+  private def collectCodebook(cents: DataFrame): PqCodebook = {
+    val arr = Array.fill(PqM, PqK, SubDim)(Double.NaN)
+    cents.select(col("m").cast("int"), col("cell").cast("int"),
+        col("j").cast("int"), col("cx").cast("double")).collect()
+      .foreach(r => arr(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+    arr
   }
+
+  /** Exact decimal SQL literal for an integer-valued double. */
+  private def fmtD(v: Double): String =
+    if (v.isNaN) "CAST('NaN' AS DOUBLE)"
+    else {
+      require(v == v.toLong.toDouble, s"non-integer codebook value $v")
+      s"${v.toLong}.0D"
+    }
+
+  private def codebookSql(cb: PqCodebook): String =
+    cb.map(_.map(_.map(fmtD).mkString("array(", ",", ")"))
+        .mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+
+  /** In-row PQ argmin over a `q` column: array of PqM (cell, dist)
+    * structs, one per subspace — dist is the same
+    * `Σ_j (c·c − 2·x·c)` fold (j ascending, exact integer-valued doubles)
+    * the long-format join computed, ties to the smaller cell via the
+    * strict `<` fold over cells ascending.
+    *
+    * r17 (optimization): assignment used to be a broadcast crossJoin of
+    * the M·K packed centroids against the vector scan — an n·M·K-row
+    * intermediate pushed through a row_number window (Exchange + Sort on
+    * (vec_id, m)). With the codebook a driver-held literal, the whole
+    * argmin is ONE map-side expression: no join, no exchange, no sort
+    * (guide §2.4/§1.2 — the shuffle was never fundamental: every
+    * (vec_id, m) group lives inside its own input row). */
+  private def pqArgminSql(cb: PqCodebook): String = {
+    val carr = codebookSql(cb)
+    s"transform(sequence(0, ${PqM - 1}), m -> " +
+      s"aggregate(zip_with(sequence(0, ${PqK - 1}), " +
+      s"transform($carr[m], cc -> " +
+      s"aggregate(zip_with(slice(q, m * $SubDim + 1, $SubDim), cc, " +
+      "(x, c) -> c * c - x * c * 2D), 0D, (a, v) -> a + v)), " +
+      "(c, d) -> struct(c AS cell, d AS dist)), " +
+      "named_struct('cell', -1, 'dist', CAST('Infinity' AS DOUBLE)), " +
+      "(b, p) -> IF(p.dist < b.dist, p, b)))"
+  }
+
+  /** The per-vector PQ code as one in-row expression: cell argmin per
+    * subspace, in subspace order — identical to the old
+    * `array_sort(collect_list(struct(m, cell)))` aggregation, with the
+    * n-row groupBy gone (map-only encode). */
+  private def pqCodeExpr(cb: PqCodebook): org.apache.spark.sql.Column =
+    expr(s"transform(${pqArgminSql(cb)}, p -> p.cell)")
 
   /** The exact-integer argmin assignment of quantized vectors against a
     * long-format codebook — the unit training, build, and frozen-codebook
     * append all share (so the append encoder cannot drift from the build
-    * encoder). Packed centroids broadcast; per-row work is a SubDim-element
-    * codegen fold; the only aggregation is the M-cell-per-vector argmin. */
-  private def pqAssignAgainst(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val centArr = cents.groupBy(col("m"), col("cell"))
-      .agg(expr("transform(array_sort(collect_list(struct(j, cx))), p -> p.cx)")
-        .as("carr"))
-    emb.crossJoin(broadcast(centArr))
-      .withColumn("dist", expr(
-        s"aggregate(zip_with(slice(q, m * $SubDim + 1, $SubDim), carr, " +
-          "(x, c) -> c * c - x * c * 2D), 0D, (a, v) -> a + v)"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cell"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("cell"), col("dist"))
+    * encoder). r17: map-only (see [[pqArgminSql]]); the long (vec_id, m,
+    * cell, dist) shape is produced by an in-row posexplode. */
+  private def pqAssignAgainst(emb: DataFrame, cents: DataFrame): DataFrame =
+    pqAssignWith(emb, collectCodebook(cents))
+
+  private def pqAssignWith(emb: DataFrame, cb: PqCodebook): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(expr(pqArgminSql(cb))).as(Seq("m", "best")))
+      .select(col("vec_id"), col("m"),
+        col("best.cell").as("cell"), col("best.dist").as("dist"))
+
+  /** Shared PQ training pieces: quantized vectors, the seed codebook, and
+    * the exact-integer argmin assignment. */
+  private final case class PqParts(emb: DataFrame, cents0: DataFrame,
+      assign: DataFrame => DataFrame) {
+    /** Codebook after one Lloyd round: floor-mean per (m, cell, coord).
+      * r17: the update reads the seed assignment IN-ROW (code array per
+      * vector) and explodes (coord, x) from the same row — the old shape
+      * joined the n·M-row assignment against a persisted n·Dim coords
+      * explode on (vec_id, m). Now it is one scan + one map-side
+      * combinable aggregate onto M·K·SubDim groups: the join and the
+      * coords persist are gone (guide §2.4). Materialized
+      * (localCheckpoint): model-sized at any corpus scale, read by both
+      * the encode and the LUT build. */
+    lazy val cents1: DataFrame = {
+      val cb0 = collectCodebook(cents0)
+      emb.select(expr(s"transform(${pqArgminSql(cb0)}, p -> p.cell)").as("code"),
+          posexplode(col("q")).as(Seq("i", "x")))
+        .select(floor(col("i") / SubDim).cast("int").as("m"),
+          (col("i") % SubDim).as("j"), col("x"), col("code"))
+        .select(col("m"), expr("code[m]").as("cell"), col("j"), col("x"))
+        .groupBy(col("m"), col("cell"), col("j"))
+        .agg(floor(sum(col("x")) / count(lit(1))).as("cx"))
+        .localCheckpoint()
+    }
   }
 
   private def pqParts(spark: SparkSession, dir: String): PqParts =
@@ -944,14 +1031,6 @@ object Ann {
     graft.functions.HashExpressions.register(spark)
     val emb = embRaw
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
-    val coords = emb
-      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("x"),
-        floor(col("i") / SubDim).cast("int").as("m"),
-        (col("i") % SubDim).as("j"))
-      // read by the codebook update and the LUT build — persist so the
-      // explode runs once (at 100 TB: checkpoint)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed codebook: the PqK hash-smallest vectors, sliced per subspace
     val h = graft.functions.HashExpressions.md5Prefix64(
       concat(lit("pqseed:"), col("vec_id").cast("string")), 15)
@@ -964,15 +1043,7 @@ object Ann {
         }
       }.toSeq
     val cents0 = seeds.toDF("m", "cell", "j", "cx")
-    // argmin assignment, all subspaces at once: pack each (m, cell)
-    // centroid into an array, broadcast all M·K of them against the
-    // vector scan, and fold the SubDim products in-row. Same integer
-    // arithmetic as the long-format join (products < 2^53, so the sum is
-    // exact and order-free — the oracle replay still hash-matches), but
-    // no n·Dim·K-row intermediate feeding a hash aggregate: the only
-    // per-row work is a SubDim-element codegen fold, and the only
-    // aggregation left is the M·K-per-vector argmin.
-    PqParts(emb, coords, cents0, pqAssignAgainst(emb, _))
+    PqParts(emb, cents0, pqAssignAgainst(emb, _))
   }
 
   /** Test hook: the (vec_id, m, cell, dist) assignment against the seed
@@ -1004,27 +1075,25 @@ object Ann {
     val parts = graft.ops.Legs.time("s_pq_topk", "train")(
       pqParts(spark, dir))
     // forcing the lazy cents1 runs the Lloyd round (seed collect already
-    // happened inside pqParts) — both are training
-    val cents1 = graft.ops.Legs.time("s_pq_topk", "train")(parts.cents1)
+    // happened inside pqParts) — both are training, as is pulling the
+    // model-sized trained codebook to the driver
+    val cb1 = graft.ops.Legs.time("s_pq_topk", "train")(
+      collectCodebook(parts.cents1))
+    // r17: encode is MAP-ONLY (in-row argmin + code array — the old
+    // assignment window and the per-vector collect_list groupBy are gone)
     val codes = graft.ops.Legs.time("s_pq_topk", "encode")(
-      parts.assign(cents1)
-        .groupBy(col("vec_id"))
-        .agg(expr(s"transform(array_sort(collect_list(struct(m, cell))), p -> p.cell)")
-          .as("code"))
+      parts.emb.select(col("vec_id"), pqCodeExpr(cb1).as("code"))
         .localCheckpoint())
-    pqScore(parts.emb, parts.coords, cents1, codes)
+    pqScore(parts.emb, cb1, codes)
   }
 
   /** Inline PQ over an arbitrary raw corpus (the version-pinned oracle
     * twin: `pqTopKCachedAt` must equal this over `readAt(v)`). */
   def pqTopKFrom(spark: SparkSession, embRaw: DataFrame): DataFrame = {
     val parts = pqPartsFrom(spark, embRaw)
-    val cents1 = parts.cents1
-    val codes = parts.assign(cents1)
-      .groupBy(col("vec_id"))
-      .agg(expr(s"transform(array_sort(collect_list(struct(m, cell))), p -> p.cell)")
-        .as("code"))
-    pqScore(parts.emb, parts.coords, cents1, codes)
+    val cb1 = collectCodebook(parts.cents1)
+    val codes = parts.emb.select(col("vec_id"), pqCodeExpr(cb1).as("code"))
+    pqScore(parts.emb, cb1, codes)
   }
 
   /** Persist the trained PQ index — codebooks + per-vector codes — so
@@ -1041,10 +1110,8 @@ object Ann {
                        indexPath: String): Unit = {
     val parts = pqPartsFrom(spark, embRaw)
     val cents1 = parts.cents1
-    val codes = parts.assign(cents1)
-      .groupBy(col("vec_id"))
-      .agg(expr(s"transform(array_sort(collect_list(struct(m, cell))), p -> p.cell)")
-        .as("code"))
+    val codes = parts.emb.select(col("vec_id"),
+      pqCodeExpr(collectCodebook(cents1)).as("code"))
     cents1.write.mode("overwrite").parquet(s"$indexPath/codebooks")
     // codes partitioned by a vec_id hash: [[pqIndexAppend]] then rewrites
     // only the partitions a batch touches, never the corpus-sized table
@@ -1072,10 +1139,8 @@ object Ann {
     graft.functions.VectorExpressions.register(spark)
     val emb = newVecs.select(col("vec_id"), quantized(col("embedding")).as("q"))
     val cents1 = spark.read.parquet(s"$indexPath/codebooks")
-    val codes = pqAssignAgainst(emb, cents1)
-      .groupBy(col("vec_id"))
-      .agg(expr(s"transform(array_sort(collect_list(struct(m, cell))), p -> p.cell)")
-        .as("code"))
+    val codes = emb.select(col("vec_id"),
+        pqCodeExpr(collectCodebook(cents1)).as("code"))
       .withColumn("cp", pmod(col("vec_id"), lit(PqCodesParts.toLong)).cast("int"))
     graft.sources.Store.upsertPartitions(codes, s"$indexPath/codes",
       Seq("vec_id"), Seq("cp"))
@@ -1093,19 +1158,12 @@ object Ann {
     graft.functions.VectorExpressions.register(spark)
     val emb = embRaw
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
-    // LUT building only ever needs the QUERY vectors' coordinates; the
-    // semi-join inside pqScore can't be pushed below the posexplode by
-    // Catalyst, so filter before exploding — the inline path reuses the
-    // training-time coords instead, but a served query must not pay a
-    // corpus-sized explode (measured 2.5× of the x50 serve latency).
-    val coords = emb.filter(col("vec_id") < AnnQueryIds)
-      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("x"),
-        floor(col("i") / SubDim).cast("int").as("m"),
-        (col("i") % SubDim).as("j"))
+    // r17: LUTs are built IN-ROW from the query rows and the driver-held
+    // codebook (see pqScore) — the query-side coords explode this path
+    // used to pay is gone entirely.
     val cents1 = spark.read.parquet(s"$indexPath/codebooks")
     val codes = spark.read.parquet(s"$indexPath/codes")
-    pqScore(emb, coords, cents1, codes)
+    pqScore(emb, collectCodebook(cents1), codes)
   }
 
   /** Build-once/query-many entry points for the bench and verify
@@ -1600,19 +1658,26 @@ object Ann {
 
   /** ADC scoring + exact re-rank over a trained index (codebooks +
     * codes), shared by the inline and persisted-index paths. */
-  private def pqScore(emb: DataFrame, coords: DataFrame,
-                      cents1: DataFrame, codes: DataFrame): DataFrame = {
+  private def pqScore(emb: DataFrame, cb: PqCodebook,
+                      codes: DataFrame): DataFrame = {
     // ADC lookup tables for the query set: qdot(query, m, cell), packed
-    // into one broadcastable map per query keyed m*K+cell
-    val luts = coords.join(emb.filter(col("vec_id") < AnnQueryIds)
-          .select(col("vec_id").as("query_id")),
-        col("vec_id") === col("query_id"), "left_semi")
-      .join(broadcast(cents1), Seq("m", "j"))
-      .groupBy(col("vec_id").as("query_id"), col("m"), col("cell"))
-      .agg(sum(col("x") * col("cx")).as("qdot"))
-      .groupBy(col("query_id"))
-      .agg(map_from_entries(collect_list(
-        struct((col("m") * PqK + col("cell")).cast("int"), col("qdot")))).as("lut"))
+    // into one broadcastable map per query keyed m*K+cell.
+    // r17 (optimization): one in-row expression over the Q query rows and
+    // the driver-held codebook literal — the old build exploded the query
+    // vectors to coords, semi-joined, broadcast-joined the codebook and
+    // ran TWO aggregations (sum over j, then the map collect). qdot sums
+    // integer-valued products < 2^53, so the j-ascending fold is
+    // bit-identical to the old hash aggregate's order-free exact sum.
+    val carr = codebookSql(cb)
+    val lutSql =
+      s"map_from_entries(flatten(transform(sequence(0, ${PqM - 1}), m -> " +
+        s"zip_with(sequence(0, ${PqK - 1}), " +
+        s"transform($carr[m], cc -> " +
+        s"aggregate(zip_with(slice(q, m * $SubDim + 1, $SubDim), cc, " +
+        "(x, c) -> x * c), 0D, (a, v) -> a + v)), " +
+        s"(c, qd) -> struct(CAST(m * $PqK + c AS INT) AS k, qd AS v)))))"
+    val luts = emb.filter(col("vec_id") < AnnQueryIds)
+      .select(col("vec_id").as("query_id"), expr(lutSql).as("lut"))
     // corpus scan × query LUTs: M map lookups per candidate, map-side
     val scored = codes.crossJoin(broadcast(luts))
       .filter(col("vec_id") =!= col("query_id"))
