@@ -172,6 +172,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomExpressions.BloomMightContain].getName,
         "graft_bloom_might_contain"),
       (exprs: Seq[Expression]) => BloomExpressions.BloomMightContain(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_pq_code"),
+      new ExpressionInfo(classOf[PqExpressions.PqCode].getName, "graft_pq_code"),
+      (exprs: Seq[Expression]) => PqExpressions.codeFromExprs(exprs)))
+    ext.injectFunction((FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqExpressions.PqAdcDot].getName, "graft_pq_adc"),
+      (exprs: Seq[Expression]) => PqExpressions.adcFromExprs(exprs)))
     ShingleExpressions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(ShingleExpressions.getClass.getName, name), builder))

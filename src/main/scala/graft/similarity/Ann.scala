@@ -976,9 +976,17 @@ object Ann {
   /** The per-vector PQ code as one in-row expression: cell argmin per
     * subspace, in subspace order — identical to the old
     * `array_sort(collect_list(struct(m, cell)))` aggregation, with the
-    * n-row groupBy gone (map-only encode). */
+    * n-row groupBy gone (map-only encode). r17 second pass: the argmin is
+    * the codegen kernel [[graft.functions.PqExpressions.PqCode]] — the
+    * first map-only form composed it from `transform`/`zip_with`/
+    * `aggregate` HOFs, whose interpreted per-element lambdas made encode
+    * 6× SLOWER than the join it replaced (12.2 s vs 2.0 s measured);
+    * the flat primitive loop keeps the map-only plan and removes the
+    * per-row allocation storm (guide §1.2 step 2). Same fold order →
+    * bit-identical codes. */
   private def pqCodeExpr(cb: PqCodebook): org.apache.spark.sql.Column =
-    expr(s"transform(${pqArgminSql(cb)}, p -> p.cell)")
+    graft.functions.PqExpressions.pqCode(
+      col("q"), cb.flatten.flatten, PqM, PqK)
 
   /** The exact-integer argmin assignment of quantized vectors against a
     * long-format codebook — the unit training, build, and frozen-codebook
@@ -1009,8 +1017,15 @@ object Ann {
       * the encode and the LUT build. */
     lazy val cents1: DataFrame = {
       val cb0 = collectCodebook(cents0)
-      emb.select(expr(s"transform(${pqArgminSql(cb0)}, p -> p.cell)").as("code"),
-          posexplode(col("q")).as(Seq("i", "x")))
+      // The code column is PROJECTED BELOW the Generate (its own select):
+      // a non-generator expression in the same select as a posexplode is
+      // placed by the analyzer ABOVE the Generate and re-evaluated once
+      // per generated row — measured at 53.7 s (vs 2.7 s for the join
+      // form it replaced) when the argmin HOF ran Dim=64 times per
+      // vector. As a bare attribute here it is computed once per row,
+      // and the argmin itself is the codegen kernel (see pqCodeExpr).
+      emb.select(pqCodeExpr(cb0).as("code"), col("q"))
+        .select(col("code"), posexplode(col("q")).as(Seq("i", "x")))
         .select(floor(col("i") / SubDim).cast("int").as("m"),
           (col("i") % SubDim).as("j"), col("x"), col("code"))
         .select(col("m"), expr("code[m]").as("cell"), col("j"), col("x"))
@@ -1029,6 +1044,7 @@ object Ann {
     import spark.implicits._
     graft.functions.VectorExpressions.register(spark)
     graft.functions.HashExpressions.register(spark)
+    graft.functions.PqExpressions.register(spark)
     val emb = embRaw
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
     // seed codebook: the PqK hash-smallest vectors, sliced per subspace
@@ -1137,6 +1153,7 @@ object Ann {
   def pqIndexAppend(newVecs: DataFrame, indexPath: String): Unit = {
     val spark = newVecs.sparkSession
     graft.functions.VectorExpressions.register(spark)
+    graft.functions.PqExpressions.register(spark)
     val emb = newVecs.select(col("vec_id"), quantized(col("embedding")).as("q"))
     val cents1 = spark.read.parquet(s"$indexPath/codebooks")
     val codes = emb.select(col("vec_id"),
@@ -1156,6 +1173,7 @@ object Ann {
   def pqTopKIndexedFrom(spark: SparkSession, embRaw: DataFrame,
                         indexPath: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
+    graft.functions.PqExpressions.register(spark)
     val emb = embRaw
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
     // r17: LUTs are built IN-ROW from the query rows and the driver-held
@@ -1661,30 +1679,33 @@ object Ann {
   private def pqScore(emb: DataFrame, cb: PqCodebook,
                       codes: DataFrame): DataFrame = {
     // ADC lookup tables for the query set: qdot(query, m, cell), packed
-    // into one broadcastable map per query keyed m*K+cell.
+    // into one broadcastable array per query indexed m*K+cell.
     // r17 (optimization): one in-row expression over the Q query rows and
     // the driver-held codebook literal — the old build exploded the query
     // vectors to coords, semi-joined, broadcast-joined the codebook and
     // ran TWO aggregations (sum over j, then the map collect). qdot sums
     // integer-valued products < 2^53, so the j-ascending fold is
     // bit-identical to the old hash aggregate's order-free exact sum.
+    // HOFs are fine HERE: this runs once per QUERY row (Q rows), not per
+    // corpus row. Second pass: the table is an ARRAY, not a map —
+    // `element_at` on an interpreted map literal linear-scans its K·M
+    // entries per lookup, so the per-candidate probe below is the codegen
+    // kernel [[graft.functions.PqExpressions.PqAdcDot]] doing M direct
+    // array reads (same m-ascending fold → bit-identical sums).
     val carr = codebookSql(cb)
     val lutSql =
-      s"map_from_entries(flatten(transform(sequence(0, ${PqM - 1}), m -> " +
-        s"zip_with(sequence(0, ${PqK - 1}), " +
+      s"flatten(transform(sequence(0, ${PqM - 1}), m -> " +
         s"transform($carr[m], cc -> " +
         s"aggregate(zip_with(slice(q, m * $SubDim + 1, $SubDim), cc, " +
-        "(x, c) -> x * c), 0D, (a, v) -> a + v)), " +
-        s"(c, qd) -> struct(CAST(m * $PqK + c AS INT) AS k, qd AS v)))))"
+        "(x, c) -> x * c), 0D, (a, v) -> a + v))))"
     val luts = emb.filter(col("vec_id") < AnnQueryIds)
       .select(col("vec_id").as("query_id"), expr(lutSql).as("lut"))
-    // corpus scan × query LUTs: M map lookups per candidate, map-side
+    // corpus scan × query LUTs: M array lookups per candidate, map-side
     val scored = codes.crossJoin(broadcast(luts))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("approx_dot",
-        expr(s"CAST(aggregate(transform(zip_with(sequence(0, ${PqM - 1}), code, " +
-          s"(m, c) -> m * $PqK + c), k -> element_at(lut, CAST(k AS INT))), " +
-          "0D, (a, v) -> a + v) AS BIGINT)"))
+        graft.functions.PqExpressions.pqAdcDot(col("code"), col("lut"), PqK)
+          .cast("long"))
     val candidates = scored.withColumn("adc_rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("approx_dot").desc, col("vec_id"))))
       .filter(col("adc_rank") <= PqRerankN)
