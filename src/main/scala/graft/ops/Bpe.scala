@@ -39,13 +39,118 @@ object Bpe {
         .otherwise(concat(acc, array(s))))
   }
 
+  /** Vocabulary cap for driver-local training. A (word, freq) dictionary
+    * is VOCABULARY-sized, not corpus-sized — a few million distinct
+    * pre-tokenized words even at web scale (the pre-tokenizer's
+    * `[a-z]+|[0-9]+` alphabet bounds it hard), tens of MB collected. */
+  val MaxDriverVocab = 4000000
+
   /** Learn up to `nMerges` merge rules from `textCol` of `docs`. Stops
-    * early when no adjacent pair repeats. Returns the ordered rules. */
+    * early when no adjacent pair repeats. Returns the ordered rules.
+    *
+    * r17 (optimization, guide §1.2 step 1): the merge loop runs on the
+    * word-frequency DICTIONARY, which the corpus collapses into with one
+    * aggregation — after that nothing is corpus-sized, so the 16-round
+    * loop ran 30+ sequential vocabulary-sized Spark jobs (pair-count
+    * aggregate + TakeOrdered + periodic localCheckpoint) whose wall was
+    * pure per-job overhead (~3.9 s of the bench's 5.2 s entry). This is
+    * the shape every production tokenizer trainer uses (distributed word
+    * count, local merge loop): collect the dictionary once (size-gated)
+    * and run the rounds in-process — bit-identical merges, since the
+    * local loop reproduces the exact count-DESC / pair-ASC (UTF-8 byte
+    * order, matching Spark's UTF8String comparison) total order and the
+    * same left-to-right non-overlapping apply rule. Corpora whose
+    * dictionary exceeds [[MaxDriverVocab]] take the old distributed loop
+    * unchanged. */
   def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
-    var dict = docs
+    val freqs = docs
       .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
+    val rows = freqs.limit(MaxDriverVocab + 1).collect()
+    if (rows.length > MaxDriverVocab) trainDistributed(freqs, nMerges)
+    else trainLocal(rows.map(r => (r.getString(0), r.getLong(1))), nMerges)
+  }
+
+  /** Split a word into one symbol per Unicode CODE POINT — the same unit
+    * Spark's `substr` walks in [[charSyms]] (UTF8String counts code
+    * points, not UTF-16 chars). */
+  private def codePointSyms(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** Unsigned UTF-8 byte order — what Spark's UTF8String (and DuckDB's
+    * binary collation) compare strings by; Scala's String ordering is
+    * UTF-16 and diverges above the BMP. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private[graft] def trainLocal(freqs: Array[(String, Long)],
+                              nMerges: Int): Seq[Merge] = {
+    var dict: Array[(Array[String], Long)] =
+      freqs.map { case (w, f) => (codePointSyms(w), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      dict.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      var best: Option[((String, String), Long)] = None
+      counts.foreach { case (p, n) =>
+        if (n >= 2 && best.forall { case (bp, bn) =>
+          n > bn || (n == bn && (utf8Less(p._1, bp._1) ||
+            (p._1 == bp._1 && utf8Less(p._2, bp._2))))
+        }) best = Some((p, n))
+      }
+      best match {
+        case None => exhausted = true
+        case Some(((a, b), _)) =>
+          merges += Merge(a, b)
+          val ab = a + b
+          dict = dict.map { case (syms, f) =>
+            // left-to-right non-overlapping apply — the Sennrich rule,
+            // identical to the applyMerge column fold
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            syms.foreach { s =>
+              if (out.nonEmpty && out.last == a && s == b) {
+                out.remove(out.size - 1); out += ab
+              } else out += s
+            }
+            (out.toArray, f)
+          }
+          round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The pre-r17 distributed merge loop — the fallback for dictionaries
+    * above [[MaxDriverVocab]]. */
+  private[graft] def trainDistributed(freqs: DataFrame, nMerges: Int): Seq[Merge] = {
+    var dict = freqs
       .select(charSyms(col("word")).as("syms"), col("freq"))
       .localCheckpoint()
 

@@ -64,6 +64,24 @@ class BpeSpec extends SparkTestBase {
     assert(t10 >= 1.0)
   }
 
+  test("driver-local loop equals the distributed fallback merge-for-merge") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).limit(300)
+      .select(concat_ws(" ",
+        expr(s"regexp_extract_all(lower(text), '${Bpe.PreTokenRegex}', 0)"))
+        .as("text"))
+    val freqs = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val localRows = freqs.collect().map(r => (r.getString(0), r.getLong(1)))
+    val viaLocal = Bpe.trainLocal(localRows, 12)
+    val viaDistributed = Bpe.trainDistributed(freqs, 12)
+    assert(viaLocal == viaDistributed,
+      s"\n local: $viaLocal\n dist:  $viaDistributed")
+    assert(viaLocal.size == 12)
+  }
+
   test("a corpus with no repeating pair stops early") {
     import spark.implicits._
     val docs = Seq("ab cd ef").toDF("text")
