@@ -1072,8 +1072,15 @@ object Dedup {
     * self-join shape sorted and joined them a second time and fanned the
     * pair rows through a join operator. Same distinct pair set:
     * per-doc gram sets are distinct, so (doc_id, h) rows are unique and
-    * the sorted doc list enumerates exactly the doc_a < doc_b pairs. */
+    * the sorted doc list enumerates exactly the doc_a < doc_b pairs.
+    *
+    * Second pass: the expansion is the codegen kernel
+    * [[graft.functions.PairExpressions.OrderedPairs]] — the first form
+    * composed it from nested `transform(sequence(...))` HOFs, whose
+    * interpreted per-element lambdas made the whole ngram family ×1.4–1.7
+    * SLOWER than the self-join it replaced (same-session A/B). */
   private[graft] def ngramPairsOver(posting: DataFrame): DataFrame = {
+    graft.functions.PairExpressions.register(posting.sparkSession)
     val rareGrams = posting.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= NgramMaxDf)
@@ -1081,10 +1088,8 @@ object Dedup {
     posting.join(rareGrams, "h")
       .groupBy(col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .select(explode(expr(
-        "flatten(transform(sequence(0, size(ds) - 2), " +
-          "i -> transform(sequence(i + 1, size(ds) - 1), " +
-          "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))")).as("p"))
+      .select(explode(
+        graft.functions.PairExpressions.orderedPairs(col("ds"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
   }

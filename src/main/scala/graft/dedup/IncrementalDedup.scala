@@ -113,24 +113,25 @@ object IncrementalDedup {
     val bmin = bucketMins(bands).persist()
     // batch-bounded from here on
     val storedHits = probeHits(spark, storeDir, bmin).persist()
-    // ONE owner table, ONE join over the band fan-out (r17 — the device
-    // selfDedupAdmitBatch already used, guide §2.4): the earliest occupant
-    // of a bucket as of this batch is least(store owner, batch minimum);
-    // the prior/intra split needed two joins of the band rows plus a
-    // union. A doc is rejected iff that minimum is strictly smaller than
-    // it, and since own_min = min(all candidates) the per-doc min over
-    // buckets is unchanged. (`owner < doc_id` still guards replays, where
-    // a store owner can equal the probing doc.)
-    val ownAll = bmin
-      .join(storedHits.select(keyNames.map(col) :+ col("owner"): _*),
-        keyNames, "left_outer")
-      .select(keyCols.map(col) :+
-        least(coalesce(col("owner"), lit(Long.MaxValue)), col("batch_owner"))
-          .as("own_min"): _*)
-    val dupOf = bands
-      .join(ownAll, keyCols)
-      .filter(col("own_min") < col("doc_id"))
-      .groupBy("doc_id").agg(min(col("own_min")).as("dup_of"))
+    // Two-join prior/intra split, kept DELIBERATELY (r17): the single
+    // least(store-owner, batch-owner) table looked cheaper on paper (one
+    // join over the band fan-out instead of two + a union), but measured
+    // ×1.37 SLOWER same-session (d_incremental_admit_fast batch legs
+    // 1.7/2.4/2.5 s → 2.5/3.2/3.6 s) — the prior-rejection join's build
+    // side (storedHits, only the buckets with store matches) is far
+    // smaller than the every-bucket owner table, and the asymmetry wins
+    // over the saved union. Guide §1.1: the "ideal" plan lost to the
+    // empirical one; keep the measurement.
+    val priorRej = bands
+      .join(storedHits, keyCols)
+      .filter(col("owner") < col("doc_id"))
+      .select(col("doc_id"), col("owner").as("earlier"))
+    val intraRej = bands
+      .join(bmin, keyCols)
+      .filter(col("doc_id") > col("batch_owner"))
+      .select(col("doc_id"), col("batch_owner").as("earlier"))
+    val dupOf = priorRej.unionAll(intraRej)
+      .groupBy("doc_id").agg(min(col("earlier")).as("dup_of"))
     val flags = batch.select(col("doc_id"))
       .join(dupOf, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),

@@ -178,6 +178,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqExpressions.PqAdcDot].getName, "graft_pq_adc"),
       (exprs: Seq[Expression]) => PqExpressions.adcFromExprs(exprs)))
+    ext.injectFunction((FunctionIdentifier("graft_ordered_pairs"),
+      new ExpressionInfo(classOf[PairExpressions.OrderedPairs].getName,
+        "graft_ordered_pairs"),
+      (exprs: Seq[Expression]) => PairExpressions.OrderedPairs(exprs(0))))
     ShingleExpressions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(ShingleExpressions.getClass.getName, name), builder))
