@@ -47,11 +47,18 @@ object PinClasses {
     clearPersisted()
 
     val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    // r16 ADVICE: a query whose execution throws must ABORT the pin, not
+    // silently commit a (0, 0) byte pair classified 'scan' — a transient
+    // error during regeneration would otherwise pin a wrong class that
+    // BenchCalibSpec's byte-pair consistency check cannot catch (0 > 0 is
+    // self-consistent).
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val rows = qs.map { case (name, fn) =>
       listener.reset()
       graft.ops.Legs.drain()
       try { fn(spark, sfDir).queryExecution.toRdd.count(); () }
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[pin] $name FAILED: ${e.getMessage}")
       }
       MetricsListener.drainBus(spark)
@@ -62,6 +69,12 @@ object PinClasses {
       val cls = if (graft.Bench.shuffleHeavy(m)) "shuffle" else "scan"
       System.err.println(f"[pin] $name%-28s $cls%-8s shufW=$sw%12d input=$ib%12d")
       s"$name\t$cls\t$sw\t$ib"
+    }
+    if (failed.nonEmpty) {
+      System.err.println(s"[pin] ABORTED — ${failed.length} queries failed " +
+        s"(${failed.mkString(", ")}); $outFile NOT written")
+      spark.stop()
+      sys.exit(1)
     }
     val header = Seq(
       "# PINNED bench class membership (r15 VERDICT finding 2).",

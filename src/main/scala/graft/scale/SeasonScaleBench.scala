@@ -174,7 +174,7 @@ object SeasonScaleBench {
     val controlBody = control.fold("")(c =>
       s""",\n  "x${c.plays / base.plays}_coalesce_off": ${cellJson(c)}""")
     val json = s"""{
-  "meta": {"cpus": $cpus, "heap_gb": ${Runtime.getRuntime.maxMemory / (1024L * 1024 * 1024)}, "posture": "$posture", "note": "disjoint game copies: plays are the exact scale knob, per-play group size constant; claims = linear wall, SUB-LINEAR peak task memory (r9 production posture: 2.6x at x30; r14: 1.6x — the growth lives in the sort/agg stages around the kernel, whose AQE-coalesced partitions carry more rows as the input grows; the kernel's own per-play state is constant), zero spill. stage_peaks names the top stages by per-stage peak task memory so the attribution is read off the stage names; the optional *_coalesce_off control re-runs one cell with AQE partition coalescing pinned off — if the growth is the coalescer packing rows, its peak falls back toward x1"},
+  "meta": {"cpus": $cpus, "heap_gb": ${Runtime.getRuntime.maxMemory / (1024L * 1024 * 1024)}, "posture": "$posture", "note": "disjoint game copies: plays are the exact scale knob, per-play group size constant; claims = linear wall, SUB-LINEAR peak task memory, zero spill. Attribution (r15 coalesce-off control, reconfirmed by r16 stage_peaks): the peak-memory growth lives in the BENCH HARNESS's replicated-input exchange (Exchange+map+parallelize stages), which does not exist in production; the kernel MapGroups stage and the job's sort/agg stages stay flat at every scale. stage_peaks names the top stages by per-stage peak task memory so the attribution is read off the stage names; the optional *_coalesce_off control re-runs one cell with AQE partition coalescing pinned off"},
   $body$controlBody
 }
 """
