@@ -715,7 +715,14 @@ object ScaleBench {
       .append("control=true are diagnostic comparisons (_slim pair ")
       .append("experiment, forced distributed clustering) excluded from ")
       .append("the every-growth-ratio-below-ideal claim: their x1 walls ")
-      .append("are sub-second, so the ratio divides by noise\"},\n")
+      .append("are sub-second, so the ratio divides by noise. ")
+      // r16 VERDICT finding 5: the r16/r16b pair's x50 normalized medians
+      // sat 1.21x apart while raw agreed at 0.985x — probe walls are the
+      // noise source at every scale, not just x1
+      .append("Per-scale sec_per_calib columns are DIAGNOSTIC at every ")
+      .append("scale; RAW medians-of-pairs are the cross-run comparator ")
+      .append("(the r16 rehearsal pair measured x50 normalized medians ")
+      .append("1.21x apart at raw 0.985x)\"},\n")
     if (only.isDefined)
       sb.append("  \"probe_only\": [")
         .append(measured.map(q => s""""${q._1}"""").mkString(", "))
