@@ -305,6 +305,18 @@ object Bench {
       s""""n_queries":${results.size},$calibJson"file":"$outFile","md5":"$md5",""" +
       s""""legs":$legsShort,"sf":"$sfDir"}"""
     spark.stop()
+    // r18 (VERDICT r17 item 1): the per-query median map now rides stdout
+    // too — the FULL line (identical bytes to BENCH.json, same md5) is
+    // printed FIRST, and the short line stays the process's FINAL line.
+    // The contract's "queries" map cannot live on the parsed line itself:
+    // the driver keeps the last ~2 KB of stdout and parses the FINAL line
+    // as JSON (build.sbt comment; every BENCH_r07..r17 driver artifact
+    // stores exactly 2000 tail bytes), while the 184 query names alone are
+    // ~3.4 KB — the r07/r08 map-bearing line came back "parsed": null and
+    // lost even the total. Printing full-then-short is additions-only: a
+    // final-line parser sees exactly the r17 line; any full-stdout parser
+    // finds the complete per-query map one line up.
+    println(full)
     // print LAST, after spark.stop(), so no executor-shutdown log lands
     // between the JSON and the end of this JVM's output
     println(json)
