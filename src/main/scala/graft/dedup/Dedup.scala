@@ -539,6 +539,14 @@ object Dedup {
     * build from ANOTHER suite landing between two global-counter reads
     * made the r11 assertions flaky. */
   private[graft] val bucketedBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** How many layout builds were seeded from the sibling layout's
+    * materialized sets ([[siblingSetsSource]]) — spec observability,
+    * per entry (suites share one JVM; a global counter is flaky under
+    * parallel suites — the r11 lesson behind [[bucketedBuildsFor]]). */
+  private val siblingSeededByEntry =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[graft] def siblingSeededFor(dir: String, kind: String): Long =
+    siblingSeededByEntry.getOrElse(layoutEntry(dir, kind).getName, 0L)
   private val bucketedBuildsByEntry =
     scala.collection.concurrent.TrieMap.empty[String, Long]
   private[graft] def bucketedBuildsFor(dir: String, kind: String): Long =
@@ -639,10 +647,65 @@ object Dedup {
     new String(java.nio.file.Files.readAllBytes(
       new java.io.File(entry, name).toPath), "UTF-8")
 
+  /** r18 (guide §6 — reuse materialized derived data): the d4b
+    * (documents) and d4d (documents ∪ planted excerpt twins) gram layouts
+    * hold IDENTICAL per-doc gram sets for every real document (gramSets
+    * is row-local), so a FRESH sibling layout's installed sets files can
+    * seed this build and skip the corpus-wide tokenize+md5 pass — the
+    * dominant CPU of the two largest bench legs (layout_d4d/d4b build).
+    * Freshness = the sibling's `_built` marker equals OUR want string
+    * (layoutWant is kind-independent: same family constants, same
+    * resolved bucket count, same corpus fingerprint). The read is
+    * deliberately LOCKLESS: taking the sibling's build lock inside our
+    * own build would order the two entries' locks both ways across kinds
+    * — a cross-process deadlock — so a concurrent takedown/rebuild of
+    * the sibling mid-read surfaces as a failed write job and
+    * [[bucketedPair]] falls back to the from-scratch compute. */
+  private def siblingSetsSource(spark: SparkSession, dir: String,
+                                sibling: String, want: String)
+      : Option[() => DataFrame] = {
+    val entry = layoutEntry(dir, sibling)
+    val ok =
+      try new java.io.File(entry, "_built").exists() &&
+        readEntryFile(entry, "_built") == want
+      catch { case _: Exception => false }
+    if (!ok) None
+    else Some(() => spark.read.parquet(s"${entry.getPath}/sets")
+      .select(col("doc_id"), col("gs")))
+  }
+
+  /** The planted excerpt twins of [[containCorpus]] on their own — the
+    * 5-row remainder a d4d build needs when its real-document sets come
+    * from the sibling d4b layout. */
+  private def excerptTwins(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + ContainIdBase).as("doc_id"),
+        concat_ws(" ", slice(split(trim(canonText(docs)), "\\s+"),
+          1, ContainTokens)).as("text"))
+  }
+
+  /** Sibling-seeded sets source for a gram-layout build at resolved
+    * bucket count `nb` — see [[siblingSetsSource]]. d4b filters the
+    * excerpt twins out of d4d's sets; d4d unions them onto d4b's. */
+  private def gramAltSets(spark: SparkSession, dir: String, kind: String)
+                         (nb: Int): Option[() => DataFrame] = {
+    val want = layoutWant(spark, dir, nb)
+    kind match {
+      case "d4b" => siblingSetsSource(spark, dir, "d4d", want)
+        .map(src => () => src().filter(col("doc_id") < ContainIdBase))
+      case "d4d" => siblingSetsSource(spark, dir, "d4b", want)
+        .map(src => () => src()
+          .unionByName(gramSets(excerptTwins(spark, dir))))
+      case _ => None
+    }
+  }
+
   private def bucketedPair(spark: SparkSession, dir: String, kind: String,
                            nBuckets: Int, reuse: Boolean,
                            sets: => DataFrame,
-                           candsOf: DataFrame => DataFrame)
+                           candsOf: DataFrame => DataFrame,
+                           altSetsFor: Int => Option[() => DataFrame] = _ => None)
       : (DataFrame, DataFrame) = synchronized {
     // the whole check-and-build-and-register is serialized JVM-wide:
     // Verify's query pool can hit one (kind, corpus) pair from two
@@ -692,8 +755,27 @@ object Dedup {
         registerBase = None, force = forceOnce) { tmp =>
        val buildT0 = System.nanoTime()
        graft.ops.Legs.time(s"layout_$kind", "build") {
-        val setsDdl = graft.sources.Store.writeBucketedExternal(
-          sets, "doc_id", nb, s"$tmp/sets")
+        // preferred source first (a fresh sibling layout's materialized
+        // sets — see [[siblingSetsSource]]), from-scratch compute as the
+        // fallback on ANY failure of the seeded write
+        val setsDdl = altSetsFor(nb) match {
+          case Some(src) =>
+            try {
+              val ddl = graft.sources.Store.writeBucketedExternal(
+                src(), "doc_id", nb, s"$tmp/sets")
+              siblingSeededByEntry.updateWith(entry.getName)(
+                c => Some(c.getOrElse(0L) + 1L))
+              ddl
+            } catch { case e: Exception =>
+              System.err.println(s"[dedup] layout_$kind: sibling-seeded " +
+                s"sets build failed (${e.getMessage}); recomputing from corpus")
+              graft.similarity.Ann.deleteLocal(new java.io.File(s"$tmp/sets"))
+              graft.sources.Store.writeBucketedExternal(
+                sets, "doc_id", nb, s"$tmp/sets")
+            }
+          case None => graft.sources.Store.writeBucketedExternal(
+            sets, "doc_id", nb, s"$tmp/sets")
+        }
         // candidates are generated from the MATERIALIZED sets (one scan of
         // the written files — the gram/shingle hashing never runs twice)
         val candsDdl = graft.sources.Store.writeBucketedExternal(
@@ -835,8 +917,7 @@ object Dedup {
     * is unaffected: it buckets by `pmod(h, GramBuckets)`, which is
     * width-agnostic. */
   private[graft] def gramSets(docs: DataFrame): DataFrame =
-    gramSetsWith(docs,
-      s"graft_md5_prefix64(concat_ws(' ', slice(toks, i, $NgramN)), 15)")
+    gramSetsWith(docs, "md5")
 
   /** Production fast twin of [[gramSets]]: xxhash64 gram identity — the
     * full signed 64-bit space, no md5 anywhere on the path (the same
@@ -848,11 +929,35 @@ object Dedup {
     * rows are bit-identical to the md5 path's (pairs, n_inter, scores:
     * all are functions of gram IDENTITY, not hash values). */
   private[graft] def gramSetsFast(docs: DataFrame): DataFrame =
-    gramSetsWith(docs, s"xxhash64(concat_ws(' ', slice(toks, i, $NgramN)))")
+    gramSetsWith(docs, "xxh64")
 
-  private def gramSetsWith(docs: DataFrame, hashExpr: String): DataFrame = {
+  /** r18 (optimization): the gram loop is the codegen kernel
+    * `graft_gram_set` (ShingleExpressions.GramHashSet) — the previous
+    * `array_sort(array_distinct(transform(sequence(...), i -> hash(
+    * concat_ws(' ', slice(toks, i, n))))))` composition evaluated its
+    * lambda INTERPRETED per gram with a fresh slice array + joined string
+    * each time (the r17 HOF trap, guide §1.2 step 2). Bit-identical output
+    * — GramSetKernelSpec pins kernel ≡ HOF on the corpus plus edge shapes,
+    * and the unchanged oracle SQL gates every query built on it. */
+  private def gramSetsWith(docs: DataFrame, algo: String): DataFrame = {
     graft.functions.ShingleExpressions.register(docs.sparkSession)
     graft.functions.HashExpressions.register(docs.sparkSession)
+    docs
+      .withColumn("toks", split(trim(canonText(docs)), "\\s+"))
+      .select(col("doc_id"), graft.functions.ShingleExpressions
+        .gramSet(col("toks"), NgramN, 15, algo).as("gs"))
+  }
+
+  /** The pre-r18 interpreted-HOF gram pass — kept ONLY as the
+    * equivalence/measurement control for [[gramSetsWith]]
+    * (GramSetKernelSpec; the A/B probe). Not referenced by any query. */
+  private[graft] def gramSetsHof(docs: DataFrame, algo: String): DataFrame = {
+    graft.functions.ShingleExpressions.register(docs.sparkSession)
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val hashExpr =
+      if (algo == "md5")
+        s"graft_md5_prefix64(concat_ws(' ', slice(toks, i, $NgramN)), 15)"
+      else s"xxhash64(concat_ws(' ', slice(toks, i, $NgramN)))"
     docs
       .withColumn("toks", split(trim(canonText(docs)), "\\s+"))
       .withColumn("gs", expr(
@@ -950,7 +1055,8 @@ object Dedup {
     graft.functions.HashExpressions.register(spark)
     val (setsT, candsT) = bucketedPair(spark, dir, "d4d", nBuckets, reuse,
       gramSets(containCorpus(spark, dir)),
-      s => ngramPairsOver(s.select(col("doc_id"), explode(col("gs")).as("h"))))
+      s => ngramPairsOver(s.select(col("doc_id"), explode(col("gs")).as("h"))),
+      gramAltSets(spark, dir, "d4d"))
     scoreContainAttachedPairs(candsT
       .join(setsT.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
       .join(setsT.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b"))
@@ -1079,19 +1185,58 @@ object Dedup {
     * composed it from nested `transform(sequence(...))` HOFs, whose
     * interpreted per-element lambdas made the whole ngram family ×1.4–1.7
     * SLOWER than the self-join it replaced (same-session A/B). */
+  /** Size gate for the broadcast candidate expansion below: the posting's
+    * plan-estimated bytes must fit under this for the rare posting to
+    * broadcast. Conservative by construction (the broadcast side is the
+    * rare-filtered subset, always ≤ the whole posting). Parameterised for
+    * production (`graft.ngram.broadcastPostingMaxBytes` session conf);
+    * the 8 MB default keeps the sf-scale serve paths on the measured-
+    * faster broadcast while the ×50 scale-rehearsal corpora (~29 MB of
+    * documents) and any corpus-scale posting (100 TB: the posting IS
+    * the corpus) stay on the one-exchange collect_list shape — the
+    * plan the rehearsal pins. */
+  val BroadcastPostingMaxBytes: Long = 8L * 1024 * 1024
+
   private[graft] def ngramPairsOver(posting: DataFrame): DataFrame = {
     graft.functions.PairExpressions.register(posting.sparkSession)
     val rareGrams = posting.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= NgramMaxDf)
       .select(col("h"))
-    posting.join(rareGrams, "h")
-      .groupBy(col("h"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .select(explode(
-        graft.functions.PairExpressions.orderedPairs(col("ds"))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
+    // SIZE-ADAPTIVE expansion (r18, VERDICT r17 item 5). Same distinct
+    // (doc_a < doc_b) pair set either way — only the plan differs:
+    //  - small posting (accurate parquet stats on the indexed serve
+    //    paths): broadcast the rare posting and self-join — the plan the
+    //    pre-r17 form got from the optimizer at bench scale, measured
+    //    ~1.2 s faster there than the collect_list shape, and impossible
+    //    at corpus scale (the posting IS the corpus);
+    //  - large or unknown-size posting: the r17 df-capped collect_list
+    //    per gram + in-row ordered-pair kernel — ONE exchange, the only
+    //    shape that exists at 100 TB.
+    val postingBytes =
+      try posting.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Exception => BigInt(Long.MaxValue) }
+    val maxBytes = posting.sparkSession.conf
+      .getOption("graft.ngram.broadcastPostingMaxBytes")
+      .map(_.toLong).getOrElse(BroadcastPostingMaxBytes)
+    if (postingBytes <= maxBytes) {
+      val rare = posting.join(rareGrams, "h")
+      // distinct names on each side: a same-lineage self-join with
+      // l("h") === r("h") trips Spark's ambiguous-self-join resolution
+      val l = rare.select(col("h").as("hl"), col("doc_id").as("doc_a"))
+      val r = rare.select(col("h").as("hr"), col("doc_id").as("doc_b"))
+      broadcast(l).join(r, col("hl") === col("hr") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+    } else {
+      posting.join(rareGrams, "h")
+        .groupBy(col("h"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .select(explode(
+          graft.functions.PairExpressions.orderedPairs(col("ds"))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
+    }
   }
 
   /** Verify half of [[ngramJaccardOver]]: exact Jaccard from the attached
@@ -1138,7 +1283,8 @@ object Dedup {
     graft.functions.HashExpressions.register(spark)
     val (setsT, candsT) = bucketedPair(spark, dir, "d4b", nBuckets, reuse,
       gramSets(Tables.documents(spark, dir)),
-      s => ngramPairsOver(s.select(col("doc_id"), explode(col("gs")).as("h"))))
+      s => ngramPairsOver(s.select(col("doc_id"), explode(col("gs")).as("h"))),
+      gramAltSets(spark, dir, "d4b"))
     scoreGramAttachedPairs(candsT
       .join(setsT.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
       .join(setsT.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b"))
@@ -1167,7 +1313,8 @@ object Dedup {
     graft.functions.HashExpressions.register(spark)
     val (setsT, candsT) = bucketedPair(spark, dir, "d4b", nBuckets, reuse,
       gramSets(Tables.documents(spark, dir)),
-      s => ngramPairsOver(s.select(col("doc_id"), explode(col("gs")).as("h"))))
+      s => ngramPairsOver(s.select(col("doc_id"), explode(col("gs")).as("h"))),
+      gramAltSets(spark, dir, "d4b"))
     scoreGramAttachedPairs(candsT
       .join(setsT.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
       .join(setsT.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a"))
@@ -1182,7 +1329,8 @@ object Dedup {
     graft.functions.HashExpressions.register(spark)
     val (setsT, candsT) = bucketedPair(spark, dir, "d4d", nBuckets, reuse,
       gramSets(containCorpus(spark, dir)),
-      s => ngramPairsOver(s.select(col("doc_id"), explode(col("gs")).as("h"))))
+      s => ngramPairsOver(s.select(col("doc_id"), explode(col("gs")).as("h"))),
+      gramAltSets(spark, dir, "d4d"))
     scoreContainAttachedPairs(candsT
       .join(setsT.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
       .join(setsT.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a"))

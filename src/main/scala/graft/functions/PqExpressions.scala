@@ -41,13 +41,26 @@ object PqExpressions {
     * `subDim = cb.length / (m·k)` coords, the index of the codebook cell
     * minimizing Σ_j (c·c − 2·x·c). `cb` is the flattened
     * [m][cell][j] codebook (missing cells NaN). Null vector → null;
-    * vector elements must be non-null (quantized coords by contract). */
-  case class PqCode(child: Expression, cb: Array[Double], m: Int, k: Int)
+    * vector elements must be non-null (quantized coords by contract).
+    * A vector whose LENGTH is not m·subDim is malformed — the kernel
+    * returns null rather than reading out of bounds (r17 ADVICE: an
+    * UnsafeArrayData getDouble past the end returns garbage silently,
+    * which would encode a malformed embedding to wrong-but-plausible
+    * codes; the corpus contract is fixed-dim, so no well-formed row ever
+    * takes this branch).
+    *
+    * `cb` is a Seq, not Array, so case-class equality is element-wise —
+    * two semantically identical PqCode expressions compare equal and
+    * Catalyst canonicalization/subexpression elimination can see it
+    * (r17 ADVICE: an Array field made equals reference-based). */
+  case class PqCode(child: Expression, cb: Seq[Double], m: Int, k: Int)
       extends UnaryExpression {
     require(m > 0 && k > 0 && cb.length % (m * k) == 0,
       s"codebook length ${cb.length} not divisible by m*k = ${m * k}")
 
     private val subDim = cb.length / (m * k)
+    @transient private lazy val cbArr: Array[Double] = cb.toArray
+    override def nullable: Boolean = true
 
     override def checkInputDataTypes(): TypeCheckResult =
       child.dataType match {
@@ -60,6 +73,7 @@ object PqExpressions {
 
     override def nullSafeEval(input: Any): Any = {
       val q = input.asInstanceOf[ArrayData]
+      if (q.numElements() != m * subDim) return null
       val out = new Array[Int](m)
       var mi = 0
       while (mi < m) {
@@ -71,7 +85,7 @@ object PqExpressions {
           val base = (mi * k + c) * subDim
           var j = 0
           while (j < subDim) {
-            val cc = cb(base + j)
+            val cc = cbArr(base + j)
             val x = q.getDouble(mi * subDim + j)
             d += cc * cc - x * cc * 2.0
             j += 1
@@ -87,7 +101,7 @@ object PqExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, q => {
-        val cbRef = ctx.addReferenceObj("pqcb", cb, "double[]")
+        val cbRef = ctx.addReferenceObj("pqcb", cbArr, "double[]")
         val out = ctx.freshName("out")
         val mi = ctx.freshName("mi")
         val c = ctx.freshName("c")
@@ -99,6 +113,9 @@ object PqExpressions {
         val cc = ctx.freshName("cc")
         val x = ctx.freshName("x")
         s"""
+           |if ($q.numElements() != ${m * subDim}) {
+           |  ${ev.isNull} = true;
+           |} else {
            |int[] $out = new int[$m];
            |for (int $mi = 0; $mi < $m; $mi++) {
            |  int $best = -1;
@@ -117,6 +134,7 @@ object PqExpressions {
            |}
            |${ev.value} =
            |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+           |}
          """.stripMargin
       })
 
@@ -127,8 +145,12 @@ object PqExpressions {
   /** ADC score of one corpus code against one query lookup table:
     * Σ_m lut[m·k + code[m]], subspaces ascending. `lut` is the flattened
     * per-query (m, cell) → q·centroid table. A code cell outside [0, k)
-    * (the all-NaN-subspace sentinel −1) yields null — the same null the
-    * map-lookup form produced for the absent key. */
+    * (the all-NaN-subspace sentinel −1) yields null. (Precision note, r17
+    * ADVICE: the old `element_at(map, m·k + cell)` form only missed the
+    * map — and so produced null — for the sentinel at m = 0; at m > 0 the
+    * key m·k − 1 silently read the PREVIOUS subspace's last cell, a wrong
+    * value. This kernel deliberately nulls every sentinel; no trained
+    * codebook produces one, so the behaviors never diverge in practice.) */
   case class PqAdcDot(left: Expression, right: Expression, k: Int)
       extends BinaryExpression {
 
@@ -203,7 +225,8 @@ object PqExpressions {
 
   private[functions] def codeFromExprs(exprs: Seq[Expression]): PqCode = {
     val cb = exprs(1) match {
-      case Literal(v: ArrayData, ArrayType(DoubleType, _)) => v.toDoubleArray()
+      case Literal(v: ArrayData, ArrayType(DoubleType, _)) =>
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(v.toDoubleArray())
       case other => throw new IllegalArgumentException(
         s"graft_pq_code codebook must be an array<double> literal, got $other")
     }

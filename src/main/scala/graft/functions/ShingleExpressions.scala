@@ -112,6 +112,99 @@ object ShingleUtil {
     UnsafeArrayData.fromPrimitiveArray(sortedDistinct(hs))
   }
 
+  /** Reusable per-thread byte buffer for [[md5GramSet]]/[[xxhGramSet]]'s
+    * space-joined gram bytes — grams are a few tokens (~tens of bytes), so
+    * one growable buffer removes every per-gram allocation the old
+    * `concat_ws(' ', slice(toks, i, n))` HOF composition paid (slice array
+    * + joined UTF8String per gram, interpreted lambda around both). */
+  private val gramBufs = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](256)
+  }
+
+  /** Write the space-joined gram `toks[i..i+n)` into the thread buffer and
+    * return its byte length. concat_ws semantics: null elements are
+    * skipped together with their separator. */
+  private def fillGram(toks: ArrayData, i: Int, n: Int): Int = {
+    var len = 0
+    var cnt = 0
+    var j = 0
+    while (j < n) {
+      if (!toks.isNullAt(i + j)) {
+        len += toks.getUTF8String(i + j).numBytes()
+        cnt += 1
+      }
+      j += 1
+    }
+    if (cnt > 1) len += cnt - 1
+    var buf = gramBufs.get()
+    if (buf.length < len) {
+      buf = new Array[Byte](math.max(len, buf.length * 2))
+      gramBufs.set(buf)
+    }
+    var pos = 0
+    var wrote = false
+    j = 0
+    while (j < n) {
+      if (!toks.isNullAt(i + j)) {
+        // concat_ws keeps EMPTY strings (with their separator) and skips
+        // only nulls — separate on element count, not on bytes written
+        // (a leading-empty token from split on untrimmed whitespace must
+        // yield the same " tok ..." gram bytes)
+        if (wrote) { buf(pos) = ' '.toByte; pos += 1 }
+        val t = toks.getUTF8String(i + j)
+        t.writeToMemory(buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+        pos += t.numBytes()
+        wrote = true
+      }
+      j += 1
+    }
+    pos
+  }
+
+  private val EmptyLongArray = new Array[Long](0)
+  private val SpaceUtf8 = UTF8String.fromString(" ")
+
+  /** Sorted-distinct md5-prefix hashes of the space-joined token n-grams —
+    * the [[graft.dedup.Dedup.gramSets]] kernel. Bit-identical to
+    * `array_sort(array_distinct(transform(sequence(1, size(toks) - n + 1),
+    * i -> graft_md5_prefix64(concat_ws(' ', slice(toks, i, n)), hex))))`
+    * guarded by `size(toks) >= n` (empty array otherwise), which ran its
+    * lambda INTERPRETED per gram (the r17 HOF trap, measured on the PQ and
+    * pair kernels; GramSetKernelSpec pins the equality corpus-wide). */
+  def md5GramSet(toks: ArrayData, n: Int, nBits: Int): ArrayData = {
+    val sz = toks.numElements()
+    val count = sz - n + 1
+    if (count <= 0) return UnsafeArrayData.fromPrimitiveArray(EmptyLongArray)
+    val dig = digests.get()
+    val hs = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val len = fillGram(toks, i, n)
+      hs(i) = md5Prefix(dig, gramBufs.get(), 0, len, nBits)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sortedDistinct(hs))
+  }
+
+  /** xxhash64 twin of [[md5GramSet]] — Spark `xxhash64(str)` semantics
+    * (XXH64 over the UTF-8 bytes, seed 42, full signed range), matching
+    * `xxhash64(concat_ws(' ', slice(toks, i, n)))`. */
+  def xxhGramSet(toks: ArrayData, n: Int): ArrayData = {
+    val sz = toks.numElements()
+    val count = sz - n + 1
+    if (count <= 0) return UnsafeArrayData.fromPrimitiveArray(EmptyLongArray)
+    val hs = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val len = fillGram(toks, i, n)
+      hs(i) = XXH64.hashUnsafeBytes(gramBufs.get(),
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sortedDistinct(hs))
+  }
+
   /** MinHash signature over a hash array: sig_j = min((h·(2j+1) + 101j+7) mod P).
     * One pass over the array for all m functions; h < P < 2³¹ and
     * 2j+1 ≤ 2m so the products stay far below 2⁶³. */
@@ -145,6 +238,73 @@ object ShingleUtil {
       else j += 1
     }
     c
+  }
+
+  /** Space-joined adjacent-pair bigram strings of a token array — the
+    * codegen twin of `transform(sequence(0, size(t) - 2),
+    * i -> concat(t[i], ' ', t[i+1]))` (whose lambda evaluates interpreted
+    * per element). Fewer than 2 tokens → empty array. concat semantics:
+    * a null neighbor makes that bigram null. */
+  def bigrams(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val count = math.max(n - 1, 0)
+    val out = new Array[UTF8String](count)
+    var i = 0
+    while (i < count) {
+      out(i) =
+        if (tokens.isNullAt(i) || tokens.isNullAt(i + 1)) null
+        else UTF8String.concat(tokens.getUTF8String(i), SpaceUtf8,
+          tokens.getUTF8String(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+
+  /** One-pass repetition statistics over a token array: (distinct-token
+    * count, max bigram multiplicity) — the [[graft.ops.TextOps]]
+    * repetitionStats kernel. Bit-identical to the composition it
+    * replaces: `size(array_distinct(t))` and the sorted-bigram
+    * longest-equal-run fold over `transform(sequence(0, size-2),
+    * i -> concat(t[i], ' ', t[i+1]))` (max run of a sorted multiset =
+    * max multiplicity; tokens come from a whitespace split so the
+    * space-joined bigram is injective in the pair — GramSetKernelSpec's
+    * sibling RepetitionKernelSpec assertion pins it corpus-wide). A null
+    * token makes its two bigrams null (concat semantics); null is one
+    * distinct token and one bigram value, as array_distinct/<=> treat it. */
+  def repetitionCounts(tokens: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = tokens.numElements()
+    val seen = new java.util.HashSet[UTF8String]()
+    var sawNullTok = false
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) sawNullTok = true
+      else seen.add(tokens.getUTF8String(i))
+      i += 1
+    }
+    val nDistinct = seen.size.toLong + (if (sawNullTok) 1L else 0L)
+    var best = 0L
+    var nullRun = 0L
+    if (n >= 2) {
+      val counts = new java.util.HashMap[UTF8String, Long]()
+      i = 0
+      while (i < n - 1) {
+        if (tokens.isNullAt(i) || tokens.isNullAt(i + 1)) {
+          nullRun += 1L
+          if (nullRun > best) best = nullRun
+        } else {
+          // space-joined bigram key: byte-equal to the concat the HOF
+          // form sorted and run-counted (one buffer reuse via concat)
+          val key = UTF8String.concat(tokens.getUTF8String(i),
+            SpaceUtf8, tokens.getUTF8String(i + 1))
+          val c = counts.merge(key, 1L, (a, b) => a + b)
+          if (c > best) best = c
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nDistinct, best))
   }
 
   /** SimHash over a token array: per token the 32-bit md5 prefix votes ±1 on
@@ -222,6 +382,48 @@ object ShingleExpressions {
       copy(child = newChild)
   }
 
+  /** Sorted-distinct n-gram hash set of a token array:
+    * `graft_gram_set(toks, n, nHexDigits, algo)` with algo ∈ {md5, xxh64}.
+    * The gram string is the space-join of n consecutive tokens; md5 hashes
+    * are the first `nHexDigits` hex digits as BIGINT (cross-engine
+    * identical — the DuckDB oracle path), xxh64 is Spark's `xxhash64`
+    * (seed 42, full signed range — the production fast path). Fewer than
+    * n tokens → empty array. */
+  case class GramHashSet(child: Expression, n: Int, nHexDigits: Int,
+                         algo: String) extends UnaryExpression {
+    require(n >= 1, s"gram width must be >= 1, got $n")
+    require(nHexDigits >= 1 && nHexDigits <= 15,
+      s"nHexDigits must be in [1, 15], got $nHexDigits")
+    require(algo == "md5" || algo == "xxh64", s"unknown hash algo $algo")
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<string> argument, got ${other.simpleString}")
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_gram_set"
+
+    private val nBits = 4 * nHexDigits
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      if (algo == "md5") ShingleUtil.md5GramSet(toks, n, nBits)
+      else ShingleUtil.xxhGramSet(toks, n)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        if (algo == "md5")
+          s"graft.functions.ShingleUtil.md5GramSet($c, $n, $nBits)"
+        else
+          s"graft.functions.ShingleUtil.xxhGramSet($c, $n)")
+
+    override protected def withNewChildInternal(newChild: Expression): GramHashSet =
+      copy(child = newChild)
+  }
+
   /** `graft_minhash_sig(hs, m, mod)` → array<long> of the m minhash values. */
   case class MinhashSignature(child: Expression, m: Int, mod: Long)
       extends UnaryExpression {
@@ -275,6 +477,55 @@ object ShingleExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** `graft_bigrams(tokens)` → array<string> of space-joined adjacent
+    * pairs (see [[ShingleUtil.bigrams]]). */
+  case class Bigrams(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<string> argument, got ${other.simpleString}")
+      }
+    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def prettyName: String = "graft_bigrams"
+
+    override def nullSafeEval(input: Any): Any =
+      ShingleUtil.bigrams(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.bigrams($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Bigrams =
+      copy(child = newChild)
+  }
+
+  /** `graft_repetition_counts(tokens)` →
+    * struct<n_distinct: long, top_bigram_n: long> — one pass instead of
+    * the interpreted transform + string-array sort + interpreted
+    * aggregate fold (see [[ShingleUtil.repetitionCounts]]). */
+  case class RepetitionCounts(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<string> argument, got ${other.simpleString}")
+      }
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_distinct", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("top_bigram_n", LongType, nullable = false)))
+    override def prettyName: String = "graft_repetition_counts"
+
+    override def nullSafeEval(input: Any): Any =
+      ShingleUtil.repetitionCounts(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.ShingleUtil.repetitionCounts($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): RepetitionCounts =
+      copy(child = newChild)
+  }
+
   /** `graft_simhash(tokens, nBits)` → long simhash signature. */
   case class SimhashFromTokens(child: Expression, nBits: Int)
       extends UnaryExpression {
@@ -307,6 +558,9 @@ object ShingleExpressions {
     call_function("graft_shingle_set", str, lit(k), lit(nHexDigits),
       lit(mod), lit(algo))
 
+  def gramSet(toks: Column, n: Int, nHexDigits: Int, algo: String): Column =
+    call_function("graft_gram_set", toks, lit(n), lit(nHexDigits), lit(algo))
+
   def minhashSig(hs: Column, m: Int, mod: Long): Column =
     call_function("graft_minhash_sig", hs, lit(m), lit(mod))
 
@@ -315,6 +569,12 @@ object ShingleExpressions {
 
   def simhash(tokens: Column, nBits: Int): Column =
     call_function("graft_simhash", tokens, lit(nBits))
+
+  def repetitionCounts(tokens: Column): Column =
+    call_function("graft_repetition_counts", tokens)
+
+  def bigrams(tokens: Column): Column =
+    call_function("graft_bigrams", tokens)
 
   // ---- registry builders ----
 
@@ -339,9 +599,14 @@ object ShingleExpressions {
     "graft_shingle_set" -> (exprs => ShingleHashSet(exprs(0),
       intLit(exprs(1), "k"), intLit(exprs(2), "nHexDigits"),
       longLit(exprs(3), "mod"), strLit(exprs(4), "algo"))),
+    "graft_gram_set" -> (exprs => GramHashSet(exprs(0),
+      intLit(exprs(1), "n"), intLit(exprs(2), "nHexDigits"),
+      strLit(exprs(3), "algo"))),
     "graft_minhash_sig" -> (exprs => MinhashSignature(exprs(0),
       intLit(exprs(1), "m"), longLit(exprs(2), "mod"))),
     "graft_sorted_intersect" -> (exprs => SortedIntersect(exprs(0), exprs(1))),
+    "graft_repetition_counts" -> (exprs => RepetitionCounts(exprs(0))),
+    "graft_bigrams" -> (exprs => Bigrams(exprs(0))),
     "graft_simhash" -> (exprs => SimhashFromTokens(exprs(0),
       intLit(exprs(1), "nBits"))))
 

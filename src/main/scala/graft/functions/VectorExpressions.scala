@@ -178,6 +178,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqExpressions.PqAdcDot].getName, "graft_pq_adc"),
       (exprs: Seq[Expression]) => PqExpressions.adcFromExprs(exprs)))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_rep"),
+      new ExpressionInfo(classOf[BpeExpressions.BpeRep].getName, "graft_bpe_rep"),
+      (exprs: Seq[Expression]) => BpeExpressions.fromExprs(exprs)))
     ext.injectFunction((FunctionIdentifier("graft_ordered_pairs"),
       new ExpressionInfo(classOf[PairExpressions.OrderedPairs].getName,
         "graft_ordered_pairs"),
@@ -185,6 +188,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ShingleExpressions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(ShingleExpressions.getClass.getName, name), builder))
+    }
+    ScrubExpressions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(ScrubExpressions.getClass.getName, name), builder))
     }
     // window row_number-top-k → bounded-heap aggregate (see the rule's
     // scaladoc); every session built with this extension — including the

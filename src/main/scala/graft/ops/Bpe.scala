@@ -67,9 +67,22 @@ object Bpe {
       .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    val rows = freqs.limit(MaxDriverVocab + 1).collect()
-    if (rows.length > MaxDriverVocab) trainDistributed(freqs, nMerges)
-    else trainLocal(rows.map(r => (r.getString(0), r.getLong(1))), nMerges)
+    // r18 (VERDICT r17 item 6): gate WITHOUT collecting. The old
+    // `limit(cap+1).collect()` materialized up to 4M Row objects on the
+    // driver just to decide, and an over-cap dictionary paid that collect
+    // only to discard it before the distributed fallback. Persist the
+    // vocabulary-sized aggregate, probe the cap with a count (no rows
+    // cross to the driver), and collect — as primitives, not Rows — only
+    // on the under-cap branch. One corpus pass either way; both branches
+    // read the persisted frame.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cached = freqs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (cached.limit(MaxDriverVocab + 1).count() > MaxDriverVocab)
+        trainDistributed(cached, nMerges)
+      else trainLocal(cached.as[(String, Long)].collect(), nMerges)
+    } finally { cached.unpersist(false); () }
   }
 
   /** Split a word into one symbol per Unicode CODE POINT — the same unit
@@ -230,23 +243,35 @@ object Bpe {
     * representation, so the oracle gates training AND application. */
   def bpeEncode(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val merges = trainOnSample(spark, dir)
+    graft.functions.BpeExpressions.register(spark)
     val toks = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), expr(preTokensSql).as("ts"))
-    // the whole encode is ONE literal SQL expression: initial rep +
-    // 16 nested replace calls, all codegen'd string work
-    val rep0Sql =
-      """concat_ws('\n', transform(ts, t -> regexp_replace(t, '(.)', '|$1 ')))"""
-    val repSql = merges.foldLeft(rep0Sql) { (s, m) =>
-      s"replace($s, '|${m.a} |${m.b} ', '|${m.a}${m.b} ')"
-    }
+    // r18: the encode is ONE kernel pass (graft_bpe_rep) — the r17 form
+    // ran an interpreted transform with a regex pass per token and then
+    // 16 nested `replace` calls, each a full scan + full re-allocation of
+    // the document-sized rep string (17 document copies per row). Output
+    // bytes identical — BpeSpec pins kernel ≡ replace-chain, and the
+    // unchanged oracle SQL (which replays the replace chain in DuckDB)
+    // hashes the same enc_md5.
     toks
-      .withColumn("rep", expr(repSql))
+      .withColumn("rep", graft.functions.BpeExpressions.bpeRep(
+        col("ts"), merges.map(m => (m.a, m.b))))
       .select(col("doc_id"),
         size(col("ts")).cast("long").as("n_words"),
         (length(col("rep")) - length(expr("replace(rep, '|', '')")))
           .cast("long").as("n_syms"),
         md5(col("rep")).as("enc_md5"))
       .orderBy("doc_id")
+  }
+
+  /** The pre-r18 replace-chain encode expression over a `ts` column —
+    * kept ONLY as the kernel's equivalence control (BpeSpec). */
+  private[graft] def encodeRepChainSql(merges: Seq[Merge]): String = {
+    val rep0Sql =
+      """concat_ws('\n', transform(ts, t -> regexp_replace(t, '(.)', '|$1 ')))"""
+    merges.foldLeft(rep0Sql) { (s, m) =>
+      s"replace($s, '|${m.a} |${m.b} ', '|${m.a}${m.b} ')"
+    }
   }
 
   /** DuckDB twin: replays the 16 training rounds (pair-count aggregate →

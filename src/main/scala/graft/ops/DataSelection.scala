@@ -57,12 +57,14 @@ object DataSelection {
     * sink's parity rests on this sharing). */
   private[graft] def featureBucketsOf(docsRaw: DataFrame): DataFrame = {
     HashExpressions.register(docsRaw.sparkSession)
+    graft.functions.ShingleExpressions.register(docsRaw.sparkSession)
     val docs = docsRaw
       .select(col("doc_id"), col("lang"),
         split(trim(lower(col("text"))), "\\s+").as("t"))
-    val bigrams = when(size(col("t")) >= 2,
-      expr("transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
-      .otherwise(expr("CAST(array() AS array<string>)"))
+    // r18: bigrams via the codegen graft_bigrams kernel (empty for
+    // 1-token docs by construction — the old guarded-when transform's
+    // lambda evaluated interpreted per element; same strings out)
+    val bigrams = graft.functions.ShingleExpressions.bigrams(col("t"))
     docs
       .select(col("doc_id"), col("lang"), explode(concat(col("t"), bigrams)).as("g"))
       .select(col("doc_id"), col("lang"),

@@ -160,11 +160,16 @@ object TextOps {
   def topNgrams(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // r18: bigram strings via the codegen graft_bigrams kernel — the
+    // transform(sequence...) lambda this replaces evaluated interpreted
+    // per element (bit-identical output; RepetitionKernelSpec's sibling
+    // pins the bigram equality through the dsir path)
+    graft.functions.ShingleExpressions.register(spark)
     val bigrams = Tables.documents(spark, dir)
       .select($"lang", split(trim(lower($"text")), "\\s+").as("t"))
       .filter(size($"t") >= 2)
-      .select($"lang", explode(expr(
-        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")).as("bg"))
+      .select($"lang", explode(
+        graft.functions.ShingleExpressions.bigrams($"t")).as("bg"))
       .groupBy("lang", "bg").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bg")
     bigrams.withColumn("rank", row_number().over(w))
@@ -322,15 +327,44 @@ object TextOps {
     // document's own tokens, so none of it needs an aggregation — the old
     // shape exploded tokens AND bigrams through three doc-keyed hash
     // aggregates plus a join (4 exchanges for per-row-computable values).
-    // Now: distinct-token count via array_distinct, and the top bigram
-    // multiplicity as the longest equal-run of the SORTED in-row bigram
-    // array (max run length of a sorted multiset = max multiplicity) —
-    // all whole-stage-resident expression work, zero shuffles before the
-    // deterministic output sort (guide §2.4 "remove shuffles outright").
-    val toks = Tables.documents(spark, dir)
+    // r18: the in-row work itself is now ONE codegen pass
+    // (graft_repetition_counts) — the r17 form composed it from an
+    // interpreted `transform` (one concat string per bigram), a string
+    // array_sort, and an interpreted `aggregate` run fold (the HOF trap,
+    // guide §1.2 step 2). Bit-identical: max run of a sorted multiset =
+    // max multiplicity; RepetitionKernelSpec pins kernel ≡ HOF corpus-wide.
+    graft.functions.ShingleExpressions.register(spark)
+    repetitionStatsOver(Tables.documents(spark, dir)
+      .select($"doc_id", split(trim(lower($"text")), "\\s+").as("t"))
+      .filter(size($"t") >= 2))
+  }
+
+  private def repetitionStatsOver(toks: DataFrame): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    toks
+      .withColumn("rc",
+        graft.functions.ShingleExpressions.repetitionCounts($"t"))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        $"rc.n_distinct".as("n_distinct"),
+        $"rc.top_bigram_n".as("top_bigram_n"),
+        (size($"t") - 1).cast("long").as("n_bigrams"))
+      .select($"doc_id", $"n_tokens",
+        floor($"n_distinct" * 10000 / $"n_tokens").cast("long").as("distinct_bp"),
+        floor($"top_bigram_n" * 10000 / $"n_bigrams").cast("long").as("top_bigram_bp"))
+      .orderBy($"doc_id")
+  }
+
+  /** The pre-r18 interpreted-HOF form of [[repetitionStats]]'s per-row
+    * statistics — kept ONLY as the equivalence/measurement control
+    * (RepetitionKernelSpec). Not referenced by any query. */
+  private[graft] def repetitionStatsHof(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
       .select($"doc_id", split(trim(lower($"text")), "\\s+").as("t"))
       .filter(size($"t") >= 2)
-    toks
       .withColumn("bgs", expr(
         "array_sort(transform(sequence(0, size(t) - 2), " +
           "i -> concat(t[i], ' ', t[i + 1])))"))
@@ -713,10 +747,19 @@ object TextOps {
     // rows (~64× more), and probing `array_contains(cov, i)` per token is
     // O(n·|cov|) — a straggler-task generator on a heavily-duplicated
     // 20k-token doc (~4·10⁸ comparisons in one row expression).
+    // r18: both in-row steps are codegen kernels — the covered-index
+    // expansion (`graft_covered_idx`) and the gap-merge kept-text
+    // reconstruction (`graft_scrub_kept`). The r17 forms composed them
+    // from nested interpreted `transform`/`filter`/`sequence` HOFs (one
+    // lambda application + allocation per flagged window / per gap — the
+    // HOF trap, guide §1.2 step 2). Bit-identical: ScrubKernelSpec pins
+    // kernel ≡ HOF on the corpus and planted edges; the unchanged oracle
+    // SQL gates every scrub query end-to-end.
+    graft.functions.ScrubExpressions.register(s)
     val winAgg = dupWin.groupBy($"doc_id")
       .agg(count(lit(1)).as(winCountCol), collect_list($"j").as("js"))
-      .withColumn("cov", expr(s"array_sort(array_distinct(flatten(" +
-        s"transform(js, j -> sequence(j, j + ${ScrubGram - 1})))))"))
+      .withColumn("cov",
+        graft.functions.ScrubExpressions.coveredIdx($"js", ScrubGram))
       .withColumn("n_covered", size($"cov").cast("long"))
       .drop("js")
     toks.select($"doc_id", $"t", $"n")
@@ -726,17 +769,8 @@ object TextOps {
         $"n".cast("long").as("n_tokens"),
         coalesce(col(winCountCol), lit(0L)).as(winCountCol),
         coalesce($"n_covered", lit(0L)).as("n_covered"),
-        // gaps between covered indices: k-th gap spans
-        // [cov[k-1]+1, cov[k]-1] (whole doc when cov is empty); kept text
-        // is the concatenation of the gap slices, in order
-        md5(concat_ws(" ", expr(
-          """flatten(transform(
-            |  filter(
-            |    transform(sequence(0, size(cov)), k -> struct(
-            |      CASE WHEN k = 0 THEN 0 ELSE cov[k - 1] + 1 END AS s,
-            |      CASE WHEN k = size(cov) THEN n - 1 ELSE cov[k] - 1 END AS e)),
-            |    g -> g.e >= g.s),
-            |  g -> slice(t, g.s + 1, g.e - g.s + 1)))""".stripMargin))).as("kept_md5"))
+        md5(graft.functions.ScrubExpressions.scrubKept($"t", $"cov"))
+          .as("kept_md5"))
       .orderBy("doc_id")
   }
 

@@ -109,4 +109,34 @@ class BpeSpec extends SparkTestBase {
     val again = Bpe.bpeEncode(spark, sfDir).collect().map(_.toSeq).toSet
     assert(again == out.collect().map(_.toSeq).toSet)
   }
+
+  test("r18 encode kernel is bit-identical to the replace-chain expression") {
+    import org.apache.spark.sql.functions._
+    val merges = Bpe.trainOnSample(spark, sfDir)
+    graft.functions.BpeExpressions.register(spark)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)").as("ts"))
+    val both = toks
+      .withColumn("rep_k", graft.functions.BpeExpressions.bpeRep(
+        col("ts"), merges.map(m => (m.a, m.b))))
+      .withColumn("rep_h", expr(Bpe.encodeRepChainSql(merges)))
+    val bad = both.filter(col("rep_k") =!= col("rep_h"))
+      .select("doc_id").collect()
+    assert(bad.isEmpty, s"kernel/replace-chain divergence on ${bad.mkString(",")}")
+    // edge shapes: empty token list, single char, cascaded merges
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "a"), (3L, "aaaa bb ab abab"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)").as("ts"))
+    val em = Seq(("a", "a"), ("aa", "a"), ("a", "b"))
+    val eBoth = edge
+      .withColumn("rep_k", graft.functions.BpeExpressions.bpeRep(col("ts"), em))
+      .withColumn("rep_h", expr(Bpe.encodeRepChainSql(
+        em.map { case (a, b) => Bpe.Merge(a, b) })))
+      .collect()
+    eBoth.foreach(r => assert(r.getAs[String]("rep_k") == r.getAs[String]("rep_h"),
+      s"doc ${r.getLong(0)}"))
+  }
 }
